@@ -1,0 +1,116 @@
+"""Vectorized URL canonicalization — the engine's hot-path canonicalizer.
+
+Semantics: SURVEY.md P13/P14; reference behavior at
+/root/reference/adscrawler/app_stores/utils.py:178-204 and
+/root/reference/adscrawler/scrape.py:138-148, golden-tested against
+/root/reference/tests/app_stores/test_scrape_stores.py:42-69.
+
+Implementation is Spark-first:
+* scheme/path/port stripping is pure pandas ``.str`` vector ops,
+* PSL suffix matching is memoized over *unique* hosts per Arrow batch —
+  crawl batches are grouped by host, so the per-batch unique count is
+  orders of magnitude below the row count (this is the vectorization
+  that replaces per-row tldextract calls),
+* the murmur3 URL hash stays JVM-side (``F.hash`` == Spark's Murmur3),
+  never in Python.
+
+No row-at-a-time ``udf()`` anywhere (enforced by tests).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from adscrawler_spark.functions.psl import MAX_SUFFIX_LABELS, PUBLIC_SUFFIXES
+
+_IP4 = r"^(\d{1,3}\.){3}\d{1,3}$"
+
+
+def _hosts_from_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized loose host extraction (scheme/userinfo/port/path off)."""
+    s = urls.astype("string")
+    s = s.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "", regex=True, n=1)
+    s = s.str.split("/", n=1).str[0]
+    s = s.str.split("?", n=1).str[0]
+    s = s.str.split("#", n=1).str[0]
+    s = s.str.rsplit("@", n=1).str[-1]
+    s = s.str.split(":", n=1).str[0]
+    return s
+
+
+def _extract_host(host: str) -> tuple[str, str, str]:
+    """(subdomain, domain, suffix) for one host — called once per
+    *unique* host per batch (memoized in the UDF body)."""
+    if not host:
+        return ("", "", "")
+    labels = host.split(".")
+    n = len(labels)
+    if n == 4 and all(p.isdigit() and len(p) <= 3 for p in labels):
+        return ("", host, "")
+    for i in range(max(0, n - MAX_SUFFIX_LABELS), n):
+        if ".".join(labels[i:]).lower() in PUBLIC_SUFFIXES:
+            return (
+                ".".join(labels[: i - 1]) if i > 1 else "",
+                labels[i - 1] if i > 0 else "",
+                ".".join(labels[i:]),
+            )
+    return (".".join(labels[:-1]), labels[-1], "")
+
+
+def _canon_with_sub(host: str) -> str:
+    sub, dom, suf = _extract_host(host)
+    if sub == "m" or sub == "" or "www" in sub.split("."):
+        out = dom + "." + suf
+    else:
+        out = sub + "." + dom + "." + suf
+    return out.lower()
+
+
+def _root_domain(host: str) -> str | None:
+    _sub, dom, suf = _extract_host(host)
+    if not suf:
+        return None
+    out = dom + "." + suf
+    return None if out == "." else out
+
+
+@pandas_udf(StringType())
+def canonical_host(urls: pd.Series) -> pd.Series:
+    """extract_domains_with_sub, vectorized (utils.py:191-204 parity)."""
+    hosts = _hosts_from_urls(urls)
+    uniq = {h: _canon_with_sub(h) for h in hosts.dropna().unique()}
+    return hosts.map(uniq).astype(object).where(hosts.notna(), None)
+
+
+@pandas_udf(StringType())
+def root_domain(urls: pd.Series) -> pd.Series:
+    """extract_root_domain, vectorized (utils.py:178-188 parity)."""
+    hosts = _hosts_from_urls(urls)
+    uniq = {h: _root_domain(h) for h in hosts.dropna().unique()}
+    return hosts.map(uniq).astype(object).where(hosts.notna(), None)
+
+
+@pandas_udf(StringType())
+def adstxt_fetch_host(urls: pd.Series) -> pd.Series:
+    """Host the app-ads.txt is fetched from (scrape.py:138-148 rule —
+    same collapse rule as canonical_host; kept as its own function so
+    the call-site mirrors the reference's two entry points)."""
+    hosts = _hosts_from_urls(urls)
+    uniq = {h: _canon_with_sub(h) for h in hosts.dropna().unique()}
+    return hosts.map(uniq).astype(object).where(hosts.notna(), None)
+
+
+def url_hash(col: Column | str) -> Column:
+    """Murmur3 URL hash — JVM-side (north_rule: murmur3-hashed URLs)."""
+    return F.hash(col)
+
+
+def hash_bucket(col: Column | str, buckets: int = 256) -> Column:
+    """Reference's 256-way md5 2-hex bucketing
+    (app_metrics_history.py:163,772,1142) — used as a physical
+    partition key; non-negative pmod keeps Iceberg-style bucketing."""
+    return F.pmod(F.hash(col), F.lit(buckets))
