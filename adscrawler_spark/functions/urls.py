@@ -104,6 +104,22 @@ def adstxt_fetch_host(urls: pd.Series) -> pd.Series:
     return hosts.map(uniq).astype(object).where(hosts.notna(), None)
 
 
+@pandas_udf(StringType())
+def adstxt_registrable(values: pd.Series) -> pd.Series:
+    """Collapse an ads.txt ad-system domain to registrable form, always
+    joining domain+'.'+suffix even when the suffix is unknown (so
+    'localhost' → 'localhost.'), per the reference cleaner at
+    /root/reference/adscrawler/scrape.py:224-228."""
+    hosts = _hosts_from_urls(values)
+
+    def collapse(h: str) -> str:
+        _sub, dom, suf = _extract_host(h)
+        return dom + "." + suf
+
+    uniq = {h: collapse(h) for h in hosts.dropna().unique()}
+    return hosts.map(uniq).astype(object).where(hosts.notna(), None)
+
+
 def url_hash(col: Column | str) -> Column:
     """Murmur3 URL hash — JVM-side (north_rule: murmur3-hashed URLs)."""
     return F.hash(col)
