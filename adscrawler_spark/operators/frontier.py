@@ -1,0 +1,188 @@
+"""Frontier priority scheduling, lease claims, hot-host salting.
+
+SURVEY.md O1/O2/T1/T6 — the reference's frontier is priority SQL:
+* apps:   ``crawl_result_null DESC, ranked DESC,
+  GREATEST(installs, ratings)*100*days_since_crawl DESC LIMIT n``
+  (/root/reference/adscrawler/dbcon/sql/query_apps_to_update_primary.sql:138-147)
+* ads.txt: ``ad_supported DESC, crawled_at ASC NULLS FIRST LIMIT n``
+  (query_pub_domains_to_crawl_ads_txt.sql:49-52)
+* leases: Redis ``SET NX EX 10800`` per row
+  (/root/reference/adscrawler/dramatiq/dispatcher.py:41,87-105) →
+  here a ``leased_until`` column committed with the snapshot (one
+  batched claim per generation, like the dispatcher's batched locks).
+
+Claim order is made *total* by a trailing ``url_hash`` tie-break so a
+parallel claim equals the sequential oracle's claim log exactly
+(SURVEY.md §7.4 point 3).  ``orderBy().limit(n)`` compiles to
+TakeOrderedAndProject — per-partition top-n then a k-row merge on the
+driver, no global sort shuffle, which is the right physical plan at
+10^10 rows.
+
+Hot-host salting (north_rule): the two store hosts carry ~33% of the
+frontier; fetch partitioning by bare host would put a third of every
+generation on two tasks.  Claimed rows get ``lane =
+pmod(xxhash64(url_canon), HOT_LANES)`` on hot hosts (0 elsewhere) and
+fetch repartitions on (host, lane); politeness budgets are defined
+per lane so the schedule stays deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from adscrawler_spark.functions.urls import canonical_host, url_hash
+from adscrawler_spark.streaming.frontier_gen import HOT_IOS, HOT_PLAY
+
+LEASE_TTL_SECONDS = 10_800  # dispatcher.py:41
+HOT_LANES = 8
+NEVER_CRAWLED_DAYS = 36_500  # NULLS-FIRST analog for the decay product
+
+
+def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach url_canon / url_hash (murmur3, JVM) / url_hash64 (bloom)."""
+    return (
+        df.withColumn("url_canon", canonical_host(url_col))
+        .withColumn("url_hash", url_hash(F.col("url_canon")))
+        .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
+        # unique per raw URL — the final claim-order tie-break that makes
+        # the schedule total (different raw URLs can share url_canon and
+        # every priority column).
+        .withColumn("row_hash64", F.xxhash64(F.col(url_col)))
+    )
+
+
+def listing_order_cols(now: str) -> list[F.Column]:
+    days_since = F.coalesce(
+        F.datediff(F.to_timestamp(F.lit(now)), F.col("last_crawled_at")),
+        F.lit(NEVER_CRAWLED_DAYS),
+    )
+    decay = (
+        F.greatest(F.coalesce("installs", F.lit(0)), F.coalesce("rating_count", F.lit(0)))
+        * 100
+        * days_since
+    )
+    return [
+        F.desc(F.col("crawl_result").isNull().cast("int")),
+        F.desc(F.coalesce(F.col("ranked"), F.lit(False)).cast("int")),
+        F.desc(decay),
+        F.asc("url_hash"),
+        F.asc("row_hash64"),
+    ]
+
+
+def adstxt_order_cols() -> list[F.Column]:
+    return [
+        F.desc(F.coalesce(F.col("ad_supported"), F.lit(False)).cast("int")),
+        F.asc_nulls_first("last_crawled_at"),
+        F.asc("url_hash"),
+        F.asc("row_hash64"),
+    ]
+
+
+def eligible(frontier: DataFrame, now: str) -> DataFrame:
+    """pending rows + expired leases (T6 reclaim)."""
+    now_ts = F.to_timestamp(F.lit(now))
+    return frontier.filter(
+        (F.col("state") == "pending")
+        | ((F.col("state") == "leased") & (F.col("leased_until") < now_ts))
+    )
+
+
+def claim_batch(
+    frontier: DataFrame,
+    doc_kinds: list[str],
+    n: int,
+    now: str,
+    batch_id: int,
+    hot_lanes: int = HOT_LANES,
+) -> DataFrame:
+    """Top-n eligible rows for the given kinds, with lease + lineage +
+    salt-lane columns and a total claim_rank.  One TakeOrderedAndProject
+    per kind family; the claim is committed by the caller's snapshot."""
+    base = eligible(frontier, now).filter(F.col("doc_kind").isin(doc_kinds))
+    order = (
+        adstxt_order_cols() if doc_kinds == ["adstxt"] else listing_order_cols(now)
+    )
+    # one fetch per canonical URL: subdomain variants (www./m.) collapse
+    # to the same url_canon, and the reference never fetches a URL twice
+    # in one batch — keep the best-ranked representative.  The fold-back
+    # join in apply-results is on url_canon, so every duplicate frontier
+    # row still gets the result.
+    claimed = base.orderBy(*order).limit(n)
+    claimed = claimed.withColumn(
+        "claim_rank", F.row_number().over(Window.orderBy(*order))
+    )
+    claimed = (
+        claimed.withColumn(
+            "_dup_rn",
+            F.row_number().over(
+                Window.partitionBy("url_canon").orderBy("claim_rank")
+            ),
+        )
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+    is_hot = F.col("host").isin(HOT_PLAY, HOT_IOS)
+    lane = F.when(
+        is_hot, F.pmod(F.xxhash64("url_canon"), F.lit(hot_lanes)).cast("int")
+    ).otherwise(F.lit(0))
+    now_ts = F.to_timestamp(F.lit(now))
+    # NOTE: claim_rank/lane_rank windows run on the already-limited claim
+    # set (≤ n rows, the reference's 200k default) — bounded by design,
+    # never by the 10^10-row frontier.
+    return (
+        claimed.withColumn("lane", lane)
+        .withColumn("state", F.lit("leased"))
+        .withColumn(
+            "leased_until",
+            now_ts + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(float(LEASE_TTL_SECONDS))),
+        )
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn("partition_id", F.pmod(F.hash("host", "lane"), F.lit(1024)).cast("int"))
+    )
+
+
+def apply_claim_results(
+    frontier: DataFrame, results: DataFrame, now: str
+) -> DataFrame:
+    """Fold per-URL fetch results back into the frontier (the MERGE of
+    T6/T8): fetched rows become done/failed, deferred rows return to
+    pending, untouched rows pass through.
+
+    results: (url_canon, crawl_result int nullable, fetched boolean)."""
+    upd = results.select(
+        F.col("url_canon").alias("_u"),
+        F.col("crawl_result").alias("_cr"),
+        F.col("fetched").alias("_fetched"),
+    )
+    joined = frontier.join(upd, frontier["url_canon"] == upd["_u"], "left")
+    now_ts = F.to_timestamp(F.lit(now))
+    new_state = (
+        F.when(F.col("_u").isNull(), F.col("state"))
+        .when(~F.col("_fetched"), F.lit("pending"))
+        .when(F.col("_cr") == 1, F.lit("done"))
+        .otherwise(F.lit("failed"))
+    )
+    return (
+        joined.withColumn("state", new_state)
+        .withColumn(
+            "crawl_result",
+            F.when(F.col("_u").isNotNull() & F.col("_fetched"), F.col("_cr")).otherwise(
+                F.col("crawl_result")
+            ),
+        )
+        .withColumn(
+            "last_crawled_at",
+            F.when(F.col("_u").isNotNull() & F.col("_fetched"), now_ts).otherwise(
+                F.col("last_crawled_at")
+            ),
+        )
+        .withColumn(
+            "leased_until",
+            F.when(F.col("_u").isNotNull(), F.lit(None).cast("timestamp")).otherwise(
+                F.col("leased_until")
+            ),
+        )
+        .drop("_u", "_cr", "_fetched")
+    )

@@ -1,0 +1,92 @@
+"""Politeness: robots rules + per-(host, lane) crawl budgets (T1–T7).
+
+The reference throttles with wall-clock sleeps and queue caps
+(/root/reference/adscrawler/app_stores/scrape_stores.py:220-222,275-278;
+dramatiq/dispatcher.py:62,176-187).  Wall-clock state cannot give a
+deterministic, parallelism-independent schedule, so the engine uses
+*virtual time*: the i-th fetch of a (host, lane) in a generation costs
+``i * crawl_delay`` virtual seconds, and a generation grants each lane
+``budget_seconds``.  Rows beyond the budget are deferred (stay
+pending) — the dispatcher's queue-depth throttle (T7) expressed as a
+pure function of the claim order, so ``local[8]`` and ``local[32]``
+produce the identical schedule.
+
+Robots rules are an engine-side table (FIXTURES.md F9 — no reference
+analog, the north_star adds them): (host, disallow array<string> of
+path prefixes, crawl_delay double).  Denied rows are recorded with
+state='denied' and never fetched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY = 0.5
+DEFAULT_BUDGET_SECONDS = 3600.0
+
+
+def default_robots(spark: SparkSession) -> DataFrame:
+    """Deterministic robots fixture: the two hot hosts allow fast
+    crawl; selected pub domains disallows
+    /app-ads.txt (exercises the denied path); pub0 is slow."""
+    rows = [
+        ("google-play-store.com", [], 0.05),
+        ("apple-app-store.com", [], 0.05),
+        ("pub0-dev.com", [], 5.0),
+        ("pub7-dev.com", ["/app-ads.txt"], 1.0),
+        ("pub17-dev.com", ["/app-ads.txt"], 1.0),
+        ("pub27-dev.com", ["/private", "/app-ads.txt"], 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "host string, disallow array<string>, crawl_delay double"
+    )
+
+
+def apply_robots(claimed: DataFrame, robots: DataFrame) -> DataFrame:
+    """Broadcast-join robots onto the claimed batch; adds
+    ``crawl_delay`` (default when no rule) and ``robots_denied``."""
+    rules = F.broadcast(robots.select("host", "disallow", "crawl_delay"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    denied = F.exists(
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    return (
+        claimed.join(rules, "host", "left")
+        .withColumn(
+            "crawl_delay", F.coalesce("crawl_delay", F.lit(DEFAULT_CRAWL_DELAY))
+        )
+        .withColumn("robots_denied", F.coalesce(denied, F.lit(False)))
+        .drop("disallow")
+    )
+
+
+def with_virtual_schedule(
+    claimed: DataFrame, budget_seconds: float = DEFAULT_BUDGET_SECONDS
+) -> DataFrame:
+    """Virtual fetch time per (host, lane) from the claim order; rows
+    whose start time exceeds the lane budget are deferred.
+
+    robots-denied rows do NOT consume budget: lane_rank counts only
+    fetchable rows (a running sum over the claim order, which keeps the
+    schedule a pure function of the claim log at any parallelism)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("host", "lane")
+        .orderBy("claim_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fetchable_rank = F.sum(
+        F.when(~F.col("robots_denied"), 1).otherwise(0)
+    ).over(w)
+    lane_rank = F.when(~F.col("robots_denied"), fetchable_rank)
+    vt = (lane_rank - 1) * F.col("crawl_delay")
+    return (
+        claimed.withColumn("lane_rank", lane_rank)
+        .withColumn("virtual_time", F.coalesce(vt, F.lit(-1.0)))
+        .withColumn(
+            "within_budget", F.coalesce(vt < F.lit(budget_seconds), F.lit(False))
+        )
+    )

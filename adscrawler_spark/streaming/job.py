@@ -1,0 +1,364 @@
+"""The crawl generation loop: claim → fetch → parse → commit.
+
+SURVEY.md §3.1 "Spark shape": each generation is one batched iteration
+(the reference's cron run), all state transitions land as atomic
+snapshot commits (sources/catalog.py), and the job is resumable from
+any committed generation (north_rule: checkpoint + per-partition
+lineage seed_id → partition_id → batch_id on every row).
+
+Determinism: the virtual clock advances one hour per generation from a
+fixed epoch; priorities, lanes, schedules, and fetch outcomes are pure
+functions of (frontier row, generation) — so the run is reproducible
+and the sequential oracle (pyref/frontier_sim.py) can replay it
+exactly, at any parallelism.
+
+Run:  python -m adscrawler_spark.streaming.job --out /tmp/crawl_run \
+        --frontier-size 20000 --generations 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adscrawler_spark.operators import adstxt as adstxt_ops
+from adscrawler_spark.operators import frontier as frontier_ops
+from adscrawler_spark.operators import politeness, seen
+from adscrawler_spark.operators.listings import (
+    clean_ios_listings,
+    clean_play_listings,
+    listing_documents,
+)
+from adscrawler_spark.sources.catalog import Catalog
+from adscrawler_spark.streaming import fetch_sim
+from adscrawler_spark.streaming.frontier_gen import synth_frontier
+
+EPOCH = datetime(2026, 8, 2, 0, 0, 0)
+
+PLAY_RAW_SCHEMA = (
+    "store_id string, title string, installs string, realInstalls long, "
+    "score double, ratings long, reviews long, histogram array<long>, "
+    "summary string, description string, released string, updated long, "
+    "containsAds boolean, offersIAP boolean, icon string, "
+    "developerWebsite string, developerId string, developer string, "
+    "developerAddress string, genreId string, headerImage string, "
+    "screenshots array<string>"
+)
+IOS_RAW_SCHEMA = (
+    "trackId long, trackName string, averageUserRating double, "
+    "userRatingCount long, user_ratings string, sellerUrl string, "
+    "primaryGenreName string, genres string, bundleId string, "
+    "releaseDate string, currentVersionReleaseDate string, artistId string, "
+    "artistName string, artworkUrl512 string, screenshotUrls string, "
+    "ipadScreenshotUrls string, languageCodesISO2A string, price double, "
+    "description string, kind string"
+)
+
+TABLES = ["frontier", "url_seen", "documents", "crawl_log", "adstxt_entries", "metrics"]
+
+
+def now_str(generation: int) -> str:
+    return (EPOCH + timedelta(hours=generation)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _listing_docs(fetched: DataFrame, kind: str, now: str) -> DataFrame:
+    rows = fetched.filter(
+        (F.col("doc_kind") == kind) & F.col("fetched") & F.col("body").isNotNull()
+    )
+    schema = PLAY_RAW_SCHEMA if kind == "listing_play" else IOS_RAW_SCHEMA
+    raw = rows.select(
+        "url_canon", "host", "seed_id", "batch_id", "partition_id",
+        "crawl_result", "virtual_time",
+        F.from_json("body", schema).alias("r"),
+    ).select("url_canon", "host", "seed_id", "batch_id", "partition_id",
+             "crawl_result", "virtual_time", "r.*")
+    cleaned = (
+        clean_play_listings(raw) if kind == "listing_play" else clean_ios_listings(raw)
+    )
+    prefix = "gp::" if kind == "listing_play" else "ios::"
+    from adscrawler_spark.operators.listings import listing_spans_col
+
+    store = 1 if kind == "listing_play" else 2
+    return cleaned.select(
+        F.concat(F.lit(prefix), F.col("url_canon")).alias("doc_id"),
+        listing_spans_col(cleaned).alias("spans"),
+        F.col("host"),
+        F.lit(store).alias("store"),
+        F.lit("US").alias("country"),
+        F.col("crawl_result"),
+        F.to_timestamp(F.lit(now)).alias("fetched_at"),
+        F.date_format(F.to_timestamp(F.lit(now)), "yyyy-MM-dd").alias("crawled_date"),
+        "seed_id", "partition_id", "batch_id",
+    )
+
+
+def run_generation(
+    spark: SparkSession,
+    cat: Catalog,
+    generation: int,
+    listing_batch: int,
+    adstxt_batch: int,
+    budget_seconds: float,
+    robots: DataFrame,
+) -> dict:
+    t0 = time.time()
+    now = now_str(generation)
+    frontier = cat.table("frontier").read(spark)
+
+    claim_l = frontier_ops.claim_batch(
+        frontier, ["listing_play", "listing_ios"], listing_batch, now, generation
+    )
+    claim_a = frontier_ops.claim_batch(
+        frontier, ["adstxt"], adstxt_batch, now, generation
+    )
+    claimed = claim_l.unionByName(claim_a)
+    claimed = politeness.with_virtual_schedule(
+        politeness.apply_robots(claimed, robots), budget_seconds
+    )
+
+    fetched = fetch_sim.fetch(claimed).persist()
+    n_claimed = fetched.count()
+
+    # ---- parse: ads.txt (entries + parser-derived crawl_result)
+    adstxt_ok = fetched.filter(
+        (F.col("doc_kind") == "adstxt") & F.col("fetched") & F.col("body").isNotNull()
+    ).withColumn("doc_id", F.concat(F.lit("adstxt::"), F.col("url_canon")))
+    entries, parse_results = adstxt_ops.parse_adstxt_docs(adstxt_ok, "body")
+    spans = adstxt_ops.adstxt_line_spans(adstxt_ok, "body")
+    adstxt_docs = (
+        adstxt_ok.select(
+            "doc_id", "host", "seed_id", "batch_id", "partition_id", "virtual_time"
+        )
+        .join(spans, "doc_id")
+        .join(parse_results, "doc_id")
+        .select(
+            "doc_id", "spans", "host",
+            F.lit(0).alias("store"), F.lit(None).cast("string").alias("country"),
+            "crawl_result",
+            F.to_timestamp(F.lit(now)).alias("fetched_at"),
+            F.date_format(F.to_timestamp(F.lit(now)), "yyyy-MM-dd").alias("crawled_date"),
+            "seed_id", "partition_id", "batch_id",
+        )
+    )
+    play_docs = _listing_docs(fetched, "listing_play", now)
+    ios_docs = _listing_docs(fetched, "listing_ios", now)
+    docs = (
+        adstxt_docs.unionByName(play_docs)
+        .unionByName(ios_docs)
+        .dropDuplicates(["doc_id"])
+        .persist()
+    )
+    n_docs = docs.count()
+    cat.table("documents").append(docs, {"generation": generation})
+
+    entries_out = entries.withColumn("batch_id", F.lit(generation).cast("long"))
+    n_entries = entries_out.count()
+    cat.table("adstxt_entries").append(entries_out, {"generation": generation})
+
+    # ---- per-URL results folded back into the frontier.
+    # adstxt fetched rows take the parser's result (scrape.py:280-301);
+    # listings keep the fetch outcome.
+    pr = parse_results.select(
+        F.expr("substring(doc_id, 9)").alias("_pu"),
+        F.col("crawl_result").alias("_pres"),
+    ).dropDuplicates(["_pu"])
+    results = (
+        fetched.join(pr, fetched["url_canon"] == pr["_pu"], "left")
+        .withColumn("crawl_result", F.coalesce("_pres", "crawl_result"))
+        .drop("_pu", "_pres")
+    ).persist()
+
+    log = results.select(
+        "batch_id", "url_canon", "host", "crawl_result",
+        F.to_timestamp(F.lit(now)).alias("fetched_at"),
+        "attempts", "fetched", "denied", "virtual_time", "lane",
+        "claim_rank", "seed_id", "partition_id", "doc_kind",
+    )
+    cat.table("crawl_log").append(log, {"generation": generation})
+
+    # ---- discovery: DIRECT/RESELLER ad domains become new adstxt URLs
+    seen_tbl = cat.table("url_seen").read(spark)
+    discovered = (
+        entries.select(F.col("ad_domain")).distinct()
+        .withColumn("url", F.concat(F.lit("https://"), F.col("ad_domain"), F.lit("/app-ads.txt")))
+    )
+    discovered = frontier_ops.with_canonical(discovered)
+    filters = seen.build_bloom_filters(seen_tbl) if seen_tbl is not None else None
+    new_urls = seen.probe_unseen(discovered, filters, seen_tbl).dropDuplicates(
+        ["url_canon"]
+    )
+    new_frontier_rows = new_urls.select(
+        "url",
+        F.col("url_canon").alias("host"),
+        F.lit("adstxt").alias("doc_kind"),
+        F.lit(None).cast("int").alias("crawl_result"),
+        F.lit(False).alias("ranked"),
+        F.lit(False).alias("ad_supported"),
+        F.lit(0).cast("long").alias("installs"),
+        F.lit(0).cast("long").alias("rating_count"),
+        F.lit(None).cast("timestamp").alias("last_crawled_at"),
+        F.lit("pending").alias("state"),
+        F.lit(None).cast("timestamp").alias("leased_until"),
+        F.lit("discovered").alias("seed_id"),
+        "url_canon", "url_hash", "url_hash64", "row_hash64",
+    )
+    n_discovered = new_frontier_rows.count()
+    if seen_tbl is not None:
+        cat.table("url_seen").append(
+            new_urls.select("url_canon", "url_hash64"), {"generation": generation}
+        )
+
+    # ---- frontier state transitions + discovered rows
+    fold = results.select(
+        "url_canon", "crawl_result", "fetched", "denied"
+    )
+    updated = _apply_results(frontier, fold, now)
+    new_frontier = updated.unionByName(new_frontier_rows)
+    cat.table("frontier").overwrite(new_frontier, {"generation": generation})
+
+    n_fetched = results.filter("fetched").count()
+    n_ok = results.filter("fetched and crawl_result = 1").count()
+    n_denied = results.filter("denied").count()
+    n_deferred = n_claimed - n_fetched - n_denied
+    elapsed = time.time() - t0
+    metrics = {
+        "generation": generation,
+        "claimed": n_claimed,
+        "fetched": n_fetched,
+        "ok": n_ok,
+        "denied": n_denied,
+        "deferred": n_deferred,
+        "docs": n_docs,
+        "adstxt_entries": n_entries,
+        "discovered": n_discovered,
+        "elapsed_sec": round(elapsed, 3),
+        "urls_per_sec": round(n_fetched / elapsed, 1) if elapsed > 0 else 0.0,
+    }
+    cat.table("metrics").append(
+        spark.createDataFrame([metrics]), {"generation": generation}
+    )
+    fetched.unpersist()
+    results.unpersist()
+    docs.unpersist()
+    return metrics
+
+
+def _apply_results(frontier: DataFrame, results: DataFrame, now: str) -> DataFrame:
+    upd = results.select(
+        F.col("url_canon").alias("_u"),
+        F.col("crawl_result").alias("_cr"),
+        F.col("fetched").alias("_f"),
+        F.col("denied").alias("_d"),
+    ).dropDuplicates(["_u"])
+    joined = frontier.join(upd, frontier["url_canon"] == upd["_u"], "left")
+    now_ts = F.to_timestamp(F.lit(now))
+    new_state = (
+        F.when(F.col("_u").isNull(), F.col("state"))
+        .when(F.col("_d"), F.lit("denied"))
+        .when(~F.col("_f"), F.lit("pending"))
+        .when(F.col("_cr") == 1, F.lit("done"))
+        .otherwise(F.lit("failed"))
+    )
+    return (
+        joined.withColumn("state", new_state)
+        .withColumn(
+            "crawl_result",
+            F.when(F.col("_u").isNotNull() & F.col("_f"), F.col("_cr")).otherwise(
+                F.col("crawl_result")
+            ),
+        )
+        .withColumn(
+            "last_crawled_at",
+            F.when(F.col("_u").isNotNull() & F.col("_f"), now_ts).otherwise(
+                F.col("last_crawled_at")
+            ),
+        )
+        .withColumn("leased_until", F.lit(None).cast("timestamp"))
+        .drop("_u", "_cr", "_f", "_d")
+    )
+
+
+def bootstrap(spark: SparkSession, cat: Catalog, frontier_size: int, seed: int) -> None:
+    frontier = frontier_ops.with_canonical(synth_frontier(spark, frontier_size, seed))
+    cat.table("frontier").overwrite(frontier, {"bootstrap": True})
+    cat.table("url_seen").overwrite(
+        frontier.select("url_canon", "url_hash64").dropDuplicates(["url_canon"]),
+        {"bootstrap": True},
+    )
+    cat.write_state({"generation": 0, "versions": _versions(cat)})
+
+
+def _versions(cat: Catalog) -> dict:
+    return {t: cat.table(t).current_version() for t in TABLES}
+
+
+def _rollback_to_state(cat: Catalog) -> None:
+    """Undo partially-committed generations (crash recovery)."""
+    state = cat.read_state()
+    for t, v in state.get("versions", {}).items():
+        tbl = cat.table(t)
+        cur = tbl.current_version()
+        if v is not None and cur is not None and cur > v:
+            tbl.rollback(v)
+
+
+def run(
+    spark: SparkSession,
+    out_dir: str,
+    frontier_size: int = 20_000,
+    generations: int = 3,
+    listing_batch: int = 2_000,
+    adstxt_batch: int = 2_000,
+    budget_seconds: float = politeness.DEFAULT_BUDGET_SECONDS,
+    seed: int = 42,
+) -> list[dict]:
+    cat = Catalog(out_dir)
+    robots = politeness.default_robots(spark)
+    if not cat.table("frontier").exists():
+        bootstrap(spark, cat, frontier_size, seed)
+    else:
+        _rollback_to_state(cat)
+    state = cat.read_state()
+    all_metrics = []
+    for g in range(state.get("generation", 0), generations):
+        m = run_generation(
+            spark, cat, g, listing_batch, adstxt_batch, budget_seconds, robots
+        )
+        cat.write_state({"generation": g + 1, "versions": _versions(cat)})
+        print(json.dumps(m))
+        all_metrics.append(m)
+    return all_metrics
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--frontier-size", type=int, default=20_000)
+    p.add_argument("--generations", type=int, default=3)
+    p.add_argument("--listing-batch", type=int, default=2_000)
+    p.add_argument("--adstxt-batch", type=int, default=2_000)
+    p.add_argument("--budget-seconds", type=float, default=politeness.DEFAULT_BUDGET_SECONDS)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    from adscrawler_spark.session import get_spark
+
+    spark = get_spark("adscrawler_crawl_job")
+    run(
+        spark,
+        args.out,
+        frontier_size=args.frontier_size,
+        generations=args.generations,
+        listing_batch=args.listing_batch,
+        adstxt_batch=args.adstxt_batch,
+        budget_seconds=args.budget_seconds,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Global crawl-scheduler parity + resume (SURVEY.md §5 points 3/4).
+
+Runs the Spark generation loop on a small synthetic frontier, then
+replays the identical configuration through the sequential pure-Python
+oracle (pyref/frontier_sim.py) and asserts:
+
+* claim log equality (generation, family, rank, url_canon) — the
+  "global crawl ordering" invariant;
+* final URL-seen set equality;
+* final frontier state equality (every row: state + crawl_result);
+* documents doc_id set equality;
+* politeness: per-(host,lane) fetch counts never exceed the budget;
+* resume: interrupted run (2 gens, then continue to 3) produces
+  byte-identical final state to an uninterrupted 3-gen run, and a
+  partially-committed generation is rolled back on restart.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from adscrawler_spark.operators import politeness
+from adscrawler_spark.pyref.frontier_sim import SimConfig, run_sim
+from adscrawler_spark.sources.catalog import Catalog
+from adscrawler_spark.streaming import job
+from adscrawler_spark.streaming.synth import _AD_DOMAINS
+
+GENS = 3
+FRONTIER = 3000
+BATCH = 300
+BUDGET = 2.0  # seconds/lane/generation — small enough to force deferrals
+
+
+@pytest.fixture(scope="module")
+def run_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("crawl_run"))
+    job.run(
+        spark, out,
+        frontier_size=FRONTIER, generations=GENS,
+        listing_batch=BATCH, adstxt_batch=BATCH,
+        budget_seconds=BUDGET,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def sim_state(spark, run_dir):
+    cat = Catalog(run_dir)
+    frontier0 = cat.table("frontier").read(spark, version=0)
+    rows = [r.asDict() for r in frontier0.collect()]
+    robots = {
+        r.host: (list(r.disallow), r.crawl_delay)
+        for r in politeness.default_robots(spark).collect()
+    }
+    lookup_df = spark.createDataFrame(
+        [(f"https://{d}/app-ads.txt",) for d in _AD_DOMAINS], "url string"
+    )
+    from adscrawler_spark.operators.frontier import with_canonical
+
+    lookup = {
+        r.url_canon: (r.url_hash, r.url_hash64, r.row_hash64)
+        for r in with_canonical(lookup_df).collect()
+    }
+    cfg = SimConfig(
+        listing_batch=BATCH, adstxt_batch=BATCH, budget_seconds=BUDGET,
+        robots=robots, hash_lookup=lookup,
+    )
+    return run_sim(rows, cfg, GENS)
+
+
+def test_claim_log_matches_oracle(spark, run_dir, sim_state):
+    cat = Catalog(run_dir)
+    log = cat.table("crawl_log").read(spark)
+    got = sorted(
+        (
+            int(r.batch_id),
+            "adstxt" if r.doc_kind == "adstxt" else "listing",
+            int(r.claim_rank),
+            r.url_canon,
+        )
+        for r in log.collect()
+    )
+    want = sorted(sim_state.claim_log)
+    assert got == want
+
+
+def test_seen_set_matches_oracle(spark, run_dir, sim_state):
+    cat = Catalog(run_dir)
+    got = {r.url_canon for r in cat.table("url_seen").read(spark).collect()}
+    assert got == sim_state.seen
+
+
+def test_frontier_states_match_oracle(spark, run_dir, sim_state):
+    cat = Catalog(run_dir)
+    got = sorted(
+        (r.url, r.url_canon, r.state,
+         -1 if r.crawl_result is None else int(r.crawl_result))
+        for r in cat.table("frontier").read(spark).collect()
+    )
+    want = sorted(
+        (r["url"], r["url_canon"], r["state"],
+         -1 if r["crawl_result"] is None else int(r["crawl_result"]))
+        for r in sim_state.frontier
+    )
+    assert got == want
+
+
+def test_documents_match_oracle(spark, run_dir, sim_state):
+    cat = Catalog(run_dir)
+    got = {r.doc_id for r in cat.table("documents").read(spark).collect()}
+    assert got == sim_state.docs
+
+
+def test_politeness_budget_enforced(spark, run_dir):
+    cat = Catalog(run_dir)
+    log = cat.table("crawl_log").read(spark).filter("fetched")
+    per_lane = (
+        log.groupBy("batch_id", "host", "lane")
+        .agg(F.count("*").alias("n"), F.max("virtual_time").alias("max_vt"))
+        .collect()
+    )
+    assert per_lane, "no fetches logged"
+    for r in per_lane:
+        assert r.max_vt < BUDGET, (r.host, r.lane, r.max_vt)
+
+
+def test_lineage_columns_present(spark, run_dir):
+    cat = Catalog(run_dir)
+    docs = cat.table("documents").read(spark)
+    n_null = docs.filter(
+        F.col("seed_id").isNull()
+        | F.col("partition_id").isNull()
+        | F.col("batch_id").isNull()
+    ).count()
+    assert n_null == 0
+
+
+def test_resume_equals_uninterrupted(spark, run_dir, tmp_path_factory):
+    out2 = str(tmp_path_factory.mktemp("crawl_resume"))
+    job.run(spark, out2, frontier_size=FRONTIER, generations=2,
+            listing_batch=BATCH, adstxt_batch=BATCH, budget_seconds=BUDGET)
+    # simulate a crash mid-generation: an extra uncommitted doc snapshot
+    cat2 = Catalog(out2)
+    junk = spark.range(3).select(
+        F.lit("junk").alias("doc_id"),
+        F.lit(None).cast("string").alias("host"),
+    )
+    cat2.table("documents").append(junk, {"generation": 999})
+    # restart and continue to GENS — rollback must discard the junk
+    job.run(spark, out2, frontier_size=FRONTIER, generations=GENS,
+            listing_batch=BATCH, adstxt_batch=BATCH, budget_seconds=BUDGET)
+
+    cat1 = Catalog(run_dir)
+    for table in ["documents", "url_seen"]:
+        a = {tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+             for r in cat1.table(table).read(spark).select("doc_id" if table == "documents" else "url_canon").collect()}
+        b = {tuple(sorted(r.asDict().items(), key=lambda kv: kv[0]))
+             for r in cat2.table(table).read(spark).select("doc_id" if table == "documents" else "url_canon").collect()}
+        assert a == b, table
+    fa = sorted(
+        (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
+        for r in cat1.table("frontier").read(spark).collect()
+    )
+    fb = sorted(
+        (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
+        for r in cat2.table("frontier").read(spark).collect()
+    )
+    assert fa == fb
+    shutil.rmtree(out2, ignore_errors=True)

@@ -1,0 +1,85 @@
+"""URL-seen set: partitioned Bloom (no false negatives, bounded fpp,
+exact-confirm correctness) and the cuckoo fallback (insert/delete)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adscrawler_spark.operators.seen import (
+    CuckooFilter,
+    build_bloom_filters,
+    probe_unseen,
+    with_url_hash64,
+)
+
+
+@pytest.fixture(scope="module")
+def seen_and_frontier(spark):
+    seen = with_url_hash64(
+        spark.range(0, 5000).select(
+            F.concat(F.lit("host"), F.col("id"), F.lit(".com")).alias("url_canon")
+        )
+    )
+    frontier = with_url_hash64(
+        spark.range(2500, 9000).select(
+            F.concat(F.lit("host"), F.col("id"), F.lit(".com")).alias("url_canon")
+        )
+    )
+    return seen, frontier
+
+
+def test_probe_exact_semantics(seen_and_frontier):
+    seen, frontier = seen_and_frontier
+    filters = build_bloom_filters(seen)
+    unseen = probe_unseen(frontier, filters, seen)
+    got = {r.url_canon for r in unseen.collect()}
+    want = {f"host{i}.com" for i in range(5000, 9000)}
+    assert got == want  # no false positives after confirm, no false negatives
+
+
+def test_bloom_prefilter_rate(seen_and_frontier):
+    """The Bloom alone must pass every seen row (no false negatives)
+    and keep false positives on unseen rows below a loose bound."""
+    seen, _ = seen_and_frontier
+    filters = build_bloom_filters(seen).collect()
+    assert all(f.m_bits >= f.n_keys * 8 for f in filters)
+    # probe seen rows through the bloom only: all must be maybe_seen
+    from adscrawler_spark.operators.seen import _positions
+
+    by_bucket = {f.bucket: f for f in filters}
+    total_fp = 0
+    rng = np.random.default_rng(42)
+    fake = rng.integers(-(2**62), 2**62, size=20000)
+    for h in fake:
+        b = int(h % 64)
+        f = by_bucket.get(b)
+        if f is None:
+            continue
+        words = np.frombuffer(f.bits, dtype=np.uint64)
+        pos = _positions(np.array([h]), f.k, f.m_bits)
+        hit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+        total_fp += int(hit.all())
+    assert total_fp / 20000 < 0.02  # 12 bits/key, 7 hashes → ~0.03% theoretical
+
+
+def test_empty_seen_passthrough(seen_and_frontier, spark):
+    _, frontier = seen_and_frontier
+    out = probe_unseen(frontier, None, None)
+    assert out.count() == frontier.count()
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter(capacity=10000)
+    rng = np.random.default_rng(7)
+    keys = [int(x) for x in rng.integers(-(2**62), 2**62, size=5000)]
+    for k in keys:
+        assert cf.insert(k)
+    assert all(cf.contains(k) for k in keys)
+    others = [int(x) for x in rng.integers(-(2**62), 2**62, size=5000)]
+    fp = sum(cf.contains(k) for k in others if k not in set(keys))
+    assert fp / 5000 < 0.05
+    for k in keys[:1000]:
+        assert cf.delete(k)
+    deleted_hits = sum(cf.contains(k) for k in keys[:1000])
+    assert deleted_hits / 1000 < 0.05  # residual = fingerprint collisions
+    assert all(cf.contains(k) for k in keys[1000:])
