@@ -1,0 +1,1088 @@
+"""Driver-facing query battery: every relational operator family from
+SURVEY.md §2 expressed over the driver's testdata tables, each with a
+DuckDB oracle twin (ANSI SQL).  This is the CORRECTNESS gate surface —
+names, aliases and rounding are kept identical between the Spark plan
+and the oracle SQL.
+
+Conventions that keep the value-hash comparison exact:
+* every aggregate/computed column is aliased the same on both sides;
+* double aggregates are rounded (sums→2, ratios/avgs→4) on both sides;
+* DuckDB integer sums are cast to BIGINT (DuckDB widens to HUGEINT);
+* date_trunc results are cast to DATE on both sides;
+* LIMIT/top-k queries carry a unique trailing sort key so the row set
+  is total-order deterministic;
+* float-array math is cast to double elementwise and folded in array
+  order on both sides (bit-identical left-to-right summation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4)
+# =====================================================================
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                AS sum_qty,
+           round(sum(l_extendedprice), 2)                           AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           round(avg(l_discount), 4)                                AS avg_disc,
+           count(*)                                                 AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+    WHERE rn = 1
+    """,
+)
+def latest_order_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+@query(
+    "count_distinct_segments",
+    """
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def count_distinct_segments(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+@query(
+    "pivot_status_priority",
+    """
+    SELECT o_orderstatus,
+           cast(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           cast(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS BIGINT) AS high,
+           cast(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark, sf):
+    o = _t(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .na.fill(0, ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+    )
+    return piv.select(
+        "o_orderstatus",
+        F.col("1-URGENT").alias("urgent"),
+        F.col("2-HIGH").alias("high"),
+        F.col("3-MEDIUM").alias("medium"),
+    )
+
+
+@query(
+    "weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("weighted_price")
+    )
+
+
+@query(
+    "median_quantity",
+    """
+    SELECT l_linestatus,
+           round(cast(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS DOUBLE), 4) AS median_qty,
+           round(cast(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                 AS DOUBLE), 4) AS p90_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def median_quantity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+@query(
+    "group_transform_max",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(max(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+               AS cust_max_price
+    FROM orders
+    """,
+)
+def group_transform_max(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.max("o_totalprice").over(Window.partitionBy("o_custkey")), 2
+        ).alias("cust_max_price"),
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@query(
+    "dim_resolution_join",
+    """
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def dim_resolution_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_building_orders",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_custkey IN
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+)
+def semi_join_building_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "cross_join_fanout",
+    "SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+)
+def cross_join_fanout(spark, sf):
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+_PATTERNS = ["al", "an", "bl", "co", "fr", "go", "la", "mi", "pe", "ro"]
+
+
+@query(
+    "prefix_match_join",
+    f"""
+    WITH patterns AS (SELECT unnest({_PATTERNS!r}) AS pattern)
+    SELECT p.pattern, count(*) AS n_parts
+    FROM patterns p JOIN part t ON starts_with(t.p_name, p.pattern)
+    GROUP BY p.pattern
+    """,
+)
+def prefix_match_join(spark, sf):
+    t = _t(spark, sf, "part")
+    pat = t.sparkSession.createDataFrame([(p,) for p in _PATTERNS], "pattern string")
+    return (
+        t.join(F.broadcast(pat), F.expr("startswith(p_name, pattern)"))
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+_KEYWORDS = ["red", "blue", "green", "metal", "steel"]
+
+
+@query(
+    "containment_join_keywords",
+    f"""
+    WITH kw AS (SELECT unnest({_KEYWORDS!r}) AS keyword)
+    SELECT kw.keyword, count(*) AS n_parts
+    FROM kw JOIN part t ON contains(t.p_name, kw.keyword)
+    GROUP BY kw.keyword
+    """,
+)
+def containment_join_keywords(spark, sf):
+    t = _t(spark, sf, "part")
+    kw = t.sparkSession.createDataFrame([(k,) for k in _KEYWORDS], "keyword string")
+    return (
+        t.join(F.broadcast(kw), F.expr("contains(p_name, keyword)"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "theta_join_ship_after_order",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_late_lines
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def theta_join_ship_after_order(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_lines"))
+    )
+
+
+# =====================================================================
+# Windows (SURVEY §2.5)
+# =====================================================================
+
+@query(
+    "lag_lead_events",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 4)  AS delta_prev,
+           lead(event_type) OVER w              AS next_type
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_events(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "rolling_avg_3",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg_3(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("rolling_avg")
+    )
+
+
+@query(
+    "future_min_lookahead",
+    """
+    SELECT event_id, user_id,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 4)
+               AS future_min
+    FROM events
+    """,
+)
+def future_min_lookahead(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.min("value").over(w), 4).alias("future_min")
+    )
+
+
+@query(
+    "carry_forward_ffill",
+    """
+    SELECT event_id, user_id,
+           round(last_value(v_sparse IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+    FROM (SELECT *, CASE WHEN value >= 0.2 THEN value END AS v_sparse
+          FROM events)
+    """,
+)
+def carry_forward_ffill(spark, sf):
+    e = _t(spark, sf, "events").withColumn(
+        "v_sparse", F.when(F.col("value") >= 0.2, F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("v_sparse", ignorenulls=True).over(w), 4).alias("v_filled"),
+    )
+
+
+@query(
+    "weekly_diff_clip",
+    """
+    WITH weekly AS (
+        SELECT user_id, cast(date_trunc('week', ts) AS DATE) AS week_start,
+               round(sum(value), 4) AS wk_value
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    )
+    SELECT user_id, strftime(week_start, '%Y-%m-%d') AS week_start,
+           round(greatest(wk_value - lag(wk_value) OVER (
+               PARTITION BY user_id ORDER BY week_start), 0), 4) AS wk_delta
+    FROM weekly
+    """,
+)
+def weekly_diff_clip(spark, sf):
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.round(F.sum("value"), 4).alias("wk_value"))
+    w = Window.partitionBy("user_id").orderBy("week_start")
+    return weekly.select(
+        "user_id",
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        F.round(
+            F.greatest(F.col("wk_value") - F.lag("wk_value").over(w), F.lit(0.0)), 4
+        ).alias("wk_delta"),
+    )
+
+
+@query(
+    "calendar_densify_ffill",
+    """
+    WITH weekly AS (
+        SELECT user_id, cast(date_trunc('week', ts) AS DATE) AS week_start,
+               round(sum(value), 4) AS wk_value
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    bounds AS (
+        SELECT user_id, min(week_start) AS wmin, max(week_start) AS wmax
+        FROM weekly GROUP BY user_id
+    ),
+    calendar AS (
+        SELECT b.user_id, cast(unnest(generate_series(b.wmin, b.wmax,
+               INTERVAL 7 DAY)) AS DATE) AS week_start
+        FROM bounds b
+    )
+    SELECT c.user_id, strftime(c.week_start, '%Y-%m-%d') AS week_start,
+           round(last_value(w.wk_value IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.week_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS wk_value_filled
+    FROM calendar c LEFT JOIN weekly w
+      ON c.user_id = w.user_id AND c.week_start = w.week_start
+    """,
+)
+def calendar_densify_ffill(spark, sf):
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.round(F.sum("value"), 4).alias("wk_value"))
+    calendar = (
+        weekly.groupBy("user_id")
+        .agg(F.min("week_start").alias("wmin"), F.max("week_start").alias("wmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(wmin, wmax, interval 7 days)")
+            ).alias("week_start"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("week_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(weekly, ["user_id", "week_start"], "left")
+        .select(
+            "user_id",
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+            F.round(
+                F.last("wk_value", ignorenulls=True).over(w), 4
+            ).alias("wk_value_filled"),
+        )
+    )
+
+
+@query(
+    "zscore_weekly",
+    """
+    WITH weekly AS (
+        SELECT user_id, cast(date_trunc('week', ts) AS DATE) AS week_start,
+               count(*) AS n
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    stats AS (
+        SELECT user_id, week_start, n,
+               avg(n)         OVER w8 AS base_avg,
+               stddev_samp(n) OVER w8 AS base_std
+        FROM weekly WINDOW w8 AS (PARTITION BY user_id ORDER BY week_start
+              ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(week_start, '%Y-%m-%d') AS week_start, n,
+           round((n - base_avg) / nullif(base_std, 0), 4) AS zscore
+    FROM stats
+    """,
+)
+def zscore_weekly(spark, sf):
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.count("*").alias("n"))
+    w8 = Window.partitionBy("user_id").orderBy("week_start").rowsBetween(-8, -1)
+    stats = weekly.select(
+        "user_id",
+        "week_start",
+        "n",
+        F.avg("n").over(w8).alias("base_avg"),
+        F.stddev_samp("n").over(w8).alias("base_std"),
+    )
+    return stats.select(
+        "user_id",
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        F.round(
+            (F.col("n") - F.col("base_avg"))
+            / F.nullif(F.col("base_std"), F.lit(0.0)),
+            4,
+        ).alias("zscore"),
+    )
+
+
+@query(
+    "top3_customers_per_nation",
+    """
+    SELECT n_name, c_name, rnk FROM (
+        SELECT n.n_name, c.c_name,
+               row_number() OVER (PARTITION BY n.n_name
+                   ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    WHERE rnk <= 3
+    """,
+)
+def top3_customers_per_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", F.row_number().over(w).alias("rnk"))
+        .filter("rnk <= 3")
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events)
+    SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# Sorts / limits / top-k (SURVEY §2.6) and set ops (§2.7)
+# =====================================================================
+
+@query(
+    "frontier_priority_topk",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice * datediff('day', o_orderdate,
+                 timestamp '2026-08-01 00:00:00'), 2) AS priority
+    FROM orders
+    ORDER BY priority DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def frontier_priority_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    pr = F.round(
+        F.col("o_totalprice")
+        * F.datediff(F.to_timestamp(F.lit("2026-08-01 00:00:00")), F.col("o_orderdate")),
+        2,
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", pr.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "union_distinct_buyers",
+    """
+    SELECT DISTINCT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def union_distinct_buyers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    a = c.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    b = o.filter("o_totalprice > 400000").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT metric, round(sum(v), 2) AS total FROM (
+        SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+        UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem)
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    st = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) as (metric, v)"
+        )
+    )
+    return st.groupBy("metric").agg(F.round(F.sum("v"), 2).alias("total"))
+
+
+# =====================================================================
+# Scalar surface: JSON / dates / math (SURVEY §2.8)
+# =====================================================================
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "date_buckets",
+    """
+    SELECT cast(extract(year FROM o_orderdate) AS BIGINT)    AS yr,
+           cast(extract(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_buckets(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+# =====================================================================
+# Text analysis over `documents` (training-data ops)
+# =====================================================================
+
+_EN_STOP = ["the", "a", "of", "to", "and"]
+
+
+@query(
+    "token_count_stats",
+    """
+    SELECT lang,
+           cast(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           round(avg(len(string_split_regex(text, '\\s+'))), 4) AS avg_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def token_count_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.split("text", r"\s+"))
+    return d.groupBy("lang").agg(
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 t -> list_contains({_EN_STOP!r}, t))) * 1.0 /
+                 greatest(len(string_split_regex(text, '\\s+')), 1), 4)
+               AS stopword_ratio,
+           cast(length(text) AS BIGINT) AS n_chars,
+           cast(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def quality_scores(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower("text"), "[^a-z]+")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(_EN_STOP))
+    )
+    ntok = F.size(F.split("text", r"\s+"))
+    return d.select(
+        "doc_id",
+        F.round(stop_hits * 1.0 / F.greatest(ntok, F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+@query(
+    "dedup_exact_clusters",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs,
+           cast(min(doc_id) AS BIGINT) AS representative
+    FROM documents GROUP BY md5(text) HAVING count(*) > 0
+    """,
+)
+def dedup_exact_clusters(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("representative"),
+        )
+    )
+
+
+# word 4-gram shingles (documents are word-soup text)
+_SHINGLE_SQL = (
+    "[array_to_string(toks[i:i+3], ' ') "
+    "for i in generate_series(1, greatest(len(toks) - 3, 1))]"
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.common * 1.0 / (sa.n + sb.n - p.common), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.common * 1.0 / (sa.n + sb.n - p.common) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text), "
+                    "'\\\\s+')) - 3, 1)), i -> array_join(slice(split(lower(text), "
+                    "'\\\\s+'), i, 4), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.35)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_BANDS = 8
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_BANDS - 1}))
+                            AS band)
+        GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(lower(text), "
+                    "'\\\\s+')) - 3, 1)), i -> array_join(slice(split(lower(text), "
+                    "'\\\\s+'), i, 4), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    bands = d.sparkSession.range(_N_BANDS).select(F.col("id").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("shingle"), F.col("band")))
+            ).alias("sig")
+        )
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "lang_id_stopword_ratio",
+    f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                 t -> list_contains({_EN_STOP!r}, t))) * 1.0 /
+                 greatest(len(list_filter(string_split_regex(lower(text),
+                 '[^a-z]+'), t -> t <> '')), 1), 4) AS en_ratio,
+           lang
+    FROM documents
+    """,
+)
+def lang_id_stopword_ratio(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    hits = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda t: t.isin(_EN_STOP)
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.round(hits * 1.0 / F.greatest(F.size(toks), F.lit(1)), 4).alias(
+            "en_ratio"
+        ),
+        "lang",
+    )
+
+
+# =====================================================================
+# Similarity search over `embeddings` (training-data ops)
+# =====================================================================
+
+_COS_SQL = """
+list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+"""
+
+
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 4) AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rnk
+        FROM v a JOIN v b ON a.vec_id < 5 AND b.vec_id >= 5)
+    WHERE rnk <= 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.filter("vec_id >= 5").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, x) -> acc + x)"
+    )
+    qn = F.expr(
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, x) -> acc + x))"
+    )
+    cn = F.expr(
+        "sqrt(aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, x) -> acc + x))"
+    )
+    sim = dot / (qn * cn)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("neighbor_id"))
+    return (
+        q.join(F.broadcast(c.hint("broadcast")), F.lit(True))
+        .select("query_id", "neighbor_id", sim.alias("sim_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 10")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 4).alias("sim"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, cast(i - 1 AS BIGINT) AS dim,
+           round(avg(embedding[i]), 4) AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    WHERE i <= 8
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.expr("slice(embedding, 1, 8)")).alias("dim", "x")
+    )
+    return ex.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg("x"), 4).alias("centroid")
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                 embedding::DOUBLE[])), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                "sqrt(aggregate(zip_with(transform(embedding, x -> cast(x as "
+                "double)), transform(embedding, x -> cast(x as double)), "
+                "(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"
+            ),
+            4,
+        ).alias("l2_norm"),
+    )

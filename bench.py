@@ -1,0 +1,129 @@
+"""Round benchmark: headline analytics queries + crawl-engine throughput.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "extras": {"dedup_rows_per_sec": ..., "urls_per_sec": ...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_FRONTIER (dedup bench frontier size, default 2_000_000),
+     BENCH_SKIP_CRAWL=1 to skip the crawl-loop measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from adscrawler_spark.plans import benchmarks  # noqa: E402
+from adscrawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER", "2000000"))
+
+
+def _run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, fn in benchmarks.QUERIES.items():
+        t0 = time.time()
+        _run_query(fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_dedup(spark) -> tuple[float, float]:
+    """Frontier-dedup throughput: canonicalize → murmur3/xxhash →
+    partitioned-Bloom probe → exact anti-join confirm (BASELINE.json
+    metric #2). Seen set = first half of a synthetic frontier."""
+    from pyspark.sql import functions as F
+
+    from adscrawler_spark.operators import seen as seen_ops
+    from adscrawler_spark.operators.frontier import with_canonical
+    from adscrawler_spark.streaming.frontier_gen import synth_frontier
+
+    half = FRONTIER_N // 2
+    seen = (
+        with_canonical(synth_frontier(spark, half, seed=7))
+        .select("url_canon", "url_hash64")
+        .dropDuplicates(["url_canon"])
+    )
+    seen.persist().count()
+    frontier = synth_frontier(spark, FRONTIER_N, seed=42)
+    t0 = time.time()
+    filters = seen_ops.build_bloom_filters(seen)
+    candidates = with_canonical(frontier)
+    unseen = seen_ops.probe_unseen(candidates, filters, seen)
+    n = unseen.count()
+    dt = time.time() - t0
+    seen.unpersist()
+    assert n > 0
+    return round(dt, 3), round(FRONTIER_N / dt, 1)
+
+
+def bench_crawl(spark) -> tuple[float, float]:
+    """One full generation (claim→fetch→parse→commit) at the
+    reference's default batch sizing (200k frontier / 20k batches).
+    Returns (seconds, urls fetched per second)."""
+    from adscrawler_spark.streaming import job
+
+    out = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.time()
+        metrics = job.run(
+            spark, out,
+            frontier_size=200_000, generations=1,
+            listing_batch=20_000, adstxt_batch=20_000,
+            budget_seconds=3_600.0,
+        )
+        dt = time.time() - t0
+        fetched = metrics[0]["fetched"]
+        return round(dt, 3), round(fetched / dt, 1)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = bench_queries(spark)
+    extras: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        dedup_sec, dedup_rps = bench_dedup(spark)
+        crawl_sec, urls_ps = bench_crawl(spark)
+        queries["frontier_dedup"] = dedup_sec
+        queries["crawl_generation"] = crawl_sec
+        extras = {
+            "dedup_rows_per_sec": dedup_rps,
+            "urls_per_sec": urls_ps,
+            "dedup_frontier_rows": FRONTIER_N,
+        }
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": 0.1,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
