@@ -105,6 +105,27 @@ def adstxt_fetch_host(urls: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def canonical_url(urls: pd.Series) -> pd.Series:
+    """Full URL canonicalization: canonical host (subdomain collapse
+    rule) + path?query with scheme/userinfo/port/fragment stripped.
+    This is the frontier's dedup key — two raw URLs are the same crawl
+    target iff their canonical URLs match.  (canonical_host alone is a
+    *host*, which would collapse every listing on a store host to one
+    key — hosts are for politeness, canonical URLs for identity.)"""
+    s = urls.astype("string")
+    s = s.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "", regex=True, n=1)
+    s = s.str.split("#", n=1).str[0]
+    split = s.str.split("/", n=1)
+    authority = split.str[0].str.rsplit("@", n=1).str[-1].str.split(":", n=1).str[0]
+    rest = split.str[1]  # <NA> when no path
+    uniq = {h: _canon_with_sub(h) for h in authority.dropna().unique()}
+    canon_host = authority.map(uniq)
+    path = ("/" + rest.fillna("")).where(rest.notna(), "")
+    out = canon_host + path
+    return out.astype(object).where(urls.notna(), None)
+
+
+@pandas_udf(StringType())
 def adstxt_registrable(values: pd.Series) -> pd.Series:
     """Collapse an ads.txt ad-system domain to registrable form, always
     joining domain+'.'+suffix even when the suffix is unknown (so

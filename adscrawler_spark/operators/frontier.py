@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from adscrawler_spark.functions.urls import canonical_host, url_hash
+from adscrawler_spark.functions.urls import canonical_url, url_hash
 from adscrawler_spark.streaming.frontier_gen import HOT_IOS, HOT_PLAY
 
 LEASE_TTL_SECONDS = 10_800  # dispatcher.py:41
@@ -42,7 +42,7 @@ NEVER_CRAWLED_DAYS = 36_500  # NULLS-FIRST analog for the decay product
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach url_canon / url_hash (murmur3, JVM) / url_hash64 (bloom)."""
     return (
-        df.withColumn("url_canon", canonical_host(url_col))
+        df.withColumn("url_canon", canonical_url(url_col))
         .withColumn("url_hash", url_hash(F.col("url_canon")))
         .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
         # unique per raw URL — the final claim-order tie-break that makes

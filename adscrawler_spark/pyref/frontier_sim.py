@@ -178,17 +178,18 @@ def run_sim(
         # discovery
         new_hosts = []
         for dom in dict.fromkeys(discovered_domains):  # order-stable unique
-            canon = dom  # synthetic ad domains are already registrable
+            canon = dom + "/app-ads.txt"  # canonical URL = host + path
             if canon in st.seen:
                 continue
             st.seen.add(canon)
-            new_hosts.append(canon)
+            new_hosts.append(dom)
         for dom in new_hosts:
-            uh, uh64, rh64 = cfg.hash_lookup.get(dom, (None, None, None))
+            canon = dom + "/app-ads.txt"
+            uh, uh64, rh64 = cfg.hash_lookup.get(canon, (None, None, None))
             st.frontier.append(
                 {
                     "url": f"https://{dom}/app-ads.txt",
-                    "url_canon": dom,
+                    "url_canon": canon,
                     "url_hash": uh,
                     "url_hash64": uh64,
                     "row_hash64": rh64,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,38 +62,78 @@ _IN_COLS = [
 ]
 
 
+_THRESHOLDS = np.array([t for t, _, _, _ in synth.OUTCOMES])
+_RESULTS = np.array([r for _, r, _, _ in synth.OUTCOMES])
+_ATTEMPTS = np.array([a for _, _, a, _ in synth.OUTCOMES])
+_OK = np.array([ok for _, _, _, ok in synth.OUTCOMES])
+
+
 def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized fetch: outcome classes resolve with numpy over the
+    whole Arrow batch; Python strings are built only for the rows whose
+    simulated fetch succeeds (where real IO would happen)."""
     last_vt: dict[tuple[str, int], float] = {}  # per-lane token state
     for pdf in batches:
-        out_rows = []
-        for row in pdf.itertuples(index=False):
-            denied = bool(row.robots_denied)
-            deferred = not bool(row.within_budget)
-            if denied or deferred:
-                out_rows.append(
-                    (row.url, row.url_canon, row.url_hash64, row.host,
-                     row.doc_kind, None, 0, False, denied,
-                     float(row.virtual_time), int(row.lane), None,
-                     row.seed_id, row.batch_id, row.partition_id,
-                     int(row.claim_rank))
-                )
-                continue
-            key = (row.host, int(row.lane))
-            vt = float(row.virtual_time)
-            assert vt >= last_vt.get(key, -1.0), "lane schedule not monotone"
-            last_vt[key] = vt
-            h = int(row.url_hash64)
-            result, attempts, ok = synth.outcome_for(h, row.doc_kind)
-            body = synth.synth_body(h, row.doc_kind, row.url) if ok else None
-            if result == 2 and row.doc_kind != "adstxt":
-                body = None
-            out_rows.append(
-                (row.url, row.url_canon, row.url_hash64, row.host,
-                 row.doc_kind, result, attempts, True, False, vt,
-                 int(row.lane), body, row.seed_id, row.batch_id,
-                 row.partition_id, int(row.claim_rank))
-            )
-        yield pd.DataFrame(out_rows, columns=[f.name for f in FETCH_SCHEMA.fields])
+        n = len(pdf)
+        fetchable = (~pdf["robots_denied"].to_numpy(dtype=bool)) & pdf[
+            "within_budget"
+        ].to_numpy(dtype=bool)
+        # per-lane monotone schedule invariant (politeness order)
+        for (host, lane), grp in pdf.loc[fetchable].groupby(
+            ["host", "lane"], sort=False
+        ):
+            vts = grp["virtual_time"].to_numpy()
+            assert (np.diff(vts) >= 0).all(), "lane schedule not monotone"
+            key = (host, int(lane))
+            assert vts[0] >= last_vt.get(key, -1.0), "lane state regressed"
+            last_vt[key] = float(vts[-1])
+
+        h = pdf["url_hash64"].to_numpy()
+        cls = np.searchsorted(_THRESHOLDS, h % 1000, side="right")
+        result = _RESULTS[cls]
+        attempts = _ATTEMPTS[cls]
+        ok = _OK[cls]
+        # wrong-platform class only exists for iOS; others degrade to 4
+        kinds = pdf["doc_kind"].to_numpy()
+        wrong5 = (result == 5) & (kinds != "listing_ios")
+        result = np.where(wrong5, 4, result)
+
+        out = pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "url_canon": pdf["url_canon"].to_numpy(),
+                "url_hash64": h,
+                "host": pdf["host"].to_numpy(),
+                "doc_kind": kinds,
+                "crawl_result": np.where(fetchable, result, 0),
+                "attempts": np.where(fetchable, attempts, 0),
+                "fetched": fetchable,
+                "denied": pdf["robots_denied"].to_numpy(dtype=bool),
+                "virtual_time": pdf["virtual_time"].to_numpy(),
+                "lane": pdf["lane"].to_numpy(),
+                "body": None,
+                "seed_id": pdf["seed_id"].to_numpy(),
+                "batch_id": pdf["batch_id"].to_numpy(),
+                "partition_id": pdf["partition_id"].to_numpy(),
+                "claim_rank": pdf["claim_rank"].to_numpy(),
+            }
+        )
+        out["crawl_result"] = out["crawl_result"].astype("object").where(
+            out["fetched"], None
+        )
+        # body synthesis only where the fetch succeeded with content:
+        # adstxt keeps its body for every ok class; listings only for 1.
+        has_body = fetchable & ok & ((kinds == "adstxt") | (result == 1))
+        idx = np.flatnonzero(has_body)
+        if len(idx):
+            urls = pdf["url"].to_numpy()
+            bodies = [
+                synth.synth_body(int(h[i]), kinds[i], urls[i]) for i in idx
+            ]
+            body_col = out["body"].to_numpy(dtype=object)
+            body_col[idx] = bodies
+            out["body"] = body_col
+        yield out
 
 
 def fetch(claimed: DataFrame) -> DataFrame:

@@ -194,7 +194,7 @@ def run_generation(
     )
     new_frontier_rows = new_urls.select(
         "url",
-        F.col("url_canon").alias("host"),
+        F.substring_index("url_canon", "/", 1).alias("host"),
         F.lit("adstxt").alias("doc_kind"),
         F.lit(None).cast("int").alias("crawl_result"),
         F.lit(False).alias("ranked"),
@@ -221,9 +221,16 @@ def run_generation(
     new_frontier = updated.unionByName(new_frontier_rows)
     cat.table("frontier").overwrite(new_frontier, {"generation": generation})
 
-    n_fetched = results.filter("fetched").count()
-    n_ok = results.filter("fetched and crawl_result = 1").count()
-    n_denied = results.filter("denied").count()
+    counts = results.agg(
+        F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+        F.sum((F.col("fetched") & (F.col("crawl_result") == 1)).cast("int")).alias(
+            "n_ok"
+        ),
+        F.sum(F.col("denied").cast("int")).alias("n_denied"),
+    ).collect()[0]
+    n_fetched = int(counts.n_fetched or 0)
+    n_ok = int(counts.n_ok or 0)
+    n_denied = int(counts.n_denied or 0)
     n_deferred = n_claimed - n_fetched - n_denied
     elapsed = time.time() - t0
     metrics = {
