@@ -116,7 +116,12 @@ def canonical_url(urls: pd.Series) -> pd.Series:
     s = s.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "", regex=True, n=1)
     s = s.str.split("#", n=1).str[0]
     split = s.str.split("/", n=1)
-    authority = split.str[0].str.rsplit("@", n=1).str[-1].str.split(":", n=1).str[0]
+    authority = (
+        split.str[0]
+        .str.split("?", n=1).str[0]
+        .str.rsplit("@", n=1).str[-1]
+        .str.split(":", n=1).str[0]
+    )
     rest = split.str[1]  # <NA> when no path
     uniq = {h: _canon_with_sub(h) for h in authority.dropna().unique()}
     canon_host = authority.map(uniq)
@@ -139,6 +144,29 @@ def adstxt_registrable(values: pd.Series) -> pd.Series:
 
     uniq = {h: collapse(h) for h in hosts.dropna().unique()}
     return hosts.map(uniq).astype(object).where(hosts.notna(), None)
+
+
+# Hosted-platform developer domains that never carry an app-ads.txt
+# worth crawling (SURVEY.md P15; /root/reference/adscrawler/config.py:208-235,
+# applied at scrape.py:156-160 and apple.py:280-304).
+IGNORE_TLDS = [
+    "00webhostapp.com", "bitballoon.com", "blogger.com", "linkedin.com",
+    "blogspot.com", "blogspot.co.id", "blogspot.in", "bytehost6.com",
+    "facebook.com", "flycricket.io", "github.io", "github.com",
+    "instagram.com", "netlify.com", "page.link", "site123.me",
+    "simplesite.com", "subsplash.com", "twitter.com", "tumblr.com",
+    "weebly.com", "wix.com", "wixsite.com", "wordpress.com", "youtube.com",
+]
+
+
+def ignored_tld_filter(url_col: Column | str) -> Column:
+    """TRUE when the URL targets a hosted platform (reference checks
+    substring containment against the fetch URL, scrape.py:156-158)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    out = F.lit(False)
+    for tld in IGNORE_TLDS:
+        out = out | c.contains(tld)
+    return out
 
 
 def url_hash(col: Column | str) -> Column:

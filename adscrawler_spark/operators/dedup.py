@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — all as declarative DataFrame compositions
+(no Python on the hot path; hashing via built-in md5/xxhash64).
+
+Cross-engine determinism notes (these back the DuckDB oracles in
+plans/benchmarks.py): MinHash permutations are md5-salted string
+minima; SimHash bits come from md5 nibble parities — both reproduce
+bit-for-bit in any engine with a standard md5.
+
+Scale notes: shingle explosion multiplies rows by ~tokens-per-doc; at
+10^10 docs the shingle join is the shuffle to watch — LSH bands bound
+it to (docs × bands) rows and candidate pairs only, which is the point
+of MinHash over the quadratic Jaccard join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) — distinct word n-grams of the lowercased text."""
+    toks = f"split(lower({text_col}), '\\\\s+')"
+    expr = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.expr(expr))).alias("shingle")
+    )
+
+
+def exact_duplicate_clusters(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    return df.groupBy(F.md5(text_col).alias("content_hash")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("representative"),
+        F.collect_set(id_col).alias("members"),
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Quadratic-exact n-gram Jaccard pairs over a (id, shingle) table;
+    use minhash_candidates first at scale and verify only candidates."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, bands: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """One MinHash per band: min over shingles of md5(shingle|band) —
+    md5-salting gives `bands` independent permutations."""
+    spark = shingles.sparkSession
+    band_df = spark.range(bands).select(F.col("id").alias("band"))
+    return (
+        shingles.crossJoin(F.broadcast(band_df))
+        .groupBy(id_col, "band")
+        .agg(F.min(F.md5(F.concat_ws("|", "shingle", "band"))).alias("sig"))
+    )
+
+
+def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: any shared (band, sig) bucket."""
+    a, b = signatures.alias("a"), signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: bit j is the majority over distinct tokens of
+    md5-nibble-j parity. Engine-portable (md5 only)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("token"),
+    ).withColumn("h", F.md5("token"))
+    bit_sums = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        *[
+            F.sum(
+                F.expr(f"(instr('{HEX}', substring(h, {j + 1}, 1)) - 1) % 2")
+            ).alias(f"s{j}")
+            for j in range(16)
+        ],
+    )
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") * 2 > F.col("n_tokens"), F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        sim = bit if sim is None else (sim + bit)
+    return bit_sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine near-dup (brute force; the LSH/IVF scale path
+    lives in operators/similarity.py). Double-cast, order-exact fold."""
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, x) -> acc + x)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    sim = dot / (na * nb)
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def top_terms(df: DataFrame, group_col: str, text_col: str = "text",
+              k: int = 5) -> DataFrame:
+    """Frequency top-k terms per group (reference Counter.most_common,
+    process_keywords.py:192-193)."""
+    toks = df.select(
+        group_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc top-k TF-IDF terms (reference TfidfVectorizer analog,
+    process_keywords.py:359-373): score = tf * ln(N / df_t)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df_t")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from adscrawler_spark.functions.urls import canonical_url, url_hash
+from adscrawler_spark.functions.urls import canonical_host, url_hash
 from adscrawler_spark.streaming.frontier_gen import HOT_IOS, HOT_PLAY
 
 LEASE_TTL_SECONDS = 10_800  # dispatcher.py:41
@@ -39,10 +39,54 @@ HOT_LANES = 8
 NEVER_CRAWLED_DAYS = 36_500  # NULLS-FIRST analog for the decay product
 
 
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Attach url_canon / url_hash (murmur3, JVM) / url_hash64 (bloom)."""
+    """Attach url_canon / url_hash (murmur3) / url_hash64 / row_hash64.
+
+    Dictionary-encoded canonicalization: the scheme/path/port splitting
+    is pure JVM string expressions; the PSL host collapse (the only
+    Python step) runs over the *distinct authorities* and joins back —
+    Python cost is O(unique hosts), not O(rows).  At web scale that is
+    the difference between 10^7 UDF rows and 10^10; AQE broadcasts the
+    host dictionary when it is small.  Semantics are byte-identical to
+    the row-wise ``canonical_url`` UDF (asserted in tests)."""
+    no_scheme = F.regexp_replace(F.col(url_col), _SCHEME_RE, "")
+    no_frag = F.substring_index(no_scheme, "#", 1)
+    tagged = df.withColumn("_nofrag", no_frag)
+    authority = F.substring_index(
+        F.substring_index(
+            F.substring_index(
+                F.substring_index(F.col("_nofrag"), "/", 1), "?", 1
+            ),
+            "@",
+            -1,
+        ),
+        ":",
+        1,
+    )
+    path = F.when(
+        F.instr("_nofrag", "/") > 0,
+        F.expr("substring(_nofrag, instr(_nofrag, '/'))"),
+    ).otherwise(F.lit(""))
+
+    tagged = tagged.withColumn("_auth", authority)
+    hosts = (
+        tagged.select("_auth")
+        .where(F.col("_auth").isNotNull())
+        .distinct()
+        .withColumn("_chost", canonical_host(F.col("_auth")))
+    )
     return (
-        df.withColumn("url_canon", canonical_url(url_col))
+        tagged.join(hosts, "_auth", "left")
+        .withColumn(
+            "url_canon",
+            F.when(
+                F.col(url_col).isNotNull(), F.concat(F.col("_chost"), path)
+            ),
+        )
+        .drop("_auth", "_chost", "_nofrag")
         .withColumn("url_hash", url_hash(F.col("url_canon")))
         .withColumn("url_hash64", F.xxhash64(F.col("url_canon")))
         # unique per raw URL — the final claim-order tie-break that makes
@@ -78,6 +122,23 @@ def adstxt_order_cols() -> list[F.Column]:
         F.asc("url_hash"),
         F.asc("row_hash64"),
     ]
+
+
+def download_priority(now: str) -> F.Column:
+    """O3 download-priority score (SURVEY.md §2.6;
+    /root/reference/adscrawler/dbcon/sql/query_apps_to_download.sql:265-291):
+    ``(days_since_attempt + days_since_success)/2 *
+    GREATEST(installs, ratings*50)``.  Expects last_attempt_at /
+    last_success_at / installs / rating_count columns."""
+    now_ts = F.to_timestamp(F.lit(now))
+    d_att = F.coalesce(F.datediff(now_ts, F.col("last_attempt_at")),
+                       F.lit(NEVER_CRAWLED_DAYS))
+    d_suc = F.coalesce(F.datediff(now_ts, F.col("last_success_at")),
+                       F.lit(NEVER_CRAWLED_DAYS))
+    return ((d_att + d_suc) / 2) * F.greatest(
+        F.coalesce("installs", F.lit(0)),
+        F.coalesce("rating_count", F.lit(0)) * 50,
+    )
 
 
 def eligible(frontier: DataFrame, now: str) -> DataFrame:

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -108,49 +109,104 @@ def build_bloom_filters(
     )
 
 
+BROADCAST_FILTER_BYTES = 64 << 20  # ≤64MB of bitsets → broadcast probe
+
+
 def probe_unseen(
     frontier: DataFrame,
     filters: DataFrame | None,
     seen: DataFrame | None,
     buckets: int = DEFAULT_BUCKETS,
+    broadcast_threshold: int = BROADCAST_FILTER_BYTES,
 ) -> DataFrame:
     """Rows of ``frontier`` whose url_canon is NOT in the seen set.
 
-    frontier must carry ``url_hash64`` and ``url_canon``. Bloom probe
-    runs co-grouped per bucket (no data blow-up from joining bitsets
-    onto rows); only maybe-seen rows reach the exact anti-join."""
+    frontier must carry ``url_hash64`` and ``url_canon``.  Two probe
+    strategies, picked by sidecar size:
+
+    * **broadcast** (filters ≤ threshold): the bitsets ride inside a
+      scalar pandas UDF closure, so only the 8-byte hash column crosses
+      the Arrow boundary and the frontier never shuffles for the probe;
+    * **co-grouped** (the 10^10-scale path): frontier and filters
+      shuffle on the bucket key and probe group-by-group, keeping
+      per-executor memory at one bucket's bitset.
+
+    Only maybe-seen rows reach the exact anti-join confirm.  The probed
+    set is persisted because the maybe/unseen split consumes it twice.
+    """
     if seen is None or filters is None:
         return frontier
-    fr = frontier.withColumn("bucket", bucket_col(buckets=buckets))
-    flt = filters
 
-    out_schema = StructType(
-        list(fr.schema.fields) + [StructField("maybe_seen", BooleanType())]
-    )
-    cols = [f.name for f in fr.schema.fields]
+    flt_rows = filters.collect()
+    total_bytes = sum(len(r.bits) for r in flt_rows)
 
-    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left[cols]
-        if left.empty or right.empty:
-            left = left.copy()
-            left["maybe_seen"] = pd.Series([False] * len(left), dtype=bool)
+    if total_bytes <= broadcast_threshold:
+        tables = {
+            int(r.bucket): (
+                int(r.m_bits),
+                int(r.k),
+                np.frombuffer(bytes(r.bits), dtype=np.uint64),
+            )
+            for r in flt_rows
+        }
+        # explicit broadcast: the bitsets ship once per executor, not
+        # once per task inside the UDF closure (tens of MB × thousands
+        # of tasks otherwise).
+        bc_tables = frontier.sparkSession.sparkContext.broadcast(tables)
+
+        @pandas_udf(BooleanType())
+        def bloom_maybe(h: pd.Series) -> pd.Series:
+            tbls = bc_tables.value
+            hv = h.to_numpy()
+            out = np.zeros(len(hv), dtype=bool)
+            b = hv % buckets  # numpy % is non-negative for buckets > 0
+            for bucket, (m, k, words) in tbls.items():
+                mask = b == bucket
+                if not mask.any():
+                    continue
+                pos = _positions(hv[mask], k, m)
+                hit = (
+                    words[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))
+                ) & np.uint64(1)
+                out[mask] = hit.all(axis=1)
+            return pd.Series(out)
+
+        probed = frontier.withColumn(
+            "maybe_seen", bloom_maybe("url_hash64")
+        ).persist()
+    else:
+        fr = frontier.withColumn("bucket", bucket_col(buckets=buckets))
+        out_schema = StructType(
+            list(fr.schema.fields) + [StructField("maybe_seen", BooleanType())]
+        )
+        cols = [f.name for f in fr.schema.fields]
+
+        def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            left = left[cols]
+            if left.empty or right.empty:
+                left = left.copy()
+                left["maybe_seen"] = pd.Series([False] * len(left), dtype=bool)
+                return left
+            m = int(right["m_bits"].iloc[0])
+            k = int(right["k"].iloc[0])
+            words = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
+            pos = _positions(left["url_hash64"].to_numpy(), k, m)
+            hit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+                   >> (pos & np.uint64(63))) & np.uint64(1)
+            left["maybe_seen"] = hit.all(axis=1)
             return left
-        m = int(right["m_bits"].iloc[0])
-        k = int(right["k"].iloc[0])
-        words = np.frombuffer(right["bits"].iloc[0], dtype=np.uint64)
-        pos = _positions(left["url_hash64"].to_numpy(), k, m)
-        hit = (words[(pos >> np.uint64(6)).astype(np.int64)]
-               >> (pos & np.uint64(63))) & np.uint64(1)
-        left["maybe_seen"] = hit.all(axis=1)
-        return left
 
-    probed = (
-        fr.groupBy("bucket")
-        .cogroup(flt.groupBy("bucket"))
-        .applyInPandas(probe, out_schema)
-    )
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
-    candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+        probed = (
+            fr.groupBy("bucket")
+            .cogroup(filters.groupBy("bucket"))
+            .applyInPandas(probe, out_schema)
+            .drop("bucket")
+            .persist()
+        )
+
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     seen_keys = seen.select(
         F.col("url_hash64").alias("_seen_h"), F.col("url_canon").alias("_seen_canon")
     )

@@ -1086,3 +1086,190 @@ def embedding_norms(spark, sf):
             4,
         ).alias("l2_norm"),
     )
+
+
+# =====================================================================
+# SimHash / TF-IDF / term counters / IVF ANN / embedding near-dup
+# (delegating to operators/dedup.py and operators/similarity.py)
+# =====================================================================
+
+from adscrawler_spark.operators import dedup as dedup_ops  # noqa: E402
+from adscrawler_spark.operators import similarity as sim_ops  # noqa: E402
+
+_HEXD = "0123456789abcdef"
+_TOK_SQL = (
+    "unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> ''))"
+)
+_SIMHASH_SUMS = ", ".join(
+    f"sum((strpos('{_HEXD}', substr(h, {j + 1}, 1)) - 1) % 2) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s{j} * 2 > n THEN {1 << j} ELSE 0 END" for j in range(16)
+)
+
+
+@query(
+    "simhash_doc_hashes",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, md5(t) AS h FROM (
+            SELECT doc_id, unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''))) AS t
+            FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id, count(*) AS n, {_SIMHASH_SUMS}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, cast({_SIMHASH_VAL} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def simhash_doc_hashes(spark, sf):
+    return dedup_ops.simhash16(_t(spark, sf, "documents"))
+
+
+@query(
+    "top_terms_per_lang",
+    f"""
+    WITH toks AS (SELECT lang, {_TOK_SQL} AS term FROM documents),
+    counts AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term)
+    SELECT lang, term, n, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY n DESC, term ASC) AS rnk FROM counts)
+    WHERE rnk <= 5
+    """,
+)
+def top_terms_per_lang(spark, sf):
+    return dedup_ops.top_terms(_t(spark, sf, "documents"), "lang", k=5)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOK_SQL} AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, score, rnk FROM (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(nd.n_docs * 1.0 / dft.df_t), 4) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(nd.n_docs * 1.0 / dft.df_t), 4)
+                       DESC, tf.term ASC) AS rnk
+        FROM tf JOIN dft USING (term) CROSS JOIN nd)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf):
+    return dedup_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+_IVF_COS_Q = (
+    "list_dot_product(q.qv, c.centroid) / (sqrt(list_dot_product(q.qv, q.qv))"
+    " * sqrt(list_dot_product(c.centroid, c.centroid)))"
+)
+_IVF_COS_V = (
+    "list_dot_product(a.qv, v.v) / (sqrt(list_dot_product(a.qv, a.qv))"
+    " * sqrt(list_dot_product(v.v, v.v)))"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+        SELECT label, i AS pos, round(avg(v[i]), 6) AS c
+        FROM v, unnest(generate_series(1, len(v))) AS t(i)
+        GROUP BY label, i
+    ),
+    cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM ex GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+    assigned AS (
+        SELECT query_id, qv, label AS assigned_cell FROM (
+            SELECT q.query_id, q.qv, c.label,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_IVF_COS_Q} DESC, c.label ASC) AS arnk
+            FROM q CROSS JOIN cents c)
+        WHERE arnk = 1
+    )
+    SELECT query_id, assigned_cell, neighbor_id, sim, rnk FROM (
+        SELECT a.query_id, a.assigned_cell, v.vec_id AS neighbor_id,
+               round({_IVF_COS_V}, 4) AS sim,
+               row_number() OVER (PARTITION BY a.query_id
+                   ORDER BY {_IVF_COS_V} DESC, v.vec_id ASC) AS rnk
+        FROM assigned a JOIN v ON v.label = a.assigned_cell)
+    WHERE rnk <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = sim_ops.ivf_topk(emb, emb.filter("vec_id < 5"), k=5)
+    return out.select(
+        "query_id", "assigned_cell", "neighbor_id",
+        F.round("sim", 4).alias("sim"), "rnk",
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark, sf):
+    out = dedup_ops.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
+    return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+
+
+@query(
+    "cohort_decay_retention",
+    """
+    WITH weekly AS (
+        SELECT user_id, cast(date_trunc('week', ts) AS DATE) AS week_start,
+               count(*) AS n
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    )
+    SELECT cur.user_id, strftime(cur.week_start, '%Y-%m-%d') AS week_start,
+           round(sum(hist.n * power(
+               datediff('day', hist.week_start, cur.week_start) / 7 + 1,
+               -0.5)), 4) AS retained_activity
+    FROM weekly cur JOIN weekly hist
+      ON cur.user_id = hist.user_id AND hist.week_start <= cur.week_start
+    GROUP BY cur.user_id, cur.week_start
+    """,
+)
+def cohort_decay_retention(spark, sf):
+    """J7 self-join cohort decay (power-law retention over own history,
+    app_metrics_history.py:1224-1265 shape)."""
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(F.count("*").alias("n"))
+    cur = weekly.select(
+        F.col("user_id").alias("u"), F.col("week_start").alias("wk")
+    )
+    hist = weekly.select(
+        F.col("user_id").alias("u"),
+        F.col("week_start").alias("hwk"),
+        F.col("n").alias("hn"),
+    )
+    joined = cur.join(hist, "u").filter(F.col("hwk") <= F.col("wk"))
+    weight = F.pow(F.datediff("wk", "hwk") / 7 + 1, -0.5)
+    return joined.groupBy(
+        F.col("u").alias("user_id"),
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+    ).agg(F.round(F.sum(F.col("hn") * weight), 4).alias("retained_activity"))

@@ -1,0 +1,131 @@
+"""Derived-table pipelines over the crawl's own tables — the engine's
+analog of the reference's metrics-history ELT DAG (SURVEY.md §3.3:
+raw → daily dedup → weekly → calendar interpolation → models).
+
+The reference runs this as a 256-bucket DuckDB loop
+(/root/reference/adscrawler/process/app_metrics_history.py:142-336,
+694-947); here the whole DAG is one DataFrame lineage — bucketing
+becomes ordinary shuffle partitioning and the per-bucket loop
+disappears.
+
+Pipelines (each is a pure DataFrame → DataFrame function; the driver
+materializes them in dependency order like the reference's MV refresh
+at tools/recreate_all_mvs.py:231-259):
+
+  crawl_log → latest_crawl_state   (A1 latest-row dedup)
+            → weekly_host_metrics  (weekly aggregation)
+            → densified_metrics    (W12 calendar + W11 ffill)
+            → zscored_metrics      (W7 trailing baseline z-scores)
+            → host_changes         (W3 lag/lead appearance churn)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_crawl_state(crawl_log: DataFrame) -> DataFrame:
+    """Latest row per canonical URL (app_metrics_history.py:1152-1156
+    QUALIFY row_number pattern)."""
+    w = Window.partitionBy("url_canon").orderBy(
+        F.desc("fetched_at"), F.desc("batch_id")
+    )
+    return (
+        crawl_log.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+
+def weekly_host_metrics(crawl_log: DataFrame) -> DataFrame:
+    """Per (host, week): fetch counts and ok-rate."""
+    wk = F.date_trunc("week", "fetched_at").cast("date").alias("week_start")
+    return crawl_log.filter("fetched").groupBy("host", wk).agg(
+        F.count("*").alias("fetches"),
+        F.sum((F.col("crawl_result") == 1).cast("int")).alias("ok"),
+        F.round(
+            F.sum((F.col("crawl_result") == 1).cast("int")) / F.count("*"), 4
+        ).alias("ok_rate"),
+    )
+
+
+def densified_metrics(weekly: DataFrame) -> DataFrame:
+    """Calendar densification + forward-fill per host (W12 + W11;
+    sequence/explode instead of the reference's cross join at
+    app_metrics_history.py:910-927)."""
+    bounds = weekly.groupBy("host").agg(
+        F.min("week_start").alias("wmin"), F.max("week_start").alias("wmax")
+    )
+    calendar = bounds.select(
+        "host",
+        F.explode(F.expr("sequence(wmin, wmax, interval 7 days)")).alias(
+            "week_start"
+        ),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("week_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = calendar.join(weekly, ["host", "week_start"], "left")
+    return joined.select(
+        "host",
+        "week_start",
+        F.coalesce("fetches", F.lit(0)).alias("fetches"),
+        F.last("ok_rate", ignorenulls=True).over(w).alias("ok_rate_filled"),
+    )
+
+
+def zscored_metrics(dense: DataFrame, baseline_weeks: int = 8) -> DataFrame:
+    """Trailing-baseline z-score of weekly fetches (W7 —
+    app_global_metrics_latest__matview.sql:68-110 shape)."""
+    wb = (
+        Window.partitionBy("host")
+        .orderBy("week_start")
+        .rowsBetween(-baseline_weeks, -1)
+    )
+    return dense.select(
+        "host",
+        "week_start",
+        "fetches",
+        "ok_rate_filled",
+        F.round(
+            (F.col("fetches") - F.avg("fetches").over(wb))
+            / F.nullif(F.stddev_samp("fetches").over(wb), F.lit(0.0)),
+            4,
+        ).alias("fetches_z"),
+    )
+
+
+def host_changes(weekly: DataFrame) -> DataFrame:
+    """Appearance churn per host (W3 lag/lead gap detection —
+    duckdb/domain_app_changes.sql:30-70 shape): a host is `added` on
+    its first active week or after a gap, `removed` on the week before
+    a gap or its last active week."""
+    w = Window.partitionBy("host").orderBy("week_start")
+    prev_wk = F.lag("week_start").over(w)
+    next_wk = F.lead("week_start").over(w)
+    return weekly.select(
+        "host",
+        "week_start",
+        (
+            prev_wk.isNull() | (F.datediff("week_start", prev_wk) > 7)
+        ).alias("added"),
+        (
+            next_wk.isNull() | (F.datediff(next_wk, F.col("week_start")) > 7)
+        ).alias("removed"),
+    )
+
+
+def build_all(crawl_log: DataFrame) -> dict[str, DataFrame]:
+    """Dependency-ordered derived tables (the MV refresh list)."""
+    weekly = weekly_host_metrics(crawl_log)
+    dense = densified_metrics(weekly)
+    return {
+        "latest_crawl_state": latest_crawl_state(crawl_log),
+        "weekly_host_metrics": weekly,
+        "densified_metrics": dense,
+        "zscored_metrics": zscored_metrics(dense),
+        "host_changes": host_changes(weekly),
+    }

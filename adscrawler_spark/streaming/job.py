@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from adscrawler_spark.operators import adstxt as adstxt_ops
 from adscrawler_spark.operators import frontier as frontier_ops
-from adscrawler_spark.operators import politeness, seen
+from adscrawler_spark.operators import politeness
 from adscrawler_spark.operators.listings import (
     clean_ios_listings,
     clean_play_listings,
@@ -156,6 +156,9 @@ def run_generation(
     n_docs = docs.count()
     cat.table("documents").append(docs, {"generation": generation})
 
+    # entries feeds the count, the sink, the result fold AND discovery —
+    # persist so the ads.txt parse runs once.
+    entries = entries.persist()
     entries_out = entries.withColumn("batch_id", F.lit(generation).cast("long"))
     n_entries = entries_out.count()
     cat.table("adstxt_entries").append(entries_out, {"generation": generation})
@@ -188,10 +191,18 @@ def run_generation(
         .withColumn("url", F.concat(F.lit("https://"), F.col("ad_domain"), F.lit("/app-ads.txt")))
     )
     discovered = frontier_ops.with_canonical(discovered)
-    filters = seen.build_bloom_filters(seen_tbl) if seen_tbl is not None else None
-    new_urls = seen.probe_unseen(discovered, filters, seen_tbl).dropDuplicates(
-        ["url_canon"]
-    )
+    # discovery sets are tiny (distinct ad domains per generation); the
+    # exact anti-join against the seen table is cheaper than building a
+    # Bloom sidecar here.  The Bloom path (operators/seen.py) is for
+    # bulk frontier ingest, where the probe input is 10^8+ rows.
+    if seen_tbl is not None:
+        new_urls = discovered.join(
+            seen_tbl.select(F.col("url_canon").alias("_seen")),
+            discovered["url_canon"] == F.col("_seen"),
+            "left_anti",
+        ).dropDuplicates(["url_canon"])
+    else:
+        new_urls = discovered.dropDuplicates(["url_canon"])
     new_frontier_rows = new_urls.select(
         "url",
         F.substring_index("url_canon", "/", 1).alias("host"),
@@ -252,6 +263,7 @@ def run_generation(
     fetched.unpersist()
     results.unpersist()
     docs.unpersist()
+    entries.unpersist()
     return metrics
 
 

@@ -1,0 +1,93 @@
+"""Derived-pipeline semantics (metrics_history) on a hand-built crawl
+log with known gaps, plus P11 country resolution parity."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from adscrawler_spark.functions.country import guess_country, resolve_country
+from adscrawler_spark.plans import metrics_history as mh
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def crawl_log(spark):
+    # host a: weeks 1,2,4 (gap at 3); host b: week 2 only
+    rows = [
+        # (batch, url_canon, host, result, fetched_at, fetched)
+        (0, "a.com/1", "a.com", 1, _ts("2026-01-05 10:00"), True),
+        (0, "a.com/2", "a.com", 3, _ts("2026-01-06 10:00"), True),
+        (1, "a.com/1", "a.com", 1, _ts("2026-01-13 10:00"), True),
+        (3, "a.com/1", "a.com", 1, _ts("2026-01-27 10:00"), True),
+        (3, "a.com/3", "a.com", 1, _ts("2026-01-27 11:00"), True),
+        (1, "b.com/1", "b.com", 1, _ts("2026-01-14 09:00"), True),
+        (1, "c.com/1", "c.com", 4, _ts("2026-01-14 09:00"), False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, url_canon string, host string, crawl_result int, "
+        "fetched_at timestamp, fetched boolean",
+    )
+
+
+def test_latest_crawl_state(crawl_log):
+    latest = {r.url_canon: r.batch_id for r in mh.latest_crawl_state(crawl_log).collect()}
+    assert latest["a.com/1"] == 3  # newest fetched_at wins
+    assert latest["a.com/2"] == 0
+
+
+def test_weekly_and_densify_and_zscore(crawl_log):
+    weekly = mh.weekly_host_metrics(crawl_log)
+    wk = {(r.host, str(r.week_start)): (r.fetches, r.ok_rate) for r in weekly.collect()}
+    assert wk[("a.com", "2026-01-05")] == (2, 0.5)
+    assert wk[("a.com", "2026-01-26")] == (2, 1.0)
+    assert ("c.com", "2026-01-12") not in wk  # fetched=False excluded
+
+    dense = mh.densified_metrics(weekly)
+    d = {(r.host, str(r.week_start)): (r.fetches, r.ok_rate_filled) for r in dense.collect()}
+    # gap week materialized with 0 fetches and carried-forward ok_rate
+    assert d[("a.com", "2026-01-19")] == (0, 1.0)
+    assert len([k for k in d if k[0] == "a.com"]) == 4  # 4 consecutive weeks
+
+    z = mh.zscored_metrics(dense, baseline_weeks=8)
+    zz = {(r.host, str(r.week_start)): r.fetches_z for r in z.collect()}
+    assert zz[("a.com", "2026-01-05")] is None  # empty baseline frame
+    assert zz[("a.com", "2026-01-19")] is not None
+
+
+def test_host_changes(crawl_log):
+    ch = {
+        (r.host, str(r.week_start)): (r.added, r.removed)
+        for r in mh.host_changes(mh.weekly_host_metrics(crawl_log)).collect()
+    }
+    assert ch[("a.com", "2026-01-05")] == (True, False)   # first week
+    assert ch[("a.com", "2026-01-12")] == (False, True)   # gap follows
+    assert ch[("a.com", "2026-01-26")] == (True, True)    # re-added, last
+    assert ch[("b.com", "2026-01-12")] == (True, True)    # singleton
+
+
+CASES = [
+    ("123 Road, Seoul, South Korea", "KR"),
+    ("Foo Strasse 5, Berlin, Germany", "DE"),
+    ("1 Infinite Loop, Cupertino, USA", "US"),
+    ("10 Downing St, London, UK", "GB"),
+    ("Av. Paulista, São Paulo, Brasil", "BR"),
+    ("Shibuya, 日本", "JP"),
+    ("Somewhere, FRA", "FR"),
+    ("ends with token US", "US"),
+    ("no country here", None),
+    ("", None),
+    (None, None),
+]
+
+
+def test_country_resolution(spark):
+    for addr, want in CASES:
+        assert guess_country(addr) == want, addr
+    df = spark.createDataFrame([(a,) for a, _ in CASES], "addr string")
+    got = [r.c for r in df.select(resolve_country("addr").alias("c")).collect()]
+    assert got == [w for _, w in CASES]

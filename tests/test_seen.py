@@ -28,10 +28,13 @@ def seen_and_frontier(spark):
     return seen, frontier
 
 
-def test_probe_exact_semantics(seen_and_frontier):
+@pytest.mark.parametrize("threshold", [64 << 20, 0])
+def test_probe_exact_semantics(seen_and_frontier, threshold):
+    """Both probe strategies (broadcast UDF / co-grouped) must agree
+    with exact set semantics."""
     seen, frontier = seen_and_frontier
     filters = build_bloom_filters(seen)
-    unseen = probe_unseen(frontier, filters, seen)
+    unseen = probe_unseen(frontier, filters, seen, broadcast_threshold=threshold)
     got = {r.url_canon for r in unseen.collect()}
     want = {f"host{i}.com" for i in range(5000, 9000)}
     assert got == want  # no false positives after confirm, no false negatives

@@ -104,3 +104,60 @@ def test_url_hash_is_jvm_side(spark):
     df = spark.createDataFrame([("a.com",), ("b.com",)], "u string")
     plan = df.select(url_hash("u")).sample(False, 1.0)._jdf.queryExecution().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_canonical_matches_rowwise_udf(spark):
+    """Dictionary-encoded canonicalization (JVM split + distinct-host
+    UDF + join back) must be byte-identical to the row-wise
+    canonical_url UDF."""
+    from adscrawler_spark.functions.urls import canonical_url
+    from adscrawler_spark.operators.frontier import with_canonical
+
+    urls = [
+        "https://www.example.com/path/to/page?q=1&r=2",
+        "http://m.shop.co.uk/app-ads.txt",
+        "https://google-play-store.com/store/apps/details?id=com.app7&gl=us",
+        "user:pass@host.example.org:8080/p?q#frag",
+        "https://api.stripe.com",
+        "host-only.com",
+        "host.com?query=no-slash",
+        "https://x.ai/a#b/c",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.url_canon
+        for r in with_canonical(df).select("url", "url_canon").collect()
+    }
+    want = {
+        r.url: r.c
+        for r in df.select("url", canonical_url("url").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_ignored_tld_filter(spark):
+    from adscrawler_spark.functions.urls import ignored_tld_filter
+
+    df = spark.createDataFrame(
+        [("https://foo.blogspot.com/x",), ("https://me.github.io/a",),
+         ("https://legit-dev.com/app-ads.txt",)], "url string")
+    got = [r.i for r in df.select(ignored_tld_filter("url").alias("i")).collect()]
+    assert got == [True, True, False]
+
+
+def test_download_priority_formula(spark):
+    import datetime
+    from adscrawler_spark.operators.frontier import download_priority
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2026, 7, 31), datetime.datetime(2026, 7, 21), 100, 10),
+         (None, None, 1, 1)],
+        "last_attempt_at timestamp, last_success_at timestamp, "
+        "installs long, rating_count long",
+    )
+    rows = df.select(download_priority("2026-08-01 00:00:00").alias("p")).collect()
+    # (1 + 11)/2 * greatest(100, 500) = 3000
+    assert rows[0].p == 3000.0
+    assert rows[1].p > 1e4  # never-crawled dominates
