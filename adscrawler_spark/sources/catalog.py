@@ -101,6 +101,10 @@ class SnapshotTable:
         """Atomic full replace (≙ Iceberg overwritePartitions / REPLACE)."""
         return self._commit(self._write_fileset(df), meta)
 
+    def truncate(self, meta: dict | None = None) -> int:
+        """Commit an empty snapshot (read() then returns None)."""
+        return self._commit([], meta)
+
     def rollback(self, version: int) -> None:
         """Point CURRENT back to an older snapshot (time-travel resume)."""
         if self.snapshot(version) is None:

@@ -59,7 +59,60 @@ IOS_RAW_SCHEMA = (
     "description string, kind string"
 )
 
-TABLES = ["frontier", "url_seen", "documents", "crawl_log", "adstxt_entries", "metrics"]
+TABLES = [
+    "frontier", "frontier_updates", "url_seen", "documents", "crawl_log",
+    "adstxt_entries", "metrics",
+]
+
+# fold the update log back into the base every K generations (the
+# reference's compaction cadence, SURVEY.md S2/§4 "small files")
+COMPACT_EVERY = 8
+
+
+def current_frontier(spark: SparkSession, cat: Catalog) -> DataFrame:
+    """Log-structured frontier view: immutable base (bootstrap rows +
+    appended discoveries) merged with the latest per-URL state update.
+
+    Per-generation writes are O(batch) — an append to the update log —
+    instead of an O(frontier) rewrite; on Iceberg this is MERGE-on-read
+    with periodic compaction (compact_frontier)."""
+    from pyspark.sql import Window
+
+    base = cat.table("frontier").read(spark)
+    upd = cat.table("frontier_updates").read(spark)
+    if upd is None:
+        return base
+    w = Window.partitionBy("u_canon").orderBy(F.desc("u_batch"))
+    latest = (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    joined = base.join(latest, base["url_canon"] == latest["u_canon"], "left")
+    return (
+        joined.withColumn("state", F.coalesce("u_state", "state"))
+        .withColumn(
+            "crawl_result",
+            F.when(F.coalesce("u_fetched", F.lit(False)), F.col("u_result")).otherwise(
+                F.col("crawl_result")
+            ),
+        )
+        .withColumn(
+            "last_crawled_at",
+            F.when(F.coalesce("u_fetched", F.lit(False)), F.col("u_ts")).otherwise(
+                F.col("last_crawled_at")
+            ),
+        )
+        .drop("u_canon", "u_state", "u_result", "u_fetched", "u_ts", "u_batch")
+    )
+
+
+def compact_frontier(spark: SparkSession, cat: Catalog, generation: int) -> None:
+    """Materialize the merged view as the new base and truncate the
+    update log (both commits atomic; bounded log-read cost)."""
+    merged = current_frontier(spark, cat)
+    cat.table("frontier").overwrite(merged, {"compacted_at": generation})
+    cat.table("frontier_updates").truncate({"compacted_at": generation})
 
 
 def now_str(generation: int) -> str:
@@ -108,7 +161,7 @@ def run_generation(
 ) -> dict:
     t0 = time.time()
     now = now_str(generation)
-    frontier = cat.table("frontier").read(spark)
+    frontier = current_frontier(spark, cat)
 
     claim_l = frontier_ops.claim_batch(
         frontier, ["listing_play", "listing_ios"], listing_batch, now, generation
@@ -153,15 +206,10 @@ def run_generation(
         .dropDuplicates(["doc_id"])
         .persist()
     )
-    n_docs = docs.count()
-    cat.table("documents").append(docs, {"generation": generation})
-
     # entries feeds the count, the sink, the result fold AND discovery —
     # persist so the ads.txt parse runs once.
     entries = entries.persist()
     entries_out = entries.withColumn("batch_id", F.lit(generation).cast("long"))
-    n_entries = entries_out.count()
-    cat.table("adstxt_entries").append(entries_out, {"generation": generation})
 
     # ---- per-URL results folded back into the frontier.
     # adstxt fetched rows take the parser's result (scrape.py:280-301);
@@ -182,7 +230,39 @@ def run_generation(
         "attempts", "fetched", "denied", "virtual_time", "lane",
         "claim_rank", "seed_id", "partition_id", "doc_kind",
     )
-    cat.table("crawl_log").append(log, {"generation": generation})
+
+    # The sink appends and summary counts are independent given the
+    # persisted parents — launch them as concurrent Spark actions so
+    # their fixed job latencies overlap instead of adding up (the
+    # FAIR-ish driver-side analog of the reference's worker pool).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_docs = pool.submit(
+            lambda: (docs.count(),
+                     cat.table("documents").append(docs, {"generation": generation}))
+        )
+        f_entries = pool.submit(
+            lambda: (entries_out.count(),
+                     cat.table("adstxt_entries").append(
+                         entries_out, {"generation": generation}))
+        )
+        f_log = pool.submit(
+            lambda: cat.table("crawl_log").append(log, {"generation": generation})
+        )
+        f_counts = pool.submit(
+            lambda: results.agg(
+                F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+                F.sum(
+                    (F.col("fetched") & (F.col("crawl_result") == 1)).cast("int")
+                ).alias("n_ok"),
+                F.sum(F.col("denied").cast("int")).alias("n_denied"),
+            ).collect()[0]
+        )
+        n_docs = f_docs.result()[0]
+        n_entries = f_entries.result()[0]
+        f_log.result()
+        counts = f_counts.result()
 
     # ---- discovery: DIRECT/RESELLER ad domains become new adstxt URLs
     seen_tbl = cat.table("url_seen").read(spark)
@@ -224,21 +304,29 @@ def run_generation(
             new_urls.select("url_canon", "url_hash64"), {"generation": generation}
         )
 
-    # ---- frontier state transitions + discovered rows
-    fold = results.select(
-        "url_canon", "crawl_result", "fetched", "denied"
+    # ---- frontier state transitions: O(batch) append to the update
+    # log (deferred rows write nothing — they stay pending in the base);
+    # discovered rows append to the immutable base.
+    updates = (
+        results.filter(F.col("denied") | F.col("fetched"))
+        .select(
+            F.col("url_canon").alias("u_canon"),
+            F.when(F.col("denied"), "denied")
+            .when(F.col("crawl_result") == 1, "done")
+            .otherwise("failed")
+            .alias("u_state"),
+            F.col("crawl_result").alias("u_result"),
+            F.col("fetched").alias("u_fetched"),
+            F.to_timestamp(F.lit(now)).alias("u_ts"),
+            F.lit(generation).cast("long").alias("u_batch"),
+        )
+        .dropDuplicates(["u_canon"])
     )
-    updated = _apply_results(frontier, fold, now)
-    new_frontier = updated.unionByName(new_frontier_rows)
-    cat.table("frontier").overwrite(new_frontier, {"generation": generation})
+    cat.table("frontier_updates").append(updates, {"generation": generation})
+    cat.table("frontier").append(new_frontier_rows, {"generation": generation})
+    if (generation + 1) % COMPACT_EVERY == 0:
+        compact_frontier(spark, cat, generation)
 
-    counts = results.agg(
-        F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
-        F.sum((F.col("fetched") & (F.col("crawl_result") == 1)).cast("int")).alias(
-            "n_ok"
-        ),
-        F.sum(F.col("denied").cast("int")).alias("n_denied"),
-    ).collect()[0]
     n_fetched = int(counts.n_fetched or 0)
     n_ok = int(counts.n_ok or 0)
     n_denied = int(counts.n_denied or 0)
@@ -265,41 +353,6 @@ def run_generation(
     docs.unpersist()
     entries.unpersist()
     return metrics
-
-
-def _apply_results(frontier: DataFrame, results: DataFrame, now: str) -> DataFrame:
-    upd = results.select(
-        F.col("url_canon").alias("_u"),
-        F.col("crawl_result").alias("_cr"),
-        F.col("fetched").alias("_f"),
-        F.col("denied").alias("_d"),
-    ).dropDuplicates(["_u"])
-    joined = frontier.join(upd, frontier["url_canon"] == upd["_u"], "left")
-    now_ts = F.to_timestamp(F.lit(now))
-    new_state = (
-        F.when(F.col("_u").isNull(), F.col("state"))
-        .when(F.col("_d"), F.lit("denied"))
-        .when(~F.col("_f"), F.lit("pending"))
-        .when(F.col("_cr") == 1, F.lit("done"))
-        .otherwise(F.lit("failed"))
-    )
-    return (
-        joined.withColumn("state", new_state)
-        .withColumn(
-            "crawl_result",
-            F.when(F.col("_u").isNotNull() & F.col("_f"), F.col("_cr")).otherwise(
-                F.col("crawl_result")
-            ),
-        )
-        .withColumn(
-            "last_crawled_at",
-            F.when(F.col("_u").isNotNull() & F.col("_f"), now_ts).otherwise(
-                F.col("last_crawled_at")
-            ),
-        )
-        .withColumn("leased_until", F.lit(None).cast("timestamp"))
-        .drop("_u", "_cr", "_f", "_d")
-    )
 
 
 def bootstrap(spark: SparkSession, cat: Catalog, frontier_size: int, seed: int) -> None:

@@ -63,7 +63,7 @@ def bench_dedup(spark) -> tuple[float, float]:
     frontier = synth_frontier(spark, FRONTIER_N, seed=42)
     t0 = time.time()
     filters = seen_ops.build_bloom_filters(seen)
-    candidates = with_canonical(frontier)
+    candidates = with_canonical(frontier).select("url", "url_canon", "url_hash64")
     unseen = seen_ops.probe_unseen(candidates, filters, seen)
     n = unseen.count()
     dt = time.time() - t0

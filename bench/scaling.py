@@ -67,7 +67,10 @@ from adscrawler_spark.operators import dedup as dedup_ops
 from adscrawler_spark.streaming import job
 
 # -- workload 1: frontier dedup over materialized input ----------------
-fr = spark.read.parquet({workdir!r} + "/frontier")
+# dedup operates on URL keys (url + hashes) — the ingest-dedup kernel;
+# full-row payloads follow the verdict, they don't ride through it.
+fr = spark.read.parquet({workdir!r} + "/frontier").select(
+    "url", "url_canon", "url_hash64")
 seen = spark.read.parquet({workdir!r} + "/seen")
 t0 = time.time()
 filters = seen_ops.build_bloom_filters(seen)
@@ -137,7 +140,7 @@ def main() -> None:
     p.add_argument("--dedup-rows", type=int, default=24_000_000)
     p.add_argument("--frontier", type=int, default=1_000_000)
     p.add_argument("--batch", type=int, default=100_000)
-    p.add_argument("--minhash-docs", type=int, default=150_000)
+    p.add_argument("--minhash-docs", type=int, default=600_000)
     p.add_argument("--workdir", default="/tmp/scaling_inputs")
     p.add_argument("--skip-prep", action="store_true")
     args = p.parse_args()

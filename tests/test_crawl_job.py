@@ -96,7 +96,7 @@ def test_frontier_states_match_oracle(spark, run_dir, sim_state):
     got = sorted(
         (r.url, r.url_canon, r.state,
          -1 if r.crawl_result is None else int(r.crawl_result))
-        for r in cat.table("frontier").read(spark).collect()
+        for r in job.current_frontier(spark, cat).collect()
     )
     want = sorted(
         (r["url"], r["url_canon"], r["state"],
@@ -160,11 +160,36 @@ def test_resume_equals_uninterrupted(spark, run_dir, tmp_path_factory):
         assert a == b, table
     fa = sorted(
         (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
-        for r in cat1.table("frontier").read(spark).collect()
+        for r in job.current_frontier(spark, cat1).collect()
     )
     fb = sorted(
         (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
-        for r in cat2.table("frontier").read(spark).collect()
+        for r in job.current_frontier(spark, cat2).collect()
     )
     assert fa == fb
     shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_compaction_preserves_state(spark, run_dir, tmp_path_factory, monkeypatch):
+    """Folding the update log into the base (compact_frontier) must not
+    change the merged view, and must truncate the log."""
+    out = str(tmp_path_factory.mktemp("crawl_compact"))
+    monkeypatch.setattr(job, "COMPACT_EVERY", 2)  # compact after gen 1
+    job.run(spark, out, frontier_size=FRONTIER, generations=GENS,
+            listing_batch=BATCH, adstxt_batch=BATCH, budget_seconds=BUDGET)
+    cat_c = Catalog(out)
+    cat_plain = Catalog(run_dir)
+    fa = sorted(
+        (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
+        for r in job.current_frontier(spark, cat_c).collect()
+    )
+    fb = sorted(
+        (r.url, r.state, -1 if r.crawl_result is None else int(r.crawl_result))
+        for r in job.current_frontier(spark, cat_plain).collect()
+    )
+    assert fa == fb
+    # the log was truncated at the gen-1 compaction, then gen 2 appended
+    upd = cat_c.table("frontier_updates").read(spark)
+    assert upd is not None
+    assert {int(r.u_batch) for r in upd.select("u_batch").distinct().collect()} == {2}
+    shutil.rmtree(out, ignore_errors=True)
