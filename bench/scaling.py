@@ -216,6 +216,12 @@ band minima)
 
 Target per BASELINE.json: ≥ 0.8 from N to 4N executors.
 
+Crawl caveat: the fetch stage is a simulator (~80 µs CPU/URL vs
+0.1–4 s of real network IO), so the generation's parallel fraction is
+artificially tiny and its fixed claim cost (TakeOrderedAndProject
+driver merge, O(partitions × batch)) dominates — in production the
+fetch phase is 3–5 orders of magnitude larger and amortizes it.
+
 Single-machine caveats: all `local[k]` configurations share one
 machine's DRAM bandwidth, page cache and disk — workloads 1–2 are
 string/shuffle heavy and hit that shared ceiling, which a real 4N-
