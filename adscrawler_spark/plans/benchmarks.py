@@ -1217,15 +1217,15 @@ def ann_ivf_topk(spark, sf):
 @query(
     "embedding_near_dup_pairs",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+                     AS v
+          FROM v)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v))
-           * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+           round(list_dot_product(a.v, b.v), 4) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.35
     """,
 )
 def embedding_near_dup_pairs(spark, sf):
@@ -1273,3 +1273,67 @@ def cohort_decay_retention(spark, sf):
         F.col("u").alias("user_id"),
         F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
     ).agg(F.round(F.sum(F.col("hn") * weight), 4).alias("retained_activity"))
+
+
+@query(
+    "dense_rank_latest_versions",
+    """
+    SELECT o_custkey, o_orderkey, drnk FROM (
+        SELECT o_custkey, o_orderkey,
+               dense_rank() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC) AS drnk
+        FROM orders)
+    WHERE drnk <= 2
+    """,
+)
+def dense_rank_latest_versions(spark, sf):
+    """W2 dense_rank latest-N (version_details.py:456-467 shape)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"))
+    return (
+        o.select("o_custkey", "o_orderkey", F.dense_rank().over(w).alias("drnk"))
+        .filter("drnk <= 2")
+    )
+
+
+@query(
+    "bool_or_group_flags",
+    """
+    SELECT o_custkey,
+           max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1
+               AS any_urgent,
+           max(o_orderdate) AS last_order_at
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def bool_or_group_flags(spark, sf):
+    """A2 bool_or/max per group (query_pub_domains_to_crawl_ads_txt.sql:5-6)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        (
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            == 1
+        ).alias("any_urgent"),
+        F.max("o_orderdate").alias("last_order_at"),
+    )
+
+
+@query(
+    "except_unordered_parts",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def except_unordered_parts(spark, sf):
+    """U4 EXCEPT semantics (utils.py:145 new-id detection shape)."""
+    p = _t(spark, sf, "part").select("p_partkey")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter("l_quantity > 45")
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return p.exceptAll(li).distinct()
