@@ -193,3 +193,51 @@ def test_compaction_preserves_state(spark, run_dir, tmp_path_factory, monkeypatc
     assert upd is not None
     assert {int(r.u_batch) for r in upd.select("u_batch").distinct().collect()} == {2}
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_span_sequences_end_to_end(spark, run_dir):
+    """north_rule per-row invariant through the WHOLE pipeline: every
+    documents row's span sequence equals the pure-Python oracle's parse
+    of the same deterministic response body."""
+    import json as _json
+
+    from adscrawler_spark.pyref import adstxt as py_adstxt
+    from adscrawler_spark.pyref import listings as py_listings
+    from adscrawler_spark.streaming import synth
+
+    cat = Catalog(run_dir)
+    frontier0 = cat.table("frontier").read(spark, version=0)
+    meta = {
+        r.url_canon: (r.url, int(r.url_hash64), r.doc_kind)
+        for r in frontier0.select("url_canon", "url_hash64", "url", "doc_kind")
+        .dropDuplicates(["url_canon"]).collect()
+    }
+    docs = cat.table("documents").read(spark).collect()
+    assert docs
+    checked = 0
+    for row in docs:
+        prefix, canon = row.doc_id.split("::", 1)
+        if canon not in meta:
+            continue  # discovered URL (no frontier-v0 metadata)
+        url, h, kind = meta[canon]
+        body = synth.synth_body(h, kind, url)
+        got = [
+            (s.kind, s.text, s.media_ref, s.offset)
+            for s in sorted(row.spans, key=lambda s: s.offset)
+        ]
+        if kind == "adstxt":
+            want = [
+                ("adstxt_line", ln, None, i)
+                for i, ln in enumerate(py_adstxt.kept_lines(body))
+            ]
+        else:
+            raw = _json.loads(body)
+            cleaned = (
+                py_listings.clean_play_row(raw)
+                if kind == "listing_play"
+                else py_listings.clean_ios_row(raw)
+            )
+            want = py_listings.listing_spans(cleaned)
+        assert got == want, row.doc_id
+        checked += 1
+    assert checked > 100  # meaningful coverage across all three kinds
