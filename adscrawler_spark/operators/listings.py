@@ -227,3 +227,51 @@ def listing_documents(cleaned: DataFrame, doc_id_col: Column) -> DataFrame:
     return cleaned.select(
         doc_id_col.alias("doc_id"), listing_spans_col(cleaned).alias("spans")
     )
+
+
+def normalize_search_results(
+    raw: DataFrame, country: str, language: str
+) -> DataFrame:
+    """Search-result normalization (SURVEY.md F6 fixture;
+    /root/reference/adscrawler/app_stores/google.py:17-54, golden-tested
+    by the reference at tests/app_stores/test_google.py:8-68):
+
+    * rows without appId/store_id are dropped;
+    * store_link = url if present else synthesized details link;
+    * renames: title→name, developer→developer_name, icon→icon_url_512;
+    * constants: store=1, country, language; id == store_id.
+
+    Declarative columns over whatever raw columns exist."""
+    cols = set(raw.columns)
+
+    def opt(name: str) -> Column:
+        return F.col(name) if name in cols else F.lit(None).cast("string")
+
+    store_id = F.coalesce(opt("store_id"), opt("appId"))
+    link = F.coalesce(
+        opt("url"),
+        opt("store_link"),
+        F.concat(
+            F.lit("https://play.google.com/store/apps/details?id="), store_id
+        ),
+    )
+    out = raw.filter(store_id.isNotNull() & (store_id != "")).select(
+        store_id.alias("store_id"),
+        store_id.alias("id"),
+        link.alias("store_link"),
+        F.coalesce(opt("title"), opt("name")).alias("name"),
+        F.coalesce(opt("developer"), opt("developer_name")).alias("developer_name"),
+        F.coalesce(opt("icon"), opt("icon_url_512")).alias("icon_url_512"),
+        F.lit(1).alias("store"),
+        F.lit(country).alias("country"),
+        F.lit(language).alias("language"),
+        *[
+            F.col(c)
+            for c in raw.columns
+            if c not in {
+                "store_id", "appId", "url", "store_link", "title", "name",
+                "developer", "developer_name", "icon", "icon_url_512",
+            }
+        ],
+    )
+    return out

@@ -246,3 +246,43 @@ def test_edge_semantics(play_out, ios_out):
     # wrong platform flag; unknown language -> zz
     assert bool(ios_df.loc["222", "wrong_platform"]) is True
     assert ios_df.loc["333", "store_language_code"] == "zz"
+
+
+def test_normalize_search_results(spark):
+    """Port of the reference's own golden test
+    (tests/app_stores/test_google.py:8-68)."""
+    from adscrawler_spark.operators.listings import normalize_search_results
+
+    raw = spark.createDataFrame(
+        [
+            (None, "YouTube", None, "Google LLC", "https://example.com/icon0.png", None),
+            ("com.example.app", "Example App",
+             "https://play.google.com/store/apps/details?id=com.example.app",
+             "Example Dev", "https://example.com/icon1.png", 4.5),
+        ],
+        "appId string, title string, url string, developer string, "
+        "icon string, score double",
+    )
+    rows = normalize_search_results(raw, "us", "en").collect()
+    assert len(rows) == 1  # appId=None dropped
+    r = rows[0].asDict()
+    assert r["store_id"] == "com.example.app" and r["id"] == "com.example.app"
+    assert r["store_link"].endswith("details?id=com.example.app")
+    assert r["name"] == "Example App"
+    assert r["developer_name"] == "Example Dev"
+    assert r["icon_url_512"] == "https://example.com/icon1.png"
+    assert (r["store"], r["country"], r["language"]) == (1, "us", "en")
+    assert r["score"] == 4.5
+    for dropped in ("appId", "title", "url", "developer", "icon"):
+        assert dropped not in r
+
+    # store_link synthesized when url absent (second reference test)
+    raw2 = spark.createDataFrame(
+        [("com.example.app", "Example App", "Example Dev", "i.png")],
+        "appId string, title string, developer string, icon string",
+    )
+    r2 = normalize_search_results(raw2, "mx", "es").collect()[0]
+    assert r2.store_link == (
+        "https://play.google.com/store/apps/details?id=com.example.app"
+    )
+    assert (r2.country, r2.language) == ("mx", "es")
