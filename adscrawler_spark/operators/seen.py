@@ -137,10 +137,16 @@ def probe_unseen(
     if seen is None or filters is None:
         return frontier
 
-    flt_rows = filters.collect()
-    total_bytes = sum(len(r.bits) for r in flt_rows)
+    # Strategy choice from ONE scalar — never pull the bitsets to the
+    # driver unless the broadcast path is actually taken (at 10^10 keys
+    # the sidecar is many GB; collecting it just to measure it would
+    # defeat the partitioned design).
+    total_bytes = int(
+        filters.agg(F.sum(F.length("bits")).alias("b")).first()["b"] or 0
+    )
 
     if total_bytes <= broadcast_threshold:
+        flt_rows = filters.collect()
         tables = {
             int(r.bucket): (
                 int(r.m_bits),

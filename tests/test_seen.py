@@ -65,6 +65,26 @@ def test_bloom_prefilter_rate(seen_and_frontier):
     assert total_fp / 20000 < 0.02  # 12 bits/key, 7 hashes → ~0.03% theoretical
 
 
+def test_cogroup_path_never_collects_bitsets(seen_and_frontier, monkeypatch):
+    """The big-sidecar (co-grouped) strategy must be chosen from a size
+    scalar alone — pulling every Bloom bitset through the driver first
+    would be ~GBs at the 10^10-key scale the sidecar is sized for."""
+    seen, frontier = seen_and_frontier
+    filters = build_bloom_filters(seen)
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.collect
+
+    def guarded(self):
+        if any(f.name == "bits" for f in self.schema.fields):
+            raise AssertionError("bitset DataFrame collected on co-group path")
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    unseen = probe_unseen(frontier, filters, seen, broadcast_threshold=0)
+    assert unseen.count() == 4000
+
+
 def test_empty_seen_passthrough(seen_and_frontier, spark):
     _, frontier = seen_and_frontier
     out = probe_unseen(frontier, None, None)
