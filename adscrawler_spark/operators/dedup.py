@@ -25,7 +25,18 @@ HEX = "0123456789abcdef"
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 4,
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) — distinct word n-grams of the lowercased text."""
+    """(id, shingle) — distinct word n-grams of the lowercased text.
+
+    The input is hash-repartitioned on the doc id BEFORE the ~200×
+    explode: a compact corpus scan (few input splits) would otherwise
+    run the entire shingle/md5 fan-out on a handful of tasks, and the
+    id partitioning is exactly what every downstream per-doc groupBy
+    wants.  The partition count is explicit — AQE would coalesce a
+    count-less repartition of a byte-small corpus back to one task,
+    exactly the serialization being avoided."""
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = f"split(lower({text_col}), '\\\\s+')"
     expr = (
         f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
@@ -75,13 +86,23 @@ def jaccard_pairs(shingles: DataFrame, threshold: float,
 def minhash_signatures(shingles: DataFrame, bands: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
     """One MinHash per band: min over shingles of md5(shingle|band) —
-    md5-salting gives `bands` independent permutations."""
-    spark = shingles.sparkSession
-    band_df = spark.range(bands).select(F.col("id").alias("band"))
-    return (
-        shingles.crossJoin(F.broadcast(band_df))
-        .groupBy(id_col, "band")
-        .agg(F.min(F.md5(F.concat_ws("|", "shingle", "band"))).alias("sig"))
+    md5-salting gives `bands` independent permutations.
+
+    All band minima are computed in ONE aggregation pass (wide agg +
+    stack unpivot) instead of a bands× row explosion: the shingle table
+    shuffles once at its own size and the per-band md5s fold map-side
+    into partial minima — at 10^10 docs that is the difference between
+    shuffling |shingles| and 8×|shingles| rows."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.col("shingle"), F.lit(str(b))))).alias(
+            f"_s{b}"
+        )
+        for b in range(bands)
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    pairs = ", ".join(f"{b}L, _s{b}" for b in range(bands))
+    return wide.select(
+        id_col, F.expr(f"stack({bands}, {pairs}) as (band, sig)")
     )
 
 
@@ -147,7 +168,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
         f"sqrt(aggregate(zip_with({raw}, {raw}, (x, y) -> x * y), "
         "cast(0.0 as double), (acc, x) -> acc + x))"
     )
-    v = emb.select(
+    v = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({raw}, x -> x / {norm})").alias("v"),
     )
@@ -163,6 +186,95 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
             F.col("b.vid").alias("vec_b"),
             sim.alias("sim"),
         )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def jaccard_via_minhash(shingles: DataFrame, threshold: float, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """The wired scale path for n-gram Jaccard dedup: MinHash banding
+    generates candidate pairs (linear in docs×bands), then the exact
+    Jaccard is computed ONLY on candidates — never the quadratic
+    all-pairs shingle self-join of ``jaccard_pairs``.
+
+    Recall per pair with Jaccard J is 1-(1-J)^bands (0.97 at J=0.35
+    with 8 bands); ``jaccard_pairs`` stays available as the exact
+    small-n verifier.  Mirrors the reference's weekly-dedup intent
+    (/root/reference/adscrawler/process/app_metrics_history.py:1152-1156)
+    scaled to document corpora."""
+    sigs = minhash_signatures(shingles, bands, id_col)
+    cand = minhash_candidates(sigs, id_col)
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
+                           dims: int = 64, n_planes: int = 6,
+                           n_tables: int = 6, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           seed: int = 42) -> DataFrame:
+    """The wired scale path for embedding near-dup: sign-LSH buckets
+    (multi-table banding) generate candidates via an equi-join, then the
+    exact normalized cosine verifies candidates only — never the O(n²)
+    all-pairs join of ``embedding_near_dup_pairs`` (which stays as the
+    exact small-n verifier).
+
+    Candidate volume is sum over buckets of |bucket|²·tables (16×+
+    smaller than all-pairs at the bench corpus); recall at cosine s is
+    1-(1-p^planes)^tables with p = 1 - acos(s)/π — a tunable
+    recall/cost knob (≥0.87 for s≥0.9 with 6 planes × 6 tables; lower
+    for mid-similarity pairs by design)."""
+    from adscrawler_spark.operators.similarity import lsh_table_buckets
+
+    buckets = lsh_table_buckets(
+        emb, dims, n_planes, n_tables, id_col, vec_col, seed
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    # identical normalized-fold formulation to embedding_near_dup_pairs,
+    # so verified sims are bit-equal to the brute-force path.
+    raw = f"transform({vec_col}, x -> cast(x as double))"
+    norm = (
+        f"sqrt(aggregate(zip_with({raw}, {raw}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({raw}, x -> x / {norm})").alias("v"),
+    )
+    va = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -13,10 +13,12 @@ SURVEY.md O1/O2/T1/T6 — the reference's frontier is priority SQL:
 
 Claim order is made *total* by a trailing ``url_hash`` tie-break so a
 parallel claim equals the sequential oracle's claim log exactly
-(SURVEY.md §7.4 point 3).  ``orderBy().limit(n)`` compiles to
-TakeOrderedAndProject — per-partition top-n then a k-row merge on the
-driver, no global sort shuffle, which is the right physical plan at
-10^10 rows.
+(SURVEY.md §7.4 point 3).  Top-n claim + rank is fully distributed
+(``ranked_top_n``): a shuffle-free per-partition prune bounds the
+survivor set to P·n, then a range repartition + prefix-sum offsets
+assign exact global ranks — no TakeOrderedAndProject driver merge
+(P·n rows through the driver at 1000 executors) and no
+single-partition rank window.
 
 Hot-host salting (north_rule): the two store hosts carry ~33% of the
 frontier; fetch partitioning by bare host would put a third of every

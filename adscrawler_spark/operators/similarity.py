@@ -100,6 +100,53 @@ def ivf_topk(
     return sims.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def lsh_plane_table(spark, dims: int, n_planes: int, n_tables: int,
+                    seed: int = 42) -> DataFrame:
+    """(t, p, warr) — ±1 hyperplane weight arrays for `n_tables`
+    independent sign-LSH tables of `n_planes` planes each.  Weight for
+    (table t, plane p, dim d) is +1 iff the first md5 nibble of
+    's|t|p|d' is even — md5 is the one hash every engine computes
+    identically, so a DuckDB oracle reproduces the buckets bit-for-bit
+    (the xxhash64 variant in ``lsh_buckets`` is Spark-only)."""
+    t = spark.range(n_tables).select(F.col("id").alias("t"))
+    p = spark.range(n_planes).select(F.col("id").alias("p"))
+    warr = F.expr(
+        f"transform(sequence(0, {dims - 1}), d -> CASE WHEN "
+        f"(instr('0123456789abcdef', substring(md5(concat_ws('|', '{seed}', "
+        "cast(t as string), cast(p as string), cast(d as string))), 1, 1)) - 1) "
+        "% 2 = 0 THEN cast(1.0 as double) ELSE cast(-1.0 as double) END)"
+    )
+    return t.crossJoin(p).select("t", "p", warr.alias("warr"))
+
+
+def lsh_table_buckets(emb: DataFrame, dims: int, n_planes: int = 6,
+                      n_tables: int = 6, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """(vid, t, bucket) — one sign-LSH bucket per vector per table.
+
+    Multi-table banding is the recall knob: a pair is a candidate if it
+    collides in ANY table, so recall = 1-(1-p^planes)^tables where
+    p = 1 - acos(sim)/pi.  Projections fold the weight array in array
+    order (left-to-right), so the sign — hence the bucket — reproduces
+    exactly in any engine with an ordered fold."""
+    planes = lsh_plane_table(emb.sparkSession, dims, n_planes, n_tables, seed)
+    # spread the corpus before the tables×planes fan-out — a compact
+    # parquet scan would otherwise project every vector in one task
+    # (explicit count: AQE would coalesce a byte-small shuffle to 1).
+    v = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        F.col(id_col).alias("vid"), F.expr(_dcast(vec_col)).alias("v")
+    )
+    proj = v.crossJoin(F.broadcast(planes)).select(
+        "vid", "t", "p", F.expr(_DOT.format(a="v", b="warr")).alias("proj")
+    )
+    bit = F.when(
+        F.col("proj") > 0, F.expr("shiftleft(1, cast(p as int))")
+    ).otherwise(F.lit(0))
+    return proj.groupBy("vid", "t").agg(F.sum(bit).alias("bucket"))
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
                 vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Sign-LSH bucket id per vector: hyperplane p's weight for dim d is

@@ -835,7 +835,7 @@ _SHINGLE_SQL = (
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
         FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-              FROM documents)
+              FROM documents WHERE doc_id < 1000)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
@@ -852,41 +852,14 @@ _SHINGLE_SQL = (
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(lower(text), "
-                    "'\\\\s+')) - 3, 1)), i -> array_join(slice(split(lower(text), "
-                    "'\\\\s+'), i, 4), ' '))"
-                )
-            )
-        ).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.35)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    """Exact quadratic Jaccard — a bounded small-n verification tool
+    (doc_id < 1000 keeps the all-pairs shingle self-join O(1k²) at any
+    sf); the wired full-corpus path is dedup_jaccard_via_minhash."""
+    d = _t(spark, sf, "documents").filter("doc_id < 1000")
+    sh = dedup_ops.word_shingles(d, n=4)
+    out = dedup_ops.jaccard_pairs(sh, threshold=0.35)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
@@ -913,41 +886,12 @@ _N_BANDS = 8
     """,
 )
 def dedup_minhash_lsh(spark, sf):
+    """MinHash banding candidates via the shared operator (one-pass
+    wide-agg signatures — see operators/dedup.py:minhash_signatures)."""
     d = _t(spark, sf, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(lower(text), "
-                    "'\\\\s+')) - 3, 1)), i -> array_join(slice(split(lower(text), "
-                    "'\\\\s+'), i, 4), ' '))"
-                )
-            )
-        ).alias("shingle"),
-    )
-    bands = d.sparkSession.range(_N_BANDS).select(F.col("id").alias("band"))
-    sigs = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("shingle"), F.col("band")))
-            ).alias("sig")
-        )
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sh = dedup_ops.word_shingles(d, n=4)
+    sigs = dedup_ops.minhash_signatures(sh, bands=_N_BANDS)
+    return dedup_ops.minhash_candidates(sigs)
 
 
 @query(
@@ -1217,7 +1161,8 @@ def ann_ivf_topk(spark, sf):
 @query(
     "embedding_near_dup_pairs",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+               WHERE vec_id < 500),
     n AS (SELECT vec_id,
                  list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
                      AS v
@@ -1229,10 +1174,113 @@ def ann_ivf_topk(spark, sf):
     """,
 )
 def embedding_near_dup_pairs(spark, sf):
+    """Exact all-pairs cosine — a bounded small-n verification tool
+    (vec_id < 500 caps it at 125k pairs); the wired full-corpus path is
+    embedding_near_dup_lsh below."""
     out = dedup_ops.embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35
+        _t(spark, sf, "embeddings").filter("vec_id < 500"), threshold=0.35
     )
     return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+
+
+_LSH_PLANES, _LSH_TABLES = 6, 6
+
+
+@query(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH planes AS (
+        SELECT t, p,
+               [CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(concat_ws('|', '42', t::VARCHAR, p::VARCHAR,
+                                         d::VARCHAR)), 1, 1)) - 1) % 2 = 0
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+                FOR d IN generate_series(0, 63)] AS warr
+        FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t),
+             (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS p)
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings),
+    proj AS (
+        SELECT v.vec_id AS vid, planes.t, planes.p,
+               list_dot_product(v.raw, planes.warr) AS proj
+        FROM v, planes
+    ),
+    buckets AS (
+        SELECT vid, t, sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+        FROM proj GROUP BY vid, t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+        FROM buckets a JOIN buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vid < b.vid
+    ),
+    n AS (SELECT vec_id,
+                 list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))
+                     AS v
+          FROM v)
+    SELECT c.vec_a, c.vec_b, round(list_dot_product(a.v, b.v), 4) AS sim
+    FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
+    WHERE list_dot_product(a.v, b.v) >= 0.35
+    """,
+)
+def embedding_near_dup_lsh(spark, sf):
+    """The wired near-dup scale path: md5-parity sign-LSH buckets →
+    bucket equi-join candidates → exact cosine verify on candidates
+    only (operators/dedup.py:embedding_near_dup_lsh).  Bounded by
+    bucket occupancy instead of O(n²)."""
+    out = dedup_ops.embedding_near_dup_lsh(
+        _t(spark, sf, "embeddings"), threshold=0.35,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+    )
+    return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+
+
+@query(
+    "dedup_jaccard_via_minhash",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents)
+    ),
+    sigs AS (
+        SELECT doc_id, band, min(md5(shingle || '|' || band)) AS sig
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_N_BANDS - 1}))
+                            AS band)
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           round(m.common * 1.0 / (sa.n + sb.n - m.common), 4) AS jaccard
+    FROM common m
+    JOIN sizes sa ON m.doc_a = sa.doc_id
+    JOIN sizes sb ON m.doc_b = sb.doc_id
+    WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.35
+    """,
+)
+def dedup_jaccard_via_minhash(spark, sf):
+    """The wired Jaccard scale path: MinHash banding candidates → exact
+    Jaccard verify on candidates only (operators/dedup.py:
+    jaccard_via_minhash) over the FULL corpus — linear candidate
+    generation instead of the quadratic shingle self-join."""
+    d = _t(spark, sf, "documents")
+    sh = dedup_ops.word_shingles(d, n=4)
+    out = dedup_ops.jaccard_via_minhash(sh, threshold=0.35, bands=_N_BANDS)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 @query(
