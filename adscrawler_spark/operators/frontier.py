@@ -152,6 +152,67 @@ def eligible(frontier: DataFrame, now: str) -> DataFrame:
     )
 
 
+def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
+                 rank_col: str = "claim_rank") -> DataFrame:
+    """Distributed exact global top-n with a total rank — no driver
+    merge, no single-partition window.
+
+    Phase 1 (shuffle-free local prune): sortWithinPartitions + the
+    (pid ≪ 33 | position) encoding of monotonically_increasing_id keep
+    each input partition's own top n; a row outside its partition's
+    top n cannot be in the global top n, so survivors ≤ P·n however
+    large the frontier.  This is what replaces
+    ``orderBy().limit(n)``'s TakeOrderedAndProject, whose final merge
+    funnels P·n rows through the driver at 1000 executors.
+
+    Phase 2 (distributed rank): range-repartition the survivors on the
+    order key, sort within, and assign rank = within-partition
+    position + the prefix sum of partition counts (one ≤P-row driver
+    aggregate, broadcast back).  Range partitioning preserves the
+    total order across partitions, so ranks equal a sequential sort's
+    exactly (claim-log parity with the pyref oracle).  Reference
+    shape: query_apps_to_update_primary.sql:138-147.
+    """
+    spark = df.sparkSession
+    lower33 = (1 << 33) - 1
+    local = (
+        df.sortWithinPartitions(*order)
+        .withColumn("_tn_mid", F.monotonically_increasing_id())
+        .filter(F.col("_tn_mid").bitwiseAND(F.lit(lower33)) < n)
+        .drop("_tn_mid")
+    )
+    p2 = spark.sparkContext.defaultParallelism
+    ranged = (
+        local.repartitionByRange(p2, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_tn_mid", F.monotonically_increasing_id())
+        .withColumn("_tn_pid", F.shiftright("_tn_mid", 33))
+        .withColumn(
+            "_tn_pos", F.col("_tn_mid").bitwiseAND(F.lit(lower33))
+        )
+        .persist()  # consumed by the counts pass and the rank join;
+        # released by the ContextCleaner once unreferenced
+    )
+    counts = sorted(
+        (int(r[0]), int(r[1]))
+        for r in ranged.groupBy("_tn_pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        if acc < n:
+            offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_tn_pid long, _tn_off long")
+    return (
+        ranged.join(F.broadcast(off_df), "_tn_pid")
+        .withColumn(
+            rank_col, (F.col("_tn_off") + F.col("_tn_pos") + 1).cast("int")
+        )
+        .filter(F.col(rank_col) <= n)
+        .drop("_tn_mid", "_tn_pid", "_tn_pos", "_tn_off")
+    )
+
+
 def claim_batch(
     frontier: DataFrame,
     doc_kinds: list[str],
@@ -161,8 +222,9 @@ def claim_batch(
     hot_lanes: int = HOT_LANES,
 ) -> DataFrame:
     """Top-n eligible rows for the given kinds, with lease + lineage +
-    salt-lane columns and a total claim_rank.  One TakeOrderedAndProject
-    per kind family; the claim is committed by the caller's snapshot."""
+    salt-lane columns and a total claim_rank.  One distributed
+    ``ranked_top_n`` per kind family; the claim is committed by the
+    caller's snapshot."""
     base = eligible(frontier, now).filter(F.col("doc_kind").isin(doc_kinds))
     order = (
         adstxt_order_cols() if doc_kinds == ["adstxt"] else listing_order_cols(now)
@@ -172,10 +234,7 @@ def claim_batch(
     # in one batch — keep the best-ranked representative.  The fold-back
     # join in apply-results is on url_canon, so every duplicate frontier
     # row still gets the result.
-    claimed = base.orderBy(*order).limit(n)
-    claimed = claimed.withColumn(
-        "claim_rank", F.row_number().over(Window.orderBy(*order))
-    )
+    claimed = ranked_top_n(base, order, n)
     claimed = (
         claimed.withColumn(
             "_dup_rn",
@@ -191,9 +250,9 @@ def claim_batch(
         is_hot, F.pmod(F.xxhash64("url_canon"), F.lit(hot_lanes)).cast("int")
     ).otherwise(F.lit(0))
     now_ts = F.to_timestamp(F.lit(now))
-    # NOTE: claim_rank/lane_rank windows run on the already-limited claim
-    # set (≤ n rows, the reference's 200k default) — bounded by design,
-    # never by the 10^10-row frontier.
+    # NOTE: the url_canon dedup window runs on the already-limited claim
+    # set (≤ n rows, the reference's 200k default) and is partitioned by
+    # url_canon — bounded and distributed by design.
     return (
         claimed.withColumn("lane", lane)
         .withColumn("state", F.lit("leased"))

@@ -1039,6 +1039,7 @@ def embedding_norms(spark, sf):
 
 from adscrawler_spark.operators import dedup as dedup_ops  # noqa: E402
 from adscrawler_spark.operators import similarity as sim_ops  # noqa: E402
+from adscrawler_spark.plans import metrics_history as mh  # noqa: E402
 
 _HEXD = "0123456789abcdef"
 _TOK_SQL = (
@@ -1385,3 +1386,88 @@ def except_unordered_parts(spark, sf):
         .select(F.col("l_partkey").alias("p_partkey"))
     )
     return p.exceptAll(li).distinct()
+
+
+@query(
+    "interpolate_weekly",
+    """
+    WITH weekly AS (
+        SELECT event_type, cast(date_trunc('week', ts) AS DATE) AS week_start,
+               round(sum(value), 2) AS val
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT * FROM weekly
+        WHERE (strpos('0123456789abcdef',
+               substr(md5(concat_ws('|', event_type, week_start::VARCHAR)),
+                      1, 1)) - 1) % 3 <> 0
+    ),
+    anchors AS (
+        SELECT event_type, week_start, val,
+               lead(week_start) OVER w AS x2, lead(val) OVER w AS y2
+        FROM obs WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    ),
+    bounds AS (SELECT min(week_start) AS lo, max(week_start) AS hi FROM obs),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY))::DATE
+                AS week_start FROM bounds),
+    grid AS (SELECT d.event_type, c.week_start
+             FROM (SELECT DISTINCT event_type FROM obs) d CROSS JOIN cal c),
+    j AS (
+        SELECT g.event_type, g.week_start, a.val AS exact_val,
+               p.week_start AS pwk, p.val AS pval, p.x2 AS px2, p.y2 AS py2
+        FROM grid g
+        LEFT JOIN anchors a
+          ON a.event_type = g.event_type AND a.week_start = g.week_start
+        LEFT JOIN anchors p
+          ON p.event_type = g.event_type
+         AND p.week_start = (SELECT max(o.week_start) FROM obs o
+                             WHERE o.event_type = g.event_type
+                               AND o.week_start <= g.week_start)
+    )
+    SELECT event_type, strftime(week_start, '%Y-%m-%d') AS week_start,
+           round(coalesce(exact_val,
+                 pval + date_diff('day', pwk, week_start) * (py2 - pval)
+                        / nullif(date_diff('day', pwk, px2), 0)), 4) AS val
+    FROM j
+    WHERE exact_val IS NOT NULL OR (pwk IS NOT NULL AND px2 IS NOT NULL)
+    """,
+)
+def interpolate_weekly(spark, sf):
+    """J6/W5/W6 linear interpolation between weekly anchors (reference
+    app_metrics_history.py:694-809, plans/metrics_history.py:
+    interpolate_weekly).  A deterministic md5 mask drops ~1/3 of the
+    observed weeks; the pipeline re-fills them by prev/next-anchor
+    day-fraction interpolation (no extrapolation past the anchor span)."""
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).agg(F.round(F.sum("value"), 2).alias("val"))
+    keep = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            "event_type",
+                            F.col("week_start").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            - 1
+        )
+        % 3
+        != 0
+    )
+    obs = weekly.filter(keep)
+    out = mh.interpolate_weekly(obs, ["event_type"], "week_start", "val")
+    return out.select(
+        "event_type",
+        F.col("week_start").cast("string").alias("week_start"),
+        F.round("val", 4).alias("val"),
+    )

@@ -118,6 +118,85 @@ def host_changes(weekly: DataFrame) -> DataFrame:
     )
 
 
+def interpolate_weekly(
+    obs: DataFrame,
+    group_cols: list[str],
+    week_col: str = "week_start",
+    val_col: str = "val",
+    clamp_non_negative: bool = False,
+) -> DataFrame:
+    """Weekly linear interpolation between observation anchors — the
+    reference's core metrics product (J6 + W5/W6;
+    /root/reference/adscrawler/process/app_metrics_history.py:694-809):
+    for every calendar week m, value = exact observation if one exists,
+    else prev + days(prev→m) · (next−prev) / days(prev→next) using the
+    nearest anchors around m.  No extrapolation: weeks before a group's
+    first anchor or after its last are dropped (the reference's WHERE
+    on a_exact/a_prev/x2).  ``clamp_non_negative`` reproduces the
+    installs variant (GREATEST(slope, 0),
+    app_metrics_history.py:657-663).
+
+    Shape: next-anchor columns via lead (the reference's MIN_BY OVER
+    w_future on one-row-per-observation data), then a calendar grid and
+    ONE carry-forward struct window instead of the reference's
+    correlated MAX(observed_at < m) subquery — the grid join and both
+    windows partition by the group key, so the whole pipeline is a
+    single hash-distribution with no driver involvement."""
+    gcols = list(group_cols)
+    w_next = Window.partitionBy(*gcols).orderBy(week_col)
+    anchors = obs.select(
+        *gcols,
+        week_col,
+        val_col,
+        F.lead(week_col).over(w_next).alias("_x2"),
+        F.lead(val_col).over(w_next).alias("_y2"),
+    )
+    bounds = obs.select(
+        F.min(week_col).alias("lo"), F.max(week_col).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 7 days)")).alias(week_col)
+    )
+    grid = obs.select(*gcols).distinct().crossJoin(F.broadcast(cal))
+    j = grid.join(anchors, gcols + [week_col], "left")
+    wp = (
+        Window.partitionBy(*gcols)
+        .orderBy(week_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # carry the latest anchor ATOMICALLY (one struct) — carrying fields
+    # with separate ignorenulls windows would mix anchors when the last
+    # anchor's next-pointer (_x2) is null.
+    anchor = F.when(
+        F.col(val_col).isNotNull(),
+        F.struct(
+            F.col(week_col).alias("wk"),
+            F.col(val_col).alias("v"),
+            F.col("_x2").alias("x2"),
+            F.col("_y2").alias("y2"),
+        ),
+    )
+    p = F.col("_prev")
+    rise = p["y2"] - p["v"]
+    if clamp_non_negative:
+        rise = F.greatest(rise, F.lit(0.0))
+    days_to_m = F.datediff(F.col(week_col), p["wk"]).cast("double")
+    span = F.datediff(p["x2"], p["wk"]).cast("double")
+    interp = p["v"] + days_to_m * rise / F.when(span != 0, span)
+    return (
+        j.withColumn("_prev", F.last(anchor, ignorenulls=True).over(wp))
+        .filter(
+            F.col(val_col).isNotNull()
+            | (p.isNotNull() & p["x2"].isNotNull())
+        )
+        .select(
+            *gcols,
+            week_col,
+            F.coalesce(F.col(val_col), interp).alias(val_col),
+        )
+    )
+
+
 def build_all(crawl_log: DataFrame) -> dict[str, DataFrame]:
     """Dependency-ordered derived tables (the MV refresh list)."""
     weekly = weekly_host_metrics(crawl_log)

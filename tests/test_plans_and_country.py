@@ -91,3 +91,44 @@ def test_country_resolution(spark):
     df = spark.createDataFrame([(a,) for a, _ in CASES], "addr string")
     got = [r.c for r in df.select(resolve_country("addr").alias("c")).collect()]
     assert got == [w for _, w in CASES]
+
+
+def test_interpolate_weekly_linear_and_clamp(spark):
+    """Gap weeks get prev+frac*(next-prev); clamped variant floors a
+    negative slope at 0 (installs semantics, app_metrics_history.py:
+    657-663); no extrapolation outside the anchor span."""
+    d = datetime.date
+    obs = spark.createDataFrame(
+        [
+            # group "a": anchors at w0=10.0 and w3=40.0 (gap w1, w2)
+            ("a", d(2024, 1, 1), 10.0),
+            ("a", d(2024, 1, 22), 40.0),
+            # group "b": decreasing anchors 30 -> 9 across one gap week
+            ("b", d(2024, 1, 8), 30.0),
+            ("b", d(2024, 1, 22), 9.0),
+        ],
+        "g string, week_start date, val double",
+    )
+    out = {
+        (r.g, str(r.week_start)): r.val
+        for r in mh.interpolate_weekly(obs, ["g"], "week_start", "val").collect()
+    }
+    assert out[("a", "2024-01-01")] == 10.0
+    assert out[("a", "2024-01-08")] == pytest.approx(20.0)
+    assert out[("a", "2024-01-15")] == pytest.approx(30.0)
+    assert out[("a", "2024-01-22")] == 40.0
+    # group b spans only w1..w3: no row for b at 2024-01-01 (no
+    # extrapolation before first anchor); w2 interpolates downward
+    assert ("b", "2024-01-01") not in out
+    assert out[("b", "2024-01-15")] == pytest.approx(19.5)
+    clamped = {
+        (r.g, str(r.week_start)): r.val
+        for r in mh.interpolate_weekly(
+            obs, ["g"], "week_start", "val", clamp_non_negative=True
+        ).collect()
+    }
+    # negative slope floored: gap week carries the prev anchor flat
+    assert clamped[("b", "2024-01-15")] == pytest.approx(30.0)
+    assert clamped[("a", "2024-01-08")] == pytest.approx(20.0)
+    # exact observations never altered by the clamp
+    assert clamped[("b", "2024-01-22")] == 9.0
