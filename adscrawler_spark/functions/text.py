@@ -62,3 +62,29 @@ def clean_keyword_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"\.[\s\.]*\.", ". ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def normalize_keyword(col: Column | str) -> Column:
+    """Search-term normalization for the keywords table (reference
+    insert_new_keywords.sql:6-34): lowercase, quotes/plus → space,
+    whitespace collapsed, trimmed.  Validity (non-empty, not a pure
+    number group, ≤255 chars) is a separate predicate —
+    ``keyword_is_valid`` — so callers can count rejects."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.replace(c, F.lit('"'), F.lit(" "))
+    c = F.replace(c, F.lit("+"), F.lit(" "))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def keyword_is_valid(col: Column | str) -> Column:
+    """insert_new_keywords.sql:31-34 exclusions: empty after
+    normalization, pure digits, digit/space groups, >255 chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (c != "")
+        & ~c.rlike(r"^\d+$")
+        & ~c.rlike(r"^[\d\s]+$")
+        & (F.length(c) <= 255)
+    )

@@ -1039,6 +1039,7 @@ def embedding_norms(spark, sf):
 
 from adscrawler_spark.operators import dedup as dedup_ops  # noqa: E402
 from adscrawler_spark.operators import similarity as sim_ops  # noqa: E402
+from adscrawler_spark.operators import estimates as est_ops  # noqa: E402
 from adscrawler_spark.plans import metrics_history as mh  # noqa: E402
 
 _HEXD = "0123456789abcdef"
@@ -1470,4 +1471,493 @@ def interpolate_weekly(spark, sf):
         "event_type",
         F.col("week_start").cast("string").alias("week_start"),
         F.round("val", 4).alias("val"),
+    )
+
+
+@query(
+    "rankings_latest_dedup",
+    """
+    WITH all_data AS (
+        SELECT cast(c.c_nationkey % 3 AS INT) AS country,
+               o.o_orderpriority AS collection,
+               o.o_orderstatus AS category,
+               cast(date_trunc('month', o.o_orderdate) AS DATE)
+                   AS crawled_date,
+               o.o_custkey AS store_id, c.c_name AS store_app,
+               o.o_totalprice, o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY country, collection, category, crawled_date
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM all_data
+    ),
+    lists AS (SELECT * FROM ranked WHERE rank <= 5),
+    period_max_dates AS (
+        SELECT country, collection, category,
+               cast(date_trunc('quarter', crawled_date) AS DATE)
+                   AS period_start,
+               max(crawled_date) AS max_crawled_date
+        FROM lists
+        GROUP BY country, collection, category,
+                 date_trunc('quarter', crawled_date)
+    ),
+    best AS (
+        SELECT country, collection, category,
+               cast(date_trunc('quarter', crawled_date) AS DATE)
+                   AS period_start,
+               store_id, cast(min(rank) AS BIGINT) AS best_rank
+        FROM lists
+        GROUP BY country, collection, category,
+                 date_trunc('quarter', crawled_date), store_id
+    )
+    SELECT ar.country, ar.collection, ar.category,
+           strftime(pmd.period_start, '%Y-%m-%d') AS period_start,
+           strftime(ar.crawled_date, '%Y-%m-%d') AS crawled_date,
+           ar.rank, b.best_rank, ar.store_id, ar.store_app
+    FROM lists ar
+    JOIN period_max_dates pmd
+      ON ar.country = pmd.country AND ar.collection = pmd.collection
+     AND ar.category = pmd.category
+     AND ar.crawled_date = pmd.max_crawled_date
+    JOIN best b
+      ON b.country = ar.country AND b.collection = ar.collection
+     AND b.category = ar.category AND b.period_start = pmd.period_start
+     AND b.store_id = ar.store_id
+    """,
+)
+def rankings_latest_dedup(spark, sf):
+    """App-rankings ingestion (reference app_rankings.py:189-225 +
+    process_ranks_from_s3:133-186): synthetic ranked lists per (country,
+    collection, category, crawled_date) derived deterministically from
+    orders, then the reference's period dedup — keep only the latest
+    crawled_date per period — plus best_rank = min(rank) per app over
+    the whole period (the intent of their best_rank upsert column) and
+    the store-id→name resolution join."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    c = _t(spark, sf, "customer")
+    all_data = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        (F.col("c_nationkey") % 3).cast("int").alias("country"),
+        F.col("o_orderpriority").alias("collection"),
+        F.col("o_orderstatus").alias("category"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("crawled_date"),
+        F.col("o_custkey").alias("store_id"),
+        F.col("c_name").alias("store_app"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    wr = Window.partitionBy(
+        "country", "collection", "category", "crawled_date"
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    lists = all_data.withColumn("rank", F.row_number().over(wr)).filter(
+        "rank <= 5"
+    )
+    period = F.date_trunc("quarter", "crawled_date").cast("date")
+    pmd = lists.groupBy(
+        "country", "collection", "category", period.alias("period_start")
+    ).agg(F.max("crawled_date").alias("max_crawled_date"))
+    best = lists.groupBy(
+        "country",
+        "collection",
+        "category",
+        period.alias("period_start"),
+        "store_id",
+    ).agg(F.min("rank").cast("long").alias("best_rank"))
+    latest = lists.join(
+        pmd,
+        on=[
+            lists["country"] == pmd["country"],
+            lists["collection"] == pmd["collection"],
+            lists["category"] == pmd["category"],
+            lists["crawled_date"] == pmd["max_crawled_date"],
+        ],
+    ).select(lists["*"], pmd["period_start"])
+    return latest.join(
+        best, ["country", "collection", "category", "period_start", "store_id"]
+    ).select(
+        "country",
+        "collection",
+        "category",
+        F.col("period_start").cast("string").alias("period_start"),
+        F.col("crawled_date").cast("string").alias("crawled_date"),
+        "rank",
+        "best_rank",
+        "store_id",
+        "store_app",
+    )
+
+
+@query(
+    "sdk_pattern_scan",
+    """
+    WITH strings AS (
+        SELECT p_partkey AS string_id, lower(p_name) AS val,
+               lower(p_type) AS path
+        FROM part
+    ),
+    pkg(package_pattern, sdk_id) AS (
+        VALUES ('small', 101), ('red', 102), ('blue', 103)
+    ),
+    pth(path_pattern, sdk_id) AS (
+        VALUES ('ECONOMY', 201), ('SMALL', 202)
+    ),
+    med(mediation_pattern, sdk_id) AS (
+        VALUES ('hot', 301), ('small', 302)
+    )
+    SELECT s.string_id, sp.sdk_id, 'package' AS match_kind
+    FROM strings s JOIN pkg sp
+      ON s.val IS NOT NULL AND starts_with(s.val, lower(sp.package_pattern))
+    UNION ALL
+    SELECT s.string_id, ptm.sdk_id, 'path' AS match_kind
+    FROM strings s JOIN pth ptm
+      ON s.path IS NOT NULL AND s.path = lower(ptm.path_pattern)
+    UNION ALL
+    SELECT s.string_id, cmp.sdk_id, 'mediation' AS match_kind
+    FROM strings s JOIN med cmp
+      ON s.val IS NOT NULL
+     AND starts_with(s.val, lower(cmp.mediation_pattern) || ' ')
+    """,
+)
+def sdk_pattern_scan(spark, sf):
+    """SDK/version-details scan (reference version_details.py:317-341):
+    the three-branch pattern-match UNION — package prefix, exact path,
+    mediation prefix+separator — against broadcast pattern dims, over a
+    strings table derived from part."""
+    s = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("string_id"),
+        F.lower("p_name").alias("val"),
+        F.lower("p_type").alias("path"),
+    )
+    spark_ = s.sparkSession
+    pkg = spark_.createDataFrame(
+        [("small", 101), ("red", 102), ("blue", 103)],
+        "package_pattern string, sdk_id int",
+    )
+    pth = spark_.createDataFrame(
+        [("ECONOMY", 201), ("SMALL", 202)], "path_pattern string, sdk_id int"
+    )
+    med = spark_.createDataFrame(
+        [("hot", 301), ("small", 302)], "mediation_pattern string, sdk_id int"
+    )
+    by_pkg = s.join(
+        F.broadcast(pkg),
+        s["val"].isNotNull()
+        & s["val"].startswith(F.lower(pkg["package_pattern"])),
+    ).select("string_id", "sdk_id", F.lit("package").alias("match_kind"))
+    by_path = s.join(
+        F.broadcast(pth),
+        s["path"].isNotNull() & (s["path"] == F.lower(pth["path_pattern"])),
+    ).select("string_id", "sdk_id", F.lit("path").alias("match_kind"))
+    by_med = s.join(
+        F.broadcast(med),
+        s["val"].isNotNull()
+        & s["val"].startswith(
+            F.concat(F.lower(med["mediation_pattern"]), F.lit(" "))
+        ),
+    ).select("string_id", "sdk_id", F.lit("mediation").alias("match_kind"))
+    return by_pkg.unionByName(by_path).unionByName(by_med)
+
+
+_TFIDF_MIN_DF, _TFIDF_MAX_DF, _TFIDF_TOP = 5, 0.5, 100
+
+
+@query(
+    "tfidf_ngrams",
+    f"""
+    WITH base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+')
+                      AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_concat(list_concat(
+            CASE WHEN len(toks) >= 1 THEN
+                [array_to_string(toks[i:i], ' ')
+                 FOR i IN generate_series(1, len(toks))] ELSE [] END,
+            CASE WHEN len(toks) >= 2 THEN
+                [array_to_string(toks[i:i+1], ' ')
+                 FOR i IN generate_series(1, len(toks) - 1)] ELSE [] END),
+            CASE WHEN len(toks) >= 3 THEN
+                [array_to_string(toks[i:i+2], ' ')
+                 FOR i IN generate_series(1, len(toks) - 2)] ELSE [] END))
+            AS term
+        FROM base
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.term,
+               round(sum(t.tf * ln(n.n_docs * 1.0 / d.df_t)), 4) AS score
+        FROM tf t JOIN dft d USING (term) CROSS JOIN nd n
+        WHERE d.df_t >= {_TFIDF_MIN_DF} AND d.df_t <= {_TFIDF_MAX_DF} * n.n_docs
+        GROUP BY t.term
+    )
+    SELECT term, score, rnk FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, term ASC) AS rnk
+        FROM scored)
+    WHERE rnk <= {_TFIDF_TOP}
+    """,
+)
+def tfidf_ngrams(spark, sf):
+    """The reference's real keyword vectorizer config (A8;
+    process_keywords.py:359-373): 1–3-gram terms, min_df/max_df corpus
+    caps, global score = sum of tf·ln(N/df) over docs, top terms.  All
+    JVM-side: gram explode → two hash aggregations → broadcast df
+    join."""
+    d = _t(spark, sf, "documents")
+    toks = "split(lower(text), '\\\\s+')"
+
+    def gram(n: int) -> str:
+        return (
+            f"if(size({toks}) >= {n}, transform(sequence(1, size({toks}) - "
+            f"{n} + 1), i -> array_join(slice({toks}, i, {n}), ' ')), "
+            "array())"
+        )
+
+    terms = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"concat({gram(1)}, {gram(2)}, {gram(3)})")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    nd = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df_t") >= _TFIDF_MIN_DF)
+            & (F.col("df_t") <= _TFIDF_MAX_DF * F.col("n_docs"))
+        )
+        .groupBy("term")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df_t"))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("term", "score", "rnk")
+    )
+
+
+@query(
+    "keyword_crawl_priority",
+    """
+    WITH tokens AS (
+        SELECT doc_id, source, unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> ''))) AS term
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(replace(replace(term, '"', ' '),
+                    '+', ' '), '\\s+', ' ', 'g')) AS keyword_text
+        FROM tokens
+    ),
+    kw AS (
+        SELECT keyword_text, count(DISTINCT doc_id) AS app_count
+        FROM norm
+        WHERE keyword_text <> ''
+          AND NOT regexp_matches(keyword_text, '^\\d+$')
+          AND NOT regexp_matches(keyword_text, '^[\\d\\s]+$')
+          AND length(keyword_text) <= 255
+        GROUP BY keyword_text
+    ),
+    fresh AS (
+        SELECT * FROM kw
+        WHERE (strpos('0123456789abcdef', substr(md5(keyword_text), 1, 1))
+               - 1) % 2 <> 0
+    ),
+    total AS (SELECT count(*) AS total_apps FROM documents),
+    user_rows AS (
+        SELECT DISTINCT keyword_text, 'user' AS priority,
+               cast(0 AS BIGINT) AS app_count, cast(0 AS BIGINT) AS total_apps
+        FROM norm
+        WHERE source = 'src1' AND keyword_text <> ''
+          AND NOT regexp_matches(keyword_text, '^\\d+$')
+          AND NOT regexp_matches(keyword_text, '^[\\d\\s]+$')
+          AND length(keyword_text) <= 255
+          AND (strpos('0123456789abcdef', substr(md5(keyword_text), 1, 1))
+               - 1) % 2 <> 0
+    ),
+    unioned AS (
+        SELECT * FROM user_rows
+        UNION ALL
+        SELECT keyword_text, 'scheduled' AS priority, app_count,
+               (SELECT total_apps FROM total) AS total_apps
+        FROM fresh
+    )
+    SELECT keyword_text, priority, app_count, total_apps, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY priority
+                   ORDER BY app_count DESC, keyword_text ASC) AS rnk
+        FROM unioned)
+    WHERE rnk <= 50
+    """,
+)
+def keyword_crawl_priority(spark, sf):
+    """O4 user-first keyword crawl priority (reference
+    query_keywords_to_crawl.sql:38-74 + insert_new_keywords.sql:6-34):
+    normalized/validated keywords, a recently-crawled exclusion mask,
+    then the user-terms-first UNION over the scheduled scored set."""
+    from adscrawler_spark.functions.text import keyword_is_valid, normalize_keyword
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("term"),
+    )
+    norm = toks.withColumn("keyword_text", normalize_keyword("term"))
+    not_crawled = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5("keyword_text"), 1, 1),
+            )
+            - 1
+        )
+        % 2
+        != 0
+    )
+    kw = (
+        norm.filter(keyword_is_valid("keyword_text"))
+        .groupBy("keyword_text")
+        .agg(F.countDistinct("doc_id").alias("app_count"))
+    )
+    total = d.select(F.count("*").alias("total_apps"))
+    scheduled = (
+        kw.filter(not_crawled)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "keyword_text",
+            F.lit("scheduled").alias("priority"),
+            "app_count",
+            "total_apps",
+        )
+    )
+    user = (
+        norm.filter(F.col("source") == "src1")
+        .filter(keyword_is_valid("keyword_text"))
+        .filter(not_crawled)
+        .select("keyword_text")
+        .distinct()
+        .select(
+            "keyword_text",
+            F.lit("user").alias("priority"),
+            F.lit(0).cast("long").alias("app_count"),
+            F.lit(0).cast("long").alias("total_apps"),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.desc("app_count"), F.asc("keyword_text")
+    )
+    return (
+        user.unionByName(scheduled)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+@query(
+    "country_share_estimates",
+    """
+    WITH weekly AS (
+        SELECT cast(user_id % 10 AS INT) AS store_app,
+               cast(event_id % 5 AS INT) AS country,
+               cast(date_trunc('week', ts) AS DATE) AS week_start,
+               cast(100 * count(*) AS BIGINT) AS review_count,
+               cast(1000 + (min(event_id) % 5000) AS BIGINT) AS installs
+        FROM events GROUP BY 1, 2, 3
+    ),
+    flags AS (
+        SELECT *, max(review_count) OVER w AS max_reviews,
+               max(installs) OVER w AS global_installs
+        FROM weekly WINDOW w AS (PARTITION BY store_app, week_start)
+    ),
+    cand AS (
+        SELECT *, (review_count >= max_reviews * 0.96
+                   AND max_reviews > 200) AS is_cand
+        FROM flags
+    ),
+    fb AS (
+        SELECT *, (is_cand AND sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                   OVER w > 1) AS is_fallback
+        FROM cand WINDOW w AS (PARTITION BY store_app, week_start)
+    ),
+    tr AS (
+        SELECT *, CASE WHEN is_fallback THEN 0 ELSE review_count END
+                      AS true_review_count
+        FROM fb
+    ),
+    gl AS (
+        SELECT *, sum(true_review_count) OVER w AS grc_summed,
+               max(CASE WHEN is_fallback THEN 1 ELSE 0 END) OVER w
+                   AS has_fallback
+        FROM tr WINDOW w AS (PARTITION BY store_app, week_start)
+    ),
+    pct AS (
+        SELECT *,
+               CASE WHEN (CASE WHEN has_fallback = 1 THEN max_reviews
+                          ELSE grc_summed END) = 0 THEN 0.0
+                    ELSE true_review_count * 1.0 /
+                         (CASE WHEN has_fallback = 1 THEN max_reviews
+                          ELSE grc_summed END)
+               END AS p
+        FROM gl
+    )
+    SELECT store_app, country, strftime(week_start, '%Y-%m-%d') AS week_start,
+           cast(review_count AS BIGINT) AS review_count,
+           cast(true_review_count AS BIGINT) AS true_review_count,
+           floor(p * 10000 + 0.5) / 10000 AS pct_of_global,
+           cast(floor(global_installs * p + 0.5) AS BIGINT) AS installs_est
+    FROM pct
+    """,
+)
+def country_share_estimates(spark, sf):
+    """Grouped-map country-share model (reference process_metrics_google,
+    app_metrics_history.py:413-534, distilled): groupBy(store_app).
+    applyInPandas — one Arrow batch per app models its weekly country
+    matrix (max candidates → global fallback → pct_of_global → scaled
+    install estimates).  The DuckDB twin re-states the same model as
+    window SQL."""
+    e = _t(spark, sf, "events")
+    weekly = e.groupBy(
+        (F.col("user_id") % 10).cast("int").alias("store_app"),
+        (F.col("event_id") % 5).cast("int").alias("country"),
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).agg(
+        (F.count("*") * 100).cast("long").alias("review_count"),
+        (F.lit(1000) + F.min("event_id") % 5000).cast("long").alias("installs"),
+    )
+    out = est_ops.country_share_model(weekly)
+    return out.select(
+        "store_app",
+        "country",
+        F.col("week_start").cast("string").alias("week_start"),
+        "review_count",
+        "true_review_count",
+        "pct_of_global",
+        "installs_est",
     )

@@ -132,3 +132,61 @@ def test_interpolate_weekly_linear_and_clamp(spark):
     assert clamped[("a", "2024-01-08")] == pytest.approx(20.0)
     # exact observations never altered by the clamp
     assert clamped[("b", "2024-01-22")] == 9.0
+
+
+def test_country_share_model_parity_and_fallback(spark):
+    """Grouped-map applyInPandas model equals the sequential pandas
+    oracle, including the global-fallback branch (two countries both
+    reporting ~the global counter get zeroed and the week falls back to
+    max_reviews as the global denominator)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from adscrawler_spark.operators import estimates as est
+
+    w1, w2 = _dt.date(2024, 1, 1), _dt.date(2024, 1, 8)
+    rows = [
+        # app 1 / week 1: countries 0 and 1 both report ~global (1000,
+        # 980 >= 0.96*1000) -> both fallback; country 2 is local-only.
+        (1, 0, w1, 1000, 5000),
+        (1, 1, w1, 980, 4000),
+        (1, 2, w1, 50, 3000),
+        # app 1 / week 2: one clear max -> no fallback, pct over sum.
+        (1, 0, w2, 600, 5000),
+        (1, 1, w2, 300, 4000),
+        # app 2: below the 200 floor -> never a candidate.
+        (2, 0, w1, 150, 900),
+        (2, 1, w1, 149, 800),
+    ]
+    cols = ["store_app", "country", "week_start", "review_count", "installs"]
+    sdf = spark.createDataFrame(
+        rows, "store_app int, country int, week_start date, "
+        "review_count long, installs long"
+    )
+    got = (
+        est.country_share_model(sdf)
+        .toPandas()
+        .sort_values(["store_app", "country", "week_start"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=cols)
+    want = (
+        pdf.groupby("store_app", group_keys=False)[pdf.columns]
+        .apply(est.country_share_columns)
+        .sort_values(["store_app", "country", "week_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by = {
+        (r.store_app, r.country, r.week_start): r for _, r in got.iterrows()
+    }
+    # fallback week: both candidates zeroed, denominator = max_reviews
+    assert by[(1, 0, w1)].true_review_count == 0
+    assert by[(1, 1, w1)].true_review_count == 0
+    assert by[(1, 2, w1)].pct_of_global == 0.05  # 50 / 1000
+    # non-fallback week: pct over the local sum (600+300)
+    assert by[(1, 0, w2)].pct_of_global == round(600 / 900, 4)
+    assert by[(1, 0, w2)].installs_est == int(5000 * (600 / 900) + 0.5)
+    # below floor: never candidates, plain shares
+    assert by[(2, 0, w1)].true_review_count == 150
