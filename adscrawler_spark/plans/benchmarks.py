@@ -1961,3 +1961,79 @@ def country_share_estimates(spark, sf):
         "pct_of_global",
         "installs_est",
     )
+
+
+@query(
+    "dev_crawl_order",
+    """
+    WITH logd AS (
+        SELECT o_custkey, max(cast(o_orderdate AS DATE)) AS apps_crawled_at
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    ),
+    inst AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_installs
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    mydvs AS (
+        SELECT c.c_custkey AS id, c.c_name AS developer_id,
+               i.total_installs, l.apps_crawled_at
+        FROM customer c
+        LEFT JOIN logd l ON c.c_custkey = l.o_custkey
+        JOIN inst i ON c.c_custkey = i.o_custkey
+        WHERE l.apps_crawled_at <= DATE '2000-01-01'
+           OR l.apps_crawled_at IS NULL
+    )
+    SELECT id, developer_id, total_installs,
+           strftime(apps_crawled_at, '%Y-%m-%d') AS apps_crawled_at, rnk
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY apps_crawled_at ASC NULLS FIRST,
+                       total_installs DESC NULLS LAST, id ASC) AS rnk
+          FROM mydvs)
+    WHERE rnk <= 100
+    """,
+)
+def dev_crawl_order(spark, sf):
+    """O6 developer crawl ordering (reference query_devs_to_update.sql):
+    stale-or-never filter, NULLS FIRST crawl date, installs-desc
+    tie-break, bounded claim."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    logd = (
+        o.filter("o_orderstatus = 'F'")
+        .groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("apps_crawled_at"))
+    )
+    inst = (
+        o.filter("o_orderstatus = 'O'")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_installs"))
+    )
+    mydvs = (
+        c.join(logd, c.c_custkey == logd.o_custkey, "left")
+        .drop(logd.o_custkey)
+        .join(inst, c.c_custkey == inst.o_custkey)
+        .filter(
+            (F.col("apps_crawled_at") <= F.lit("2000-01-01").cast("date"))
+            | F.col("apps_crawled_at").isNull()
+        )
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("developer_id"),
+            "total_installs",
+            "apps_crawled_at",
+        )
+    )
+    w = Window.orderBy(
+        F.asc_nulls_first("apps_crawled_at"),
+        F.desc_nulls_last("total_installs"),
+        F.asc("id"),
+    )
+    return (
+        mydvs.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 100")
+        .select(
+            "id", "developer_id", "total_installs",
+            F.col("apps_crawled_at").cast("string").alias("apps_crawled_at"),
+            "rnk",
+        )
+    )

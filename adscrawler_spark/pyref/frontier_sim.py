@@ -58,6 +58,24 @@ class SimState:
     claim_log: list[tuple[int, str, int, str]]  # (gen, family, rank, canon)
     docs: set[str]
     crawl_results: dict[str, int]
+    doc_countries: dict[str, str | None] = field(default_factory=dict)
+
+
+def _doc_country(row: dict, h: int) -> str | None:
+    """Expected document country: Play resolves the developer address
+    (P11) and falls back to the storefront crawl country; iOS IS its
+    storefront; ads.txt has none (scrape_stores.py:991-1050 analog)."""
+    kind = row["doc_kind"]
+    if kind == "adstxt":
+        return None
+    if kind == "listing_play":
+        import json as _json
+
+        from adscrawler_spark.functions.country import guess_country
+
+        body = _json.loads(synth.synth_body(h, kind, row["url"]))
+        return guess_country(body.get("developerAddress")) or row.get("country")
+    return row.get("country")
 
 
 def _listing_sort_key(row: dict, now: datetime):
@@ -156,7 +174,9 @@ def run_sim(
                         "adstxt": "adstxt::",
                     }[r["doc_kind"]]
                     if ok and (r["doc_kind"] == "adstxt" or result == 1):
-                        st.docs.add(prefix + r["url_canon"])
+                        doc_id = prefix + r["url_canon"]
+                        st.docs.add(doc_id)
+                        st.doc_countries[doc_id] = _doc_country(r, h)
                 results[r["url_canon"]] = (result, True, False)
                 st.crawl_results[r["url_canon"]] = result
 

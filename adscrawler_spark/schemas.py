@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DateType,
     DoubleType,
     IntegerType,
     LongType,
@@ -43,7 +44,7 @@ DOCUMENTS = StructType(
         StructField("country", StringType()),
         StructField("crawl_result", IntegerType()),   # 1 ok/2 empty/3 notfound/4 unknown/5 wrong-platform
         StructField("fetched_at", TimestampType()),
-        StructField("crawled_date", StringType()),
+        StructField("crawled_date", DateType()),
         # lineage (north_rule: seed → frontier-partition → fetch-batch)
         StructField("seed_id", StringType()),
         StructField("partition_id", IntegerType()),

@@ -26,6 +26,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -62,12 +63,33 @@ class SnapshotTable:
             return None
         if not snap["files"]:
             return None
-        return spark.read.parquet(*snap["files"])
+        if len(snap["files"]) == 1:
+            return spark.read.parquet(snap["files"][0])
+        # one read per committed fileset, unioned — hive partition
+        # discovery is per fileset root (mixing roots in one read
+        # conflicts); this is the same per-manifest scan planning
+        # Iceberg does.
+        out = spark.read.parquet(snap["files"][0])
+        for f in snap["files"][1:]:
+            out = out.unionByName(spark.read.parquet(f))
+        return out
 
     # ------------------------------------------------------------ write
-    def _write_fileset(self, df: DataFrame) -> list[str]:
+    def _write_fileset(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[str]:
         path = os.path.join(self.dir, "data", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # Iceberg-style partition spec as hive directories; readers
+            # recover the partition columns via discovery on each
+            # committed fileset root.
+            writer = (
+                df.repartition(*[F.col(c) for c in partition_by])
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+            )
+        writer.parquet(path)
         return [path]
 
     def _commit(self, files: list[str], meta: dict | None = None) -> int:
@@ -90,16 +112,26 @@ class SnapshotTable:
         os.replace(cur_tmp, os.path.join(self.dir, "CURRENT"))  # atomic publish
         return version
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Iceberg-style append: new files + prior snapshot's files."""
-        new_files = self._write_fileset(df)
+        new_files = self._write_fileset(df, partition_by)
         snap = self.snapshot()
         old_files = snap["files"] if snap else []
         return self._commit(old_files + new_files, meta)
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Atomic full replace (≙ Iceberg overwritePartitions / REPLACE)."""
-        return self._commit(self._write_fileset(df), meta)
+        return self._commit(self._write_fileset(df, partition_by), meta)
 
     def truncate(self, meta: dict | None = None) -> int:
         """Commit an empty snapshot (read() then returns None)."""

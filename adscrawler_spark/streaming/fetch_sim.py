@@ -40,6 +40,7 @@ FETCH_SCHEMA = StructType(
         StructField("url_canon", StringType()),
         StructField("url_hash64", LongType()),
         StructField("host", StringType()),
+        StructField("country", StringType()),
         StructField("doc_kind", StringType()),
         StructField("crawl_result", IntegerType()),
         StructField("attempts", IntegerType()),
@@ -56,7 +57,7 @@ FETCH_SCHEMA = StructType(
 )
 
 _IN_COLS = [
-    "url", "url_canon", "url_hash64", "host", "doc_kind", "lane",
+    "url", "url_canon", "url_hash64", "host", "country", "doc_kind", "lane",
     "lane_rank", "claim_rank", "crawl_delay", "robots_denied",
     "within_budget", "virtual_time", "seed_id", "batch_id", "partition_id",
 ]
@@ -104,6 +105,7 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "url_canon": pdf["url_canon"].to_numpy(),
                 "url_hash64": h,
                 "host": pdf["host"].to_numpy(),
+                "country": pdf["country"].to_numpy(),
                 "doc_kind": kinds,
                 "crawl_result": np.where(fetchable, result, 0),
                 "attempts": np.where(fetchable, attempts, 0),

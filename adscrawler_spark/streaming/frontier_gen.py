@@ -19,6 +19,9 @@ HOT_PLAY = "google-play-store.com"
 HOT_IOS = "apple-app-store.com"
 TAIL_DOMAINS = 2000
 BASE_TS = "2026-08-01 00:00:00"
+# storefront countries each app fans out across (the reference's
+# countries_to_crawl dimension, query_apps_to_update_primary.sql:97-99)
+COUNTRIES = ["us", "gb", "de", "jp", "br"]
 
 
 def _h(seed: int, salt: int) -> F.Column:
@@ -56,24 +59,36 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         .when(r < 330, "listing_ios")
         .otherwise("adstxt")
     )
+    # apps × countries fan-out (J4, query_apps_to_update_primary.sql:97-99):
+    # ~3 frontier rows per app id, each with its own storefront country
+    # baked into the URL (&gl=.. / /cc/app/..), so per-country listings
+    # are distinct canonical URLs exactly as in the reference stores.
+    app = F.floor(eff / 3).cast("long")
+    cidx = F.pmod(F.xxhash64(F.lit(seed), eff, F.lit(12)), F.lit(len(COUNTRIES)))
+    cc = F.get(F.array(*[F.lit(c) for c in COUNTRIES]), cidx.cast("int"))
     url = (
         F.when(
             r < 180,
             F.concat(
                 F.lit("https://" + HOT_PLAY + "/store/apps/details?id=com.app"),
-                eff.cast("string"),
-                F.lit("&gl=us"),
+                app.cast("string"),
+                F.lit("&gl="),
+                cc,
             ),
         )
         .when(
             r < 330,
             F.concat(
-                F.lit("https://" + HOT_IOS + "/us/app/id"), eff.cast("string")
+                F.lit("https://" + HOT_IOS + "/"), cc, F.lit("/app/id"),
+                app.cast("string"),
             ),
         )
         .otherwise(
             F.concat(F.lit("https://"), sub, tail_host, F.lit("/app-ads.txt"))
         )
+    )
+    country = F.when(r < 330, F.upper(cc)).otherwise(
+        F.lit(None).cast("string")
     )
 
     installs = F.pow(
@@ -106,6 +121,7 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         ),
         installs.alias("installs"),
         ratings.alias("rating_count"),
+        country.alias("country"),
         last_crawled.alias("last_crawled_at"),
         F.lit("pending").alias("state"),
         F.lit(None).cast("timestamp").alias("leased_until"),

@@ -122,30 +122,41 @@ def now_str(generation: int) -> str:
 def _listing_docs(fetched: DataFrame, kind: str, now: str) -> DataFrame:
     rows = fetched.filter(
         (F.col("doc_kind") == kind) & F.col("fetched") & F.col("body").isNotNull()
-    )
+    ).withColumnRenamed("country", "crawl_country")
     schema = PLAY_RAW_SCHEMA if kind == "listing_play" else IOS_RAW_SCHEMA
     raw = rows.select(
         "url_canon", "host", "seed_id", "batch_id", "partition_id",
-        "crawl_result", "virtual_time",
+        "crawl_result", "virtual_time", "crawl_country",
         F.from_json("body", schema).alias("r"),
     ).select("url_canon", "host", "seed_id", "batch_id", "partition_id",
-             "crawl_result", "virtual_time", "r.*")
+             "crawl_result", "virtual_time", "crawl_country", "r.*")
     cleaned = (
         clean_play_listings(raw) if kind == "listing_play" else clean_ios_listings(raw)
     )
     prefix = "gp::" if kind == "listing_play" else "ios::"
+    from adscrawler_spark.functions.country import resolve_country
     from adscrawler_spark.operators.listings import listing_spans_col
 
     store = 1 if kind == "listing_play" else 2
+    # country evidence order (scrape_stores.py:991-1050 analog): Play's
+    # developer address resolves via the ISO name table; otherwise the
+    # storefront crawl country (always, for iOS — the store-front IS the
+    # country there).
+    if kind == "listing_play":
+        country = F.coalesce(
+            resolve_country(F.col("developer_address")), F.col("crawl_country")
+        )
+    else:
+        country = F.col("crawl_country")
     return cleaned.select(
         F.concat(F.lit(prefix), F.col("url_canon")).alias("doc_id"),
         listing_spans_col(cleaned).alias("spans"),
         F.col("host"),
         F.lit(store).alias("store"),
-        F.lit("US").alias("country"),
+        country.alias("country"),
         F.col("crawl_result"),
         F.to_timestamp(F.lit(now)).alias("fetched_at"),
-        F.date_format(F.to_timestamp(F.lit(now)), "yyyy-MM-dd").alias("crawled_date"),
+        F.to_date(F.to_timestamp(F.lit(now))).alias("crawled_date"),
         "seed_id", "partition_id", "batch_id",
     )
 
@@ -194,7 +205,7 @@ def run_generation(
             F.lit(0).alias("store"), F.lit(None).cast("string").alias("country"),
             "crawl_result",
             F.to_timestamp(F.lit(now)).alias("fetched_at"),
-            F.date_format(F.to_timestamp(F.lit(now)), "yyyy-MM-dd").alias("crawled_date"),
+            F.to_date(F.to_timestamp(F.lit(now))).alias("crawled_date"),
             "seed_id", "partition_id", "batch_id",
         )
     )
@@ -237,10 +248,20 @@ def run_generation(
     # FAIR-ish driver-side analog of the reference's worker pool).
     from concurrent.futures import ThreadPoolExecutor
 
+    # documents land partitioned store/crawled_date/country (the
+    # reference lake layout, process/__init__.py:9-46) with a 256-way
+    # doc hash bucket column for clustering/pruning (Iceberg's bucket
+    # transform; a directory level only at real data volumes).
+    from adscrawler_spark.functions.urls import hash_bucket
+
+    docs_out = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
+
     with ThreadPoolExecutor(max_workers=5) as pool:
         f_docs = pool.submit(
             lambda: (docs.count(),
-                     cat.table("documents").append(docs, {"generation": generation}))
+                     cat.table("documents").append(
+                         docs_out, {"generation": generation},
+                         partition_by=["store", "crawled_date", "country"]))
         )
         f_entries = pool.submit(
             lambda: (entries_out.count(),
@@ -292,6 +313,7 @@ def run_generation(
         F.lit(False).alias("ad_supported"),
         F.lit(0).cast("long").alias("installs"),
         F.lit(0).cast("long").alias("rating_count"),
+        F.lit(None).cast("string").alias("country"),
         F.lit(None).cast("timestamp").alias("last_crawled_at"),
         F.lit("pending").alias("state"),
         F.lit(None).cast("timestamp").alias("leased_until"),

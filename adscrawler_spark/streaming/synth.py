@@ -42,6 +42,20 @@ _DESCRIPTIONS = [
     "et elle est une des plus utiles que vous pouvez avoir",
 ]
 _CATEGORIES = ["TOOLS", "GAME_PUZZLE", "FOOD_AND_DRINK", "SOCIAL", "FINANCE"]
+
+# deterministic developer addresses: ~half carry a resolvable country
+# (P11 evidence path, scrape_stores.py:991-1050), half don't — the doc
+# then falls back to the storefront crawl country.
+_ADDRESSES = [
+    None,
+    "12 Main Street, Springfield, United States",
+    "Hauptstrasse 5, 10115 Berlin, Germany",
+    None,
+    "1-2-3 Shibuya, Tokyo, Japan",
+    "Av. Paulista 100, São Paulo, Brazil",
+    None,
+    "Gangnam-daero 123, Seoul, South Korea",
+]
 _IOS_GENRES = ["Games,Word,Puzzle", "Games,Racing", "Food & Drink", "Finance"]
 _AD_DOMAINS = [f"adnet{i}-ads.com" for i in range(40)]
 
@@ -103,7 +117,7 @@ def synth_play_listing(h: int, app_id: str) -> str:
         "developerWebsite": f"https://www.pub{h % 500}-dev.com/about",
         "developerId": f"dev{h % 10**4}",
         "developer": f"Developer {h % 10**4}",
-        "developerAddress": None,
+        "developerAddress": _ADDRESSES[h % len(_ADDRESSES)],
         "genreId": _CATEGORIES[h % len(_CATEGORIES)],
         "headerImage": f"https://cdn.example/hdr/{h % 10**6}.png",
         "screenshots": [

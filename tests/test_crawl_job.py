@@ -108,8 +108,33 @@ def test_frontier_states_match_oracle(spark, run_dir, sim_state):
 
 def test_documents_match_oracle(spark, run_dir, sim_state):
     cat = Catalog(run_dir)
-    got = {r.doc_id for r in cat.table("documents").read(spark).collect()}
+    rows = cat.table("documents").read(spark).collect()
+    got = {r.doc_id for r in rows}
     assert got == sim_state.docs
+    # per-doc country parity: Play = resolved developer address with
+    # storefront fallback, iOS = storefront, ads.txt = null
+    got_countries = {r.doc_id: r.country for r in rows}
+    assert got_countries == sim_state.doc_countries
+    assert any(v is not None for v in got_countries.values())
+    # the fan-out produced more than one storefront country
+    assert len({v for v in got_countries.values() if v}) > 1
+
+
+def test_documents_partition_layout(spark, run_dir):
+    """Documents are laid out store/crawled_date/country with a bucket
+    column (reference lake layout, process/__init__.py:9-46)."""
+    import glob
+    import os
+
+    cat = Catalog(run_dir)
+    docs = cat.table("documents").read(spark)
+    for col in ["store", "crawled_date", "country", "bucket"]:
+        assert col in docs.columns, col
+    snap = cat.table("documents").snapshot()
+    leaf = glob.glob(
+        os.path.join(snap["files"][0], "store=*", "crawled_date=*", "country=*")
+    )
+    assert leaf, "expected hive-style store/crawled_date/country dirs"
 
 
 def test_politeness_budget_enforced(spark, run_dir):
