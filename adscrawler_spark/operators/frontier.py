@@ -180,6 +180,9 @@ def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
         .withColumn("_tn_mid", F.monotonically_increasing_id())
         .filter(F.col("_tn_mid").bitwiseAND(F.lit(lower33)) < n)
         .drop("_tn_mid")
+        # persisted: the range partitioner's sampling pass and the real
+        # shuffle would otherwise each re-run the full phase-1 sort.
+        .persist()
     )
     p2 = spark.sparkContext.defaultParallelism
     ranged = (

@@ -140,7 +140,11 @@ def probe_unseen(
     # Strategy choice from ONE scalar — never pull the bitsets to the
     # driver unless the broadcast path is actually taken (at 10^10 keys
     # the sidecar is many GB; collecting it just to measure it would
-    # defeat the partitioned design).
+    # defeat the partitioned design).  The sidecar is persisted first:
+    # building it is a full pass over the seen set, and it is consumed
+    # again by whichever probe strategy wins (ContextCleaner releases
+    # it once unreferenced).
+    filters = filters.persist()
     total_bytes = int(
         filters.agg(F.sum(F.length("bits")).alias("b")).first()["b"] or 0
     )

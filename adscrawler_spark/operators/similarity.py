@@ -129,13 +129,12 @@ def lsh_table_buckets(emb: DataFrame, dims: int, n_planes: int = 6,
     p = 1 - acos(sim)/pi.  Projections fold the weight array in array
     order (left-to-right), so the sign — hence the bucket — reproduces
     exactly in any engine with an ordered fold."""
+    from adscrawler_spark.operators.dedup import spread_if_narrow
+
     planes = lsh_plane_table(emb.sparkSession, dims, n_planes, n_tables, seed)
-    # spread the corpus before the tables×planes fan-out — a compact
-    # parquet scan would otherwise project every vector in one task
-    # (explicit count: AQE would coalesce a byte-small shuffle to 1).
-    v = emb.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
+    # spread a compact corpus scan before the tables×planes fan-out —
+    # it would otherwise project every vector in one task.
+    v = spread_if_narrow(emb, id_col).select(
         F.col(id_col).alias("vid"), F.expr(_dcast(vec_col)).alias("v")
     )
     proj = v.crossJoin(F.broadcast(planes)).select(

@@ -172,7 +172,11 @@ def run_generation(
 ) -> dict:
     t0 = time.time()
     now = now_str(generation)
-    frontier = current_frontier(spark, cat)
+    # persisted: the merged log-structured view feeds two claim
+    # families, each of which makes multiple passes (prune, range
+    # sampling, rank) — without the cache every pass replays the
+    # base+update-log merge.
+    frontier = current_frontier(spark, cat).persist()
 
     claim_l = frontier_ops.claim_batch(
         frontier, ["listing_play", "listing_ios"], listing_batch, now, generation
@@ -374,6 +378,7 @@ def run_generation(
     results.unpersist()
     docs.unpersist()
     entries.unpersist()
+    frontier.unpersist()
     return metrics
 
 

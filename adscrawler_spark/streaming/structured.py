@@ -93,3 +93,123 @@ def batch_equivalent(spark: SparkSession, events_dir: str, schema: str,
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Custom stateful operator: gap sessionization via applyInPandasWithState
+# ---------------------------------------------------------------------
+
+SESSION_GAP_MINUTES = 30  # same gap as the batch sessionize_events entry
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    watermark: str = "1 minute",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming gap sessionization — the custom stateful operator the
+    built-in windowed aggregations can't express (sessions have
+    data-dependent, unbounded extent).
+
+    Per user_id, ``applyInPandasWithState`` keeps ONE open session
+    (start, end, count) as state; each micro-batch's events extend or
+    close it (a within-batch gap closes sessions immediately), and the
+    event-time timeout — watermark passing session end + gap — flushes
+    the open session.  State is O(users with an open session), bounded
+    by the watermark exactly as the north_rule demands of stateful
+    streaming at 100TB/day.
+
+    Gap semantics match plans/benchmarks.py::sessionize_events
+    (strictly > gap starts a new session), asserted by the parity test.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(user_id: int, sess: list[tuple[int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(sess), user_id, dtype="int64"),
+                "session_start": pd.to_datetime(
+                    [s for s, _, _ in sess], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [e for _, e, _ in sess], unit="us"
+                ),
+                "n_events": np.array([n for _, _, n in sess], dtype="int64"),
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield _emit(user_id, [(s, e, n)])
+            return
+        parts = [pdf["ts"] for pdf in pdfs]
+        ts = (
+            pd.concat(parts)
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+            .to_numpy()
+        )
+        cur = state.get if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        # vectorized gap split of this batch's events
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        idx = np.flatnonzero(new)
+        bounds = np.append(idx, len(ts))
+        for i in range(len(idx)):
+            lo, hi = bounds[i], bounds[i + 1]
+            s, e, n = int(ts[lo]), int(ts[hi - 1]), int(hi - lo)
+            if cur is not None:
+                cs, ce, cn = cur
+                if s - ce <= gap_us:
+                    cur = (cs, max(ce, e), cn + n)
+                    continue
+                closed.append((cs, ce, cn))
+            cur = (s, e, n)
+        state.update(cur)
+        # flush when the watermark passes session end + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield _emit(user_id, closed)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

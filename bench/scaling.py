@@ -218,9 +218,13 @@ Target per BASELINE.json: ≥ 0.8 from N to 4N executors.
 
 Crawl caveat: the fetch stage is a simulator (~80 µs CPU/URL vs
 0.1–4 s of real network IO), so the generation's parallel fraction is
-artificially tiny and its fixed claim cost (TakeOrderedAndProject
-driver merge, O(partitions × batch)) dominates — in production the
-fetch phase is 3–5 orders of magnitude larger and amortizes it.
+artificially tiny; what remains is fixed per-generation job latency
+(a dozen Spark actions: claim, schedule, sinks, state commits) that
+does not grow with cores OR with data. The claim path itself is now
+fully distributed (frontier.ranked_top_n: shuffle-free local prune →
+range-partitioned prefix-sum ranks — no driver merge, no
+single-partition window). In production the fetch phase is 3–5 orders
+of magnitude larger and amortizes the fixed latencies.
 
 Single-machine caveats: all `local[k]` configurations share one
 machine's DRAM bandwidth, page cache and disk — workloads 1–2 are

@@ -1,0 +1,113 @@
+"""Physical-plan hygiene for the scale-path operators.
+
+Correctness says the answer is right; these assert the PLAN is the one
+that survives a 100× scale-up: candidate-generation paths must be hash
+joins (never cartesian/nested-loop), scans must prune columns, and the
+claim path must not contain a single-partition global-sort exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_lsh_near_dup_has_no_cartesian(emb):
+    """Candidate generation must be an equi-join on (table, bucket) —
+    a nested-loop join carrying the vid<vid predicate would mean the
+    O(n²) all-pairs path leaked back in.  (BroadcastNestedLoopJoin
+    against the 36-row plane dim is the intended broadcast crossJoin.)"""
+    from adscrawler_spark.operators.dedup import embedding_near_dup_lsh
+
+    plan = _plan(embedding_near_dup_lsh(emb, threshold=0.35))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "vid" not in line, line
+    # the candidate join itself: an equi-join keyed on (t, bucket)
+    assert any(
+        ("Join" in ln) and ("bucket" in ln) and ("NestedLoop" not in ln)
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_jaccard_via_minhash_has_no_cartesian(docs):
+    from adscrawler_spark.operators.dedup import (
+        jaccard_via_minhash,
+        word_shingles,
+    )
+
+    plan = _plan(jaccard_via_minhash(word_shingles(docs, n=4), threshold=0.35))
+    assert "CartesianProduct" not in plan
+    # the 8-row band dim rides a broadcast crossJoin by design; the
+    # doc-pair comparison must never sit in a nested-loop join
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "doc" not in line, line
+    assert any(
+        ("Join" in ln) and ("sig" in ln) and ("NestedLoop" not in ln)
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_brute_force_near_dup_is_the_explicit_exception(emb):
+    """The bounded small-n verifier IS a nested-loop join — assert that
+    so a future edit that silently flips the wired path back to
+    brute-force fails the LSH tests above, not this one."""
+    from adscrawler_spark.operators.dedup import embedding_near_dup_pairs
+
+    plan = _plan(embedding_near_dup_pairs(emb.filter("vec_id < 50")))
+    assert "NestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_documents_scan_prunes_columns(spark):
+    """A 2-column projection must reach the parquet scan as a 2-column
+    ReadSchema (column pruning), not a full-width read."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    plan = _plan(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    assert "lang" not in read[0] and "source" not in read[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_claim_path_has_no_global_sort(spark):
+    """ranked_top_n must not compile to a single-partition global sort
+    or a global-order window (rangepartitioning with numPartitions=1 /
+    SinglePartition exchange)."""
+    from adscrawler_spark.operators import frontier as fo
+    from adscrawler_spark.streaming.frontier_gen import synth_frontier
+
+    fr = fo.with_canonical(synth_frontier(spark, 2000))
+    now = "2026-08-02 00:00:00"
+    base = fo.eligible(fr, now).filter(
+        F.col("doc_kind").isin(["listing_play", "listing_ios"])
+    )
+    out = fo.ranked_top_n(base, fo.listing_order_cols(now), 500)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan

@@ -29,3 +29,75 @@ def test_stream_equals_batch(spark, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stateful_sessionize_stream_parity(spark, tmp_path):
+    """applyInPandasWithState gap sessionization equals a sequential
+    pandas replay of the same gap rule, across micro-batch boundaries
+    and event-time timeouts."""
+    import os
+
+    import pandas as pd
+
+    events_dir = str(tmp_path / "events_files")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(events_dir)
+    ev = (
+        spark.read.parquet(SF_DIR + "/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # time-ordered thirds as separate files so the watermark advances
+    # across micro-batches (maxFilesPerTrigger=1)
+    k = len(ev) // 3
+    parts = [ev.iloc[:k], ev.iloc[k : 2 * k], ev.iloc[2 * k :]]
+    # two far-future sentinel files push the watermark past every real
+    # session's (end + gap) so all real sessions flush via timeout
+    far1 = ev.iloc[:1].copy()
+    far1["user_id"] = -1
+    far1["ts"] = ev["ts"].max() + pd.Timedelta(days=365)
+    far2 = far1.copy()
+    far2["ts"] = far1["ts"] + pd.Timedelta(days=1)
+    for i, pdf in enumerate(parts + [far1, far2]):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{events_dir}/part{i}"
+        )
+    # file source orders by modification time; our loop wrote in order
+    sessions = structured.sessionize_stream(
+        spark, events_dir + "/part*", SCHEMA
+    )
+    rows = []
+
+    def collect(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows
+        if r.user_id >= 0
+    )
+    # sequential oracle: per-user gap split (> 30 min starts a session)
+    want = []
+    gap = pd.Timedelta(minutes=30)
+    for uid, grp in ev.groupby("user_id"):
+        ts = grp["ts"].sort_values().tolist()
+        s = e = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - e > gap:
+                want.append((uid, str(s), str(e), n))
+                s, e, n = t, t, 1
+            else:
+                e, n = t, n + 1
+        want.append((uid, str(s), str(e), n))
+    assert got == sorted(want) and len(got) > 0
