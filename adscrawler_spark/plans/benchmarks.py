@@ -1746,12 +1746,13 @@ def tfidf_ngrams(spark, sf):
             ).alias("score")
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TFIDF_TOP)
-        .select("term", "score", "rnk")
-    )
+    # distributed global top-k (a Window.orderBy with no partition is a
+    # single-partition sort of the whole vocabulary at corpus scale)
+    from adscrawler_spark.operators.frontier import ranked_top_n
+
+    return ranked_top_n(
+        scored, [F.desc("score"), F.asc("term")], _TFIDF_TOP, rank_col="rnk"
+    ).select("term", "score", "rnk")
 
 
 @query(
@@ -1870,13 +1871,14 @@ def keyword_crawl_priority(spark, sf):
             F.lit(0).cast("long").alias("total_apps"),
         )
     )
-    w = Window.partitionBy("priority").orderBy(
-        F.desc("app_count"), F.asc("keyword_text")
-    )
-    return (
-        user.unionByName(scheduled)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
+    # two priority classes = two distributed top-k runs (a window
+    # partitioned by the 2-value priority column would sort each class
+    # on one task at vocabulary scale)
+    from adscrawler_spark.operators.frontier import ranked_top_n
+
+    order = [F.desc("app_count"), F.asc("keyword_text")]
+    return ranked_top_n(user, order, 50, rank_col="rnk").unionByName(
+        ranked_top_n(scheduled, order, 50, rank_col="rnk")
     )
 
 
@@ -2023,19 +2025,17 @@ def dev_crawl_order(spark, sf):
             "apps_crawled_at",
         )
     )
-    w = Window.orderBy(
+    from adscrawler_spark.operators.frontier import ranked_top_n
+
+    order = [
         F.asc_nulls_first("apps_crawled_at"),
         F.desc_nulls_last("total_installs"),
         F.asc("id"),
-    )
-    return (
-        mydvs.withColumn("rnk", F.row_number().over(w))
-        .filter("rnk <= 100")
-        .select(
-            "id", "developer_id", "total_installs",
-            F.col("apps_crawled_at").cast("string").alias("apps_crawled_at"),
-            "rnk",
-        )
+    ]
+    return ranked_top_n(mydvs, order, 100, rank_col="rnk").select(
+        "id", "developer_id", "total_installs",
+        F.col("apps_crawled_at").cast("string").alias("apps_crawled_at"),
+        "rnk",
     )
 
 
