@@ -1041,6 +1041,7 @@ from adscrawler_spark.operators import dedup as dedup_ops  # noqa: E402
 from adscrawler_spark.operators import similarity as sim_ops  # noqa: E402
 from adscrawler_spark.operators import estimates as est_ops  # noqa: E402
 from adscrawler_spark.plans import metrics_history as mh  # noqa: E402
+from adscrawler_spark.plans import domain_history as domhist  # noqa: E402
 
 _HEXD = "0123456789abcdef"
 _TOK_SQL = (
@@ -2078,3 +2079,169 @@ def rollup_revenue(spark, sf):
             "n_orders",
         )
     )
+
+
+_DOMHIST_DERIVE_SQL = """
+    quarterly AS (
+        SELECT cast(l_suppkey % 40 AS INT) AS domain_id,
+               cast(l_partkey % 300 AS INT) AS store_app,
+               cast(year(l_shipdate) AS INT) AS year,
+               cast(quarter(l_shipdate) AS INT) AS quarter,
+               bool_or(l_quantity > 25) AS sdk,
+               bool_or(l_discount > 0.05) AS api_call,
+               bool_or(l_tax > 0.04) AS app_ads_direct
+        FROM lineitem GROUP BY 1, 2, 3, 4
+    ),
+    active AS (
+        SELECT domain_id, store_app, year, quarter, tag_source
+        FROM quarterly
+        UNPIVOT (is_active FOR tag_source
+                 IN (sdk, api_call, app_ads_direct))
+        WHERE is_active
+    ),
+    apps AS (
+        SELECT cast(l_partkey % 300 AS INT) AS store_app,
+               cast(cast(l_partkey % 300 AS INT) % 2 + 1 AS INT) AS store,
+               min(cast(l_shipdate AS DATE)) AS release_date
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ew AS (
+        SELECT a.*, ap.store, ap.release_date,
+               make_date(a.year, (a.quarter - 1) * 3 + 1, 1)
+                   AS quarter_start,
+               a.year * 10 + a.quarter AS yq,
+               CASE WHEN a.quarter = 1 THEN 7 ELSE 1 END AS prev_delta,
+               CASE WHEN a.quarter = 4 THEN 7 ELSE 1 END AS next_delta,
+               lag(a.year * 10 + a.quarter) OVER w AS prev_yq,
+               lead(a.year * 10 + a.quarter) OVER w AS next_yq,
+               min(a.year * 10 + a.quarter) OVER (
+                   PARTITION BY a.store_app, a.tag_source)
+                   AS first_seen_key,
+               max(a.year * 10 + a.quarter) OVER () AS max_yq
+        FROM active a JOIN apps ap ON ap.store_app = a.store_app
+        WINDOW w AS (PARTITION BY a.domain_id, a.store_app, a.tag_source
+                     ORDER BY a.year, a.quarter)
+    )
+"""
+
+
+def _domhist_input(spark, sf):
+    """Synthetic quarterly domain↔app activity derived from lineitem
+    (one row per (domain, app, year, quarter) with tag booleans), plus
+    the per-app (store, release_date) dim — the engine-table stand-in
+    for the reference's combined-domain-history lake."""
+    li = _t(spark, sf, "lineitem")
+    quarterly = li.groupBy(
+        (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
+        (F.col("l_partkey") % 300).cast("int").alias("store_app"),
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.quarter("l_shipdate").cast("int").alias("quarter"),
+    ).agg(
+        F.bool_or(F.col("l_quantity") > 25).alias("sdk"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("api_call"),
+        F.bool_or(F.col("l_tax") > 0.04).alias("app_ads_direct"),
+    )
+    apps = (
+        li.groupBy(
+            (F.col("l_partkey") % 300).cast("int").alias("store_app")
+        )
+        .agg(F.min(F.to_date("l_shipdate")).alias("release_date"))
+        .withColumn("store", (F.col("store_app") % 2 + 1).cast("int"))
+    )
+    active = domhist.unpivot_tags(quarterly)
+    return domhist.enrich_windowed(active, apps)
+
+
+@query(
+    "domain_app_changes_quarterly",
+    f"""
+    WITH {_DOMHIST_DERIVE_SQL},
+    added AS (
+        SELECT domain_id, store_app, tag_source, year, quarter,
+               CASE WHEN yq = first_seen_key
+                         AND NOT (release_date >= quarter_start
+                                  AND release_date < quarter_start
+                                      + INTERVAL 3 MONTH)
+                    THEN 'added_initial' ELSE 'added' END AS status
+        FROM ew WHERE prev_yq IS NULL OR prev_yq != yq - prev_delta
+    ),
+    removed AS (
+        SELECT domain_id, store_app, tag_source,
+               CASE WHEN quarter = 4 THEN year + 1 ELSE year END AS year,
+               CASE WHEN quarter = 4 THEN 1 ELSE quarter + 1 END AS quarter,
+               'removed' AS status
+        FROM ew
+        WHERE (next_yq IS NULL OR next_yq != yq + next_delta)
+          AND (yq + next_delta) <= max_yq
+    )
+    SELECT * FROM added UNION ALL SELECT * FROM removed
+    """,
+)
+def domain_app_changes_quarterly(spark, sf):
+    """Quarterly domain↔app churn statuses (reference
+    dbcon/sql/duckdb/domain_app_changes.sql via plans/domain_history.py):
+    added / added_initial (first appearance not explained by the app's
+    release quarter) / removed (next-quarter emission, capped)."""
+    return domhist.domain_app_changes(_domhist_input(spark, sf))
+
+
+@query(
+    "trend_domains",
+    f"""
+    WITH {_DOMHIST_DERIVE_SQL},
+    pre_agg AS (
+        SELECT year, quarter, store, tag_source,
+               count(DISTINCT store_app) AS total_apps_in_quarter
+        FROM ew GROUP BY 1, 2, 3, 4
+    ),
+    current_q AS (
+        SELECT e.domain_id, e.year, e.quarter, e.store, e.tag_source,
+               count(*) AS total_apps,
+               p.total_apps_in_quarter
+        FROM ew e
+        JOIN pre_agg p ON p.year = e.year AND p.quarter = e.quarter
+         AND p.store = e.store AND p.tag_source = e.tag_source
+        GROUP BY e.domain_id, e.year, e.quarter, e.store, e.tag_source,
+                 p.total_apps_in_quarter
+    ),
+    churned AS (
+        SELECT domain_id, store, tag_source,
+               CASE WHEN quarter = 4 THEN year + 1 ELSE year END AS year,
+               CASE WHEN quarter = 4 THEN 1 ELSE quarter + 1 END AS quarter,
+               count(*) AS apps_lost
+        FROM ew WHERE next_yq IS NULL OR next_yq != yq + next_delta
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    added AS (
+        SELECT domain_id, year, quarter, store, tag_source,
+               count(*) AS apps_added
+        FROM ew WHERE prev_yq IS NULL OR prev_yq != yq - prev_delta
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT cq.domain_id, cq.year, cq.quarter, cq.store, cq.tag_source,
+           cq.total_apps, cq.total_apps_in_quarter,
+           COALESCE(ch.apps_lost, 0) AS apps_lost,
+           COALESCE(a.apps_added, 0) AS apps_added,
+           ROUND(cq.total_apps * 100.0
+                 / NULLIF(cq.total_apps_in_quarter, 0), 5)
+               AS pct_market_share,
+           ROUND(COALESCE(a.apps_added, 0) * 100.0
+                 / NULLIF(cq.total_apps - COALESCE(a.apps_added, 0), 0), 2)
+               AS pct_apps_added,
+           ROUND(COALESCE(ch.apps_lost, 0) * 100.0
+                 / NULLIF(cq.total_apps + COALESCE(ch.apps_lost, 0), 0), 2)
+               AS pct_apps_lost
+    FROM current_q cq
+    LEFT JOIN churned ch ON ch.domain_id = cq.domain_id
+       AND ch.year = cq.year AND ch.quarter = cq.quarter
+       AND ch.store = cq.store AND ch.tag_source = cq.tag_source
+    LEFT JOIN added a ON a.domain_id = cq.domain_id
+       AND a.year = cq.year AND a.quarter = cq.quarter
+       AND a.store = cq.store AND a.tag_source = cq.tag_source
+    """,
+)
+def trend_domains(spark, sf):
+    """Per-(domain, quarter, store, tag_source) market-share and churn
+    rates (reference dbcon/sql/duckdb/trend_domains.sql via
+    plans/domain_history.py)."""
+    return domhist.trend_domains(_domhist_input(spark, sf))

@@ -1,0 +1,206 @@
+"""Quarterly domain↔app churn + trend products — the engine analog of
+the reference's combined-domain-history DAG
+(/root/reference/adscrawler/process/app_domain_history.py:51-128;
+dbcon/sql/duckdb/domain_app_changes.sql, trend_domains.sql).
+
+Input: a quarterly activity table with one row per
+(domain_id, store_app, year, quarter) carrying boolean tag columns
+(sdk / api_call / app_ads_direct), plus per-app (store, release_date)
+dims.  Outputs:
+
+* ``domain_app_changes`` — per (domain, app, tag_source, quarter):
+  'added' / 'added_initial' (first-ever appearance not explained by the
+  app's own release quarter) / 'removed' (emitted on the quarter AFTER
+  the last active one, capped at the last observed period);
+* ``trend_domains`` — per (domain, quarter, store, tag_source): app
+  counts, market-share %, and added/lost churn %.
+
+Scale shape: every window partitions by (domain, app, tag) or
+(app, tag); the one global scalar (max observed quarter) is an agg +
+broadcast, never a whole-table window; the trend joins key on
+(domain, year, quarter, store, tag) — plain hash shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TAGS = ["sdk", "api_call", "app_ads_direct"]
+
+
+def unpivot_tags(quarterly: DataFrame) -> DataFrame:
+    """(domain_id, store_app, year, quarter, tag_source) for active
+    tags — the reference's UNPIVOT (domain_app_changes.sql:14-15)."""
+    pairs = ", ".join(f"'{t}', {t}" for t in TAGS)
+    return quarterly.select(
+        "domain_id",
+        "store_app",
+        "year",
+        "quarter",
+        F.expr(f"stack({len(TAGS)}, {pairs}) as (tag_source, is_active)"),
+    ).filter("is_active").drop("is_active")
+
+
+def enrich_windowed(active: DataFrame, apps: DataFrame) -> DataFrame:
+    """Attach store/release_date dims and the quarter-adjacency window
+    columns (domain_app_changes.sql:18-38): yq = year*10 + quarter with
+    the Q4→Q1 delta of 7, prev/next yq per (domain, app, tag), first
+    appearance per (app, tag), and the global max observed yq (an agg +
+    broadcast, not a whole-table window)."""
+    yq = F.col("year") * 10 + F.col("quarter")
+    w = Window.partitionBy("domain_id", "store_app", "tag_source").orderBy(
+        "year", "quarter"
+    )
+    w_first = Window.partitionBy("store_app", "tag_source")
+    e = (
+        active.join(F.broadcast(apps), "store_app")
+        .withColumn("yq", yq)
+        .withColumn(
+            "quarter_start",
+            F.make_date(
+                F.col("year"), (F.col("quarter") - 1) * 3 + 1, F.lit(1)
+            ),
+        )
+        .withColumn(
+            "prev_delta", F.when(F.col("quarter") == 1, 7).otherwise(1)
+        )
+        .withColumn(
+            "next_delta", F.when(F.col("quarter") == 4, 7).otherwise(1)
+        )
+        .withColumn("prev_yq", F.lag("yq").over(w))
+        .withColumn("next_yq", F.lead("yq").over(w))
+        .withColumn("first_seen_key", F.min("yq").over(w_first))
+    )
+    max_yq = active.agg(
+        F.max(F.col("year") * 10 + F.col("quarter")).alias("max_yq")
+    )
+    return e.crossJoin(F.broadcast(max_yq))
+
+
+def domain_app_changes(enriched: DataFrame) -> DataFrame:
+    """added / added_initial / removed rows
+    (domain_app_changes.sql:40-78)."""
+    added = enriched.filter(
+        F.col("prev_yq").isNull()
+        | (F.col("prev_yq") != F.col("yq") - F.col("prev_delta"))
+    ).select(
+        "domain_id",
+        "store_app",
+        "tag_source",
+        "year",
+        "quarter",
+        F.when(
+            (F.col("yq") == F.col("first_seen_key"))
+            & ~(
+                (F.col("release_date") >= F.col("quarter_start"))
+                & (
+                    F.col("release_date")
+                    < F.add_months(F.col("quarter_start"), 3)
+                )
+            ),
+            F.lit("added_initial"),
+        )
+        .otherwise(F.lit("added"))
+        .alias("status"),
+    )
+    removed = enriched.filter(
+        (
+            F.col("next_yq").isNull()
+            | (F.col("next_yq") != F.col("yq") + F.col("next_delta"))
+        )
+        & ((F.col("yq") + F.col("next_delta")) <= F.col("max_yq"))
+    ).select(
+        "domain_id",
+        "store_app",
+        "tag_source",
+        F.when(F.col("quarter") == 4, F.col("year") + 1)
+        .otherwise(F.col("year"))
+        .alias("year"),
+        F.when(F.col("quarter") == 4, F.lit(1))
+        .otherwise(F.col("quarter") + 1)
+        .alias("quarter"),
+        F.lit("removed").alias("status"),
+    )
+    return added.unionByName(removed)
+
+
+def trend_domains(enriched: DataFrame) -> DataFrame:
+    """Per-(domain, quarter, store, tag) market share and churn rates
+    (trend_domains.sql)."""
+    keys = ["year", "quarter", "store", "tag_source"]
+    pre_agg = enriched.groupBy(*keys).agg(
+        F.countDistinct("store_app").alias("total_apps_in_quarter")
+    )
+    current = (
+        enriched.groupBy("domain_id", *keys)
+        .agg(F.count("*").alias("total_apps"))
+        .join(pre_agg, keys)
+    )
+    churned = (
+        enriched.filter(
+            F.col("next_yq").isNull()
+            | (F.col("next_yq") != F.col("yq") + F.col("next_delta"))
+        )
+        .groupBy(
+            "domain_id",
+            "store",
+            "tag_source",
+            F.when(F.col("quarter") == 4, F.col("year") + 1)
+            .otherwise(F.col("year"))
+            .alias("year"),
+            F.when(F.col("quarter") == 4, F.lit(1))
+            .otherwise(F.col("quarter") + 1)
+            .alias("quarter"),
+        )
+        .agg(F.count("*").alias("apps_lost"))
+    )
+    added = (
+        enriched.filter(
+            F.col("prev_yq").isNull()
+            | (F.col("prev_yq") != F.col("yq") - F.col("prev_delta"))
+        )
+        .groupBy("domain_id", *keys)
+        .agg(F.count("*").alias("apps_added"))
+    )
+    join_keys = ["domain_id", *keys]
+    out = (
+        current.join(churned, join_keys, "left")
+        .join(added, join_keys, "left")
+        .withColumn("apps_lost", F.coalesce("apps_lost", F.lit(0)))
+        .withColumn("apps_added", F.coalesce("apps_added", F.lit(0)))
+    )
+    return out.select(
+        *join_keys,
+        "total_apps",
+        "total_apps_in_quarter",
+        "apps_lost",
+        "apps_added",
+        F.round(
+            F.col("total_apps")
+            * 100.0
+            / F.when(
+                F.col("total_apps_in_quarter") != 0,
+                F.col("total_apps_in_quarter"),
+            ),
+            5,
+        ).alias("pct_market_share"),
+        F.round(
+            F.col("apps_added")
+            * 100.0
+            / F.when(
+                F.col("total_apps") - F.col("apps_added") != 0,
+                F.col("total_apps") - F.col("apps_added"),
+            ),
+            2,
+        ).alias("pct_apps_added"),
+        F.round(
+            F.col("apps_lost")
+            * 100.0
+            / F.when(
+                F.col("total_apps") + F.col("apps_lost") != 0,
+                F.col("total_apps") + F.col("apps_lost"),
+            ),
+            2,
+        ).alias("pct_apps_lost"),
+    )
