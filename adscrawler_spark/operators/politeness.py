@@ -90,3 +90,68 @@ def with_virtual_schedule(
             "within_budget", F.coalesce(vt < F.lit(budget_seconds), F.lit(False))
         )
     )
+
+
+def parse_robots_txt(df, host_col: str = "host", body_col: str = "body",
+                     agent: str = "*"):
+    """Raw robots.txt bodies → the rules table ``apply_robots`` consumes
+    (host, disallow array<string>, crawl_delay double).
+
+    Fully relational section parser (north_star: "robots.txt rules,
+    crawl-delay budgets"): lines explode with their position, a
+    carry-forward window tracks the active User-agent section, and only
+    the matching section's Disallow / Crawl-delay directives aggregate.
+    Comment stripping, blank-line tolerance, and case-insensitive keys
+    follow the de-facto robots.txt grammar.  No Python on the hot path:
+    one explode, one window, one aggregation."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(body_col, "\n")).alias("ln", "raw"),
+    )
+    clean = lines.withColumn(
+        "line", F.trim(F.regexp_replace("raw", "#.*", ""))
+    ).filter(F.col("line") != "")
+    kv = clean.select(
+        "host",
+        "ln",
+        F.lower(F.trim(F.substring_index("line", ":", 1))).alias("key"),
+        F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("val"),
+    ).filter(F.instr("line", ":") > 0)
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sect = kv.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("key") == "user-agent", F.lower("val")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    mine = sect.filter(F.col("agent") == agent.lower())
+    return (
+        mine.groupBy("host")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("key") == "disallow") & (F.col("val") != ""),
+                        F.col("val"),
+                    )
+                )
+            ).alias("disallow"),
+            F.min(
+                F.when(
+                    F.col("key") == "crawl-delay",
+                    F.expr("try_cast(val AS DOUBLE)"),
+                )
+            ).alias("crawl_delay"),
+        )
+        .withColumn(
+            "crawl_delay",
+            F.coalesce("crawl_delay", F.lit(DEFAULT_CRAWL_DELAY)),
+        )
+    )

@@ -133,6 +133,22 @@ class SnapshotTable:
         """Atomic full replace (≙ Iceberg overwritePartitions / REPLACE)."""
         return self._commit(self._write_fileset(df, partition_by), meta)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Fold all committed filesets into one (the reference's
+        incoming-compaction pass, process/app_details.py:85-140, and
+        Iceberg's rewrite_data_files): bounds read planning to one
+        fileset however many appends accumulated.  Atomic like every
+        commit; no-op on empty tables."""
+        df = self.read(spark)
+        if df is None:
+            return self._current_pointer()
+        return self.overwrite(df, meta, partition_by)
+
     def truncate(self, meta: dict | None = None) -> int:
         """Commit an empty snapshot (read() then returns None)."""
         return self._commit([], meta)

@@ -113,6 +113,15 @@ def compact_frontier(spark: SparkSession, cat: Catalog, generation: int) -> None
     merged = current_frontier(spark, cat)
     cat.table("frontier").overwrite(merged, {"compacted_at": generation})
     cat.table("frontier_updates").truncate({"compacted_at": generation})
+    # append-only sinks accumulate one fileset per generation — fold
+    # them so read planning stays O(1) filesets (the reference's
+    # incoming-compaction pass, process/app_details.py:85-140)
+    meta = {"compacted_at": generation}
+    cat.table("documents").compact(
+        spark, meta, partition_by=["store", "crawled_date", "country"]
+    )
+    cat.table("crawl_log").compact(spark, meta)
+    cat.table("adstxt_entries").compact(spark, meta)
 
 
 def now_str(generation: int) -> str:

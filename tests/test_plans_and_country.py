@@ -190,3 +190,81 @@ def test_country_share_model_parity_and_fallback(spark):
     assert by[(1, 0, w2)].installs_est == int(5000 * (600 / 900) + 0.5)
     # below floor: never candidates, plain shares
     assert by[(2, 0, w1)].true_review_count == 150
+
+
+def test_parse_robots_txt(spark):
+    """Golden robots.txt grammar: sections, comments, crawl-delay,
+    default-agent isolation (north_star robots rules)."""
+    from adscrawler_spark.operators.politeness import (
+        DEFAULT_CRAWL_DELAY,
+        parse_robots_txt,
+    )
+
+    body_a = "\n".join(
+        [
+            "# global section",
+            "User-agent: *",
+            "Disallow: /private",
+            "Disallow: /tmp  # trailing comment",
+            "Crawl-delay: 2.5",
+            "",
+            "User-agent: evilbot",
+            "Disallow: /",
+        ]
+    )
+    body_b = "\n".join(
+        [
+            "User-agent: otherbot",
+            "Disallow: /x",
+            "User-Agent: *",
+            "Disallow:",  # empty disallow = allow all
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)], "host string, body string"
+    )
+    got = {r.host: r for r in parse_robots_txt(df).collect()}
+    assert got["a.com"].disallow == ["/private", "/tmp"]
+    assert got["a.com"].crawl_delay == 2.5
+    # evilbot's blanket Disallow must NOT leak into the * section
+    assert "/" not in got["a.com"].disallow
+    assert got["b.com"].disallow == []
+    assert got["b.com"].crawl_delay == DEFAULT_CRAWL_DELAY
+
+
+def test_catalog_compact_preserves_data(spark, tmp_path):
+    from adscrawler_spark.sources.catalog import Catalog
+
+    t = Catalog(str(tmp_path / "cat")).table("things")
+    for i in range(4):
+        t.append(spark.range(i * 10, (i + 1) * 10))
+    assert len(t.snapshot()["files"]) == 4
+    before = sorted(r.id for r in t.read(spark).collect())
+    t.compact(spark)
+    assert len(t.snapshot()["files"]) == 1
+    after = sorted(r.id for r in t.read(spark).collect())
+    assert before == after == list(range(40))
+
+
+def test_ranked_top_n_edges(spark):
+    from pyspark.sql import functions as F
+
+    from adscrawler_spark.operators.frontier import ranked_top_n
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    order = [F.asc("k"), F.desc("id")]
+    # n larger than the data: every row ranked, total order exact
+    all_rows = ranked_top_n(df, order, 1000, rank_col="r").collect()
+    assert len(all_rows) == 100
+    want = sorted(((r.k, -r.id) for r in all_rows))
+    got = [
+        (r.k, -r.id)
+        for r in sorted(all_rows, key=lambda r: r.r)
+    ]
+    assert got == want
+    assert sorted(r.r for r in all_rows) == list(range(1, 101))
+    # n = 1
+    top = ranked_top_n(df, order, 1, rank_col="r").collect()
+    assert len(top) == 1 and top[0].k == 0 and top[0].id == 98
