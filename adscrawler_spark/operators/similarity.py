@@ -128,7 +128,12 @@ def lsh_table_buckets(emb: DataFrame, dims: int, n_planes: int = 6,
     collides in ANY table, so recall = 1-(1-p^planes)^tables where
     p = 1 - acos(sim)/pi.  Projections fold the weight array in array
     order (left-to-right), so the sign — hence the bucket — reproduces
-    exactly in any engine with an ordered fold."""
+    exactly in any engine with an ordered fold.
+
+    Plan shape: the weight model rides a broadcast crossJoin of a
+    36-row plane dim (a literal-array formulation was measured SLOWER —
+    CreateArray of 64 literals re-allocates per row per fold, while the
+    broadcast dim materializes each warr once per plane)."""
     from adscrawler_spark.operators.dedup import spread_if_narrow
 
     planes = lsh_plane_table(emb.sparkSession, dims, n_planes, n_tables, seed)
