@@ -37,7 +37,14 @@ from adscrawler_spark.functions.urls import canonical_host, url_hash
 from adscrawler_spark.streaming.frontier_gen import HOT_IOS, HOT_PLAY
 
 LEASE_TTL_SECONDS = 10_800  # dispatcher.py:41
-HOT_LANES = 8
+# Salt-lane count for the two hot store hosts.  This is the fetch
+# concurrency budget PER HOST (the reference's dramatiq worker horde
+# runs many concurrent store fetchers): it bounds how many executor
+# tasks can fetch one host in parallel, so it scales with fleet size,
+# NOT with data.  It must stay a constant — politeness budgets are
+# per-lane, and the schedule must be identical at any parallelism
+# (the local[8] == local[32] parity invariant).
+HOT_LANES = 32
 NEVER_CRAWLED_DAYS = 36_500  # NULLS-FIRST analog for the decay product
 
 

@@ -42,7 +42,9 @@ class SimConfig:
     listing_batch: int = 2_000
     adstxt_batch: int = 2_000
     budget_seconds: float = 3_600.0
-    hot_lanes: int = 8
+    # shared data constant (operators/frontier.py HOT_LANES) — the
+    # per-host fetch-concurrency budget; must match the engine's.
+    hot_lanes: int = 32
     default_crawl_delay: float = 0.5
     robots: dict[str, tuple[list[str], float]] = field(default_factory=dict)
     # robots: host -> (disallow path prefixes, crawl_delay)

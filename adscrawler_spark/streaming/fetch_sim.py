@@ -89,6 +89,24 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             assert vts[0] >= last_vt.get(key, -1.0), "lane state regressed"
             last_vt[key] = float(vts[-1])
 
+        # amortized-fetch mode: model the per-URL CPU a real fetch
+        # spends (TLS, decompress, HTML/JSON walk) as a deterministic
+        # md5 chain (~0.7 µs/iter measured).  Off by default; the
+        # scaling bench uses it to measure generation throughput in the
+        # regime where fetch work dominates fixed scheduling latency —
+        # the production regime (real fetches are 0.1-4 s of IO+parse).
+        import os
+
+        fetch_cpu_us = int(os.environ.get("ADSCRAWLER_FETCH_CPU_US", "0"))
+        if fetch_cpu_us > 0:
+            import hashlib
+
+            iters = max(1, int(fetch_cpu_us * 1.4))
+            for u in pdf["url"].to_numpy()[fetchable]:
+                x = u.encode()
+                for _ in range(iters):
+                    x = hashlib.md5(x).digest()
+
         h = pdf["url_hash64"].to_numpy()
         cls = np.searchsorted(_THRESHOLDS, h % 1000, side="right")
         result = _RESULTS[cls]

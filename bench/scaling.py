@@ -89,6 +89,23 @@ crawl_sec = metrics[0]["elapsed_sec"]
 fetched = metrics[0]["fetched"]
 shutil.rmtree(out, ignore_errors=True)
 
+# -- workload 2b: amortized fetch (modeled per-URL parse cost) --------
+# Same generation, but each fetched URL burns {fetch_cpu_us} us of
+# deterministic CPU (md5 chain) modeling real fetch/parse work — the
+# regime where the fetch phase dominates fixed scheduling latency,
+# i.e. production (real fetches cost 0.1-4 s of IO+parse, 3-5 orders
+# of magnitude more than simulated here).
+import os as _os
+_os.environ["ADSCRAWLER_FETCH_CPU_US"] = str({fetch_cpu_us})
+out = tempfile.mkdtemp(prefix="scaling_crawl_am_")
+metrics = job.run(spark, out, frontier_size={frontier}, generations=1,
+                  listing_batch={batch}, adstxt_batch={batch},
+                  budget_seconds=3600.0)
+am_sec = metrics[0]["elapsed_sec"]
+am_fetched = metrics[0]["fetched"]
+_os.environ.pop("ADSCRAWLER_FETCH_CPU_US")
+shutil.rmtree(out, ignore_errors=True)
+
 # -- workload 3: compute-bound minhash signatures ----------------------
 docs = spark.read.parquet({workdir!r} + "/docs")
 t0 = time.time()
@@ -106,6 +123,9 @@ print("RESULT " + json.dumps({{
     "crawl_sec": round(crawl_sec, 2),
     "fetched": fetched,
     "urls_per_sec": round(fetched / crawl_sec, 1),
+    "amortized_sec": round(am_sec, 2),
+    "amortized_fetched": am_fetched,
+    "amortized_urls_per_sec": round(am_fetched / am_sec, 1),
     "minhash_sec": round(minhash_sec, 2),
     "minhash_docs_per_sec": round({minhash_docs} / minhash_sec, 1),
     "n_sigs": n_sigs,
@@ -121,10 +141,11 @@ def run_code(code: str) -> str:
 
 
 def run_worker(cores: int, workdir: str, dedup_rows: int, frontier: int,
-               batch: int, minhash_docs: int) -> dict:
+               batch: int, minhash_docs: int, fetch_cpu_us: int) -> dict:
     code = WORKER.format(
         repo=REPO, cores=cores, workdir=workdir, dedup_rows=dedup_rows,
         frontier=frontier, batch=batch, minhash_docs=minhash_docs,
+        fetch_cpu_us=fetch_cpu_us,
     )
     out = run_code(code)
     for line in out.splitlines():
@@ -142,6 +163,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=100_000)
     p.add_argument("--minhash-docs", type=int, default=600_000)
     p.add_argument("--workdir", default="/tmp/scaling_inputs")
+    p.add_argument("--fetch-cpu-us", type=int, default=1000)
     p.add_argument("--skip-prep", action="store_true")
     args = p.parse_args()
 
@@ -153,13 +175,17 @@ def main() -> None:
             raise RuntimeError(f"prep failed: {out[-3000:]}")
 
     small = run_worker(args.small, args.workdir, args.dedup_rows,
-                       args.frontier, args.batch, args.minhash_docs)
+                       args.frontier, args.batch, args.minhash_docs,
+                       args.fetch_cpu_us)
     large = run_worker(args.large, args.workdir, args.dedup_rows,
-                       args.frontier, args.batch, args.minhash_docs)
+                       args.frontier, args.batch, args.minhash_docs,
+                       args.fetch_cpu_us)
     ratio = args.large / args.small
     eff = {
         "dedup": large["dedup_rows_per_sec"] / (ratio * small["dedup_rows_per_sec"]),
         "crawl": large["urls_per_sec"] / (ratio * small["urls_per_sec"]),
+        "crawl_amortized": large["amortized_urls_per_sec"]
+        / (ratio * small["amortized_urls_per_sec"]),
         "minhash": large["minhash_docs_per_sec"]
         / (ratio * small["minhash_docs_per_sec"]),
     }
