@@ -161,10 +161,18 @@ def fetch(claimed: DataFrame) -> DataFrame:
 
     Repartitions on (host, lane) — the salted layout — and sorts each
     partition by the lane schedule so the per-host politeness order is
-    physical, matching what a real fetcher would execute."""
+    physical, matching what a real fetcher would execute.
+
+    The partition count is EXPLICIT: a claim batch is only tens of MB,
+    so AQE would coalesce a count-less repartition to one or two tasks
+    and serialize the whole fetch (in production each row is 0.1-4 s of
+    work — bytes are the wrong sizing signal for this stage).  Each
+    (host, lane) group still lands wholly inside one partition, so the
+    per-lane politeness order stays physical at any count."""
+    par = claimed.sparkSession.sparkContext.defaultParallelism
     return (
         claimed.select(*_IN_COLS)
-        .repartition(F.col("host"), F.col("lane"))
+        .repartition(2 * par, F.col("host"), F.col("lane"))
         .sortWithinPartitions("host", "lane", "lane_rank")
         .mapInPandas(_fetch_batches, FETCH_SCHEMA)
     )
