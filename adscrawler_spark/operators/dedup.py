@@ -315,8 +315,12 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    # plain shuffle join on term — NOT a broadcast hint: the distinct-
+    # term table grows with the corpus (billions of terms at web scale,
+    # an executor-OOM if forced to every node).  AQE still converts to
+    # a broadcast join at runtime when the vocabulary is actually small.
     scored = (
-        tf.join(F.broadcast(dft), "term")
+        tf.join(dft, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

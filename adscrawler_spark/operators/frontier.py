@@ -160,7 +160,8 @@ def eligible(frontier: DataFrame, now: str) -> DataFrame:
 
 
 def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
-                 rank_col: str = "claim_rank") -> DataFrame:
+                 rank_col: str = "claim_rank",
+                 persisted: list | None = None) -> DataFrame:
     """Distributed exact global top-n with a total rank — no driver
     merge, no single-partition window.
 
@@ -179,6 +180,14 @@ def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
     total order across partitions, so ranks equal a sequential sort's
     exactly (claim-log parity with the pyref oracle).  Reference
     shape: query_apps_to_update_primary.sql:138-147.
+
+    Cache lifecycle: the phase-1 survivor set is unpersisted here as
+    soon as the counts action has materialized the (persisted) phase-2
+    partitions; the phase-2 handle is appended to ``persisted`` (if
+    given) for the caller to unpersist once the claim is materialized —
+    Spark's CacheManager holds persist entries strongly, so leaving it
+    cached would leak one storage entry per claim family per
+    generation over a long-running crawl.
     """
     spark = df.sparkSession
     lower33 = (1 << 33) - 1
@@ -200,13 +209,17 @@ def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
         .withColumn(
             "_tn_pos", F.col("_tn_mid").bitwiseAND(F.lit(lower33))
         )
-        .persist()  # consumed by the counts pass and the rank join;
-        # released by the ContextCleaner once unreferenced
+        .persist()  # consumed by the counts pass and the rank join
     )
     counts = sorted(
         (int(r[0]), int(r[1]))
         for r in ranged.groupBy("_tn_pid").count().collect()
     )
+    # the counts action cached every phase-2 partition, so the phase-1
+    # survivors are no longer needed by anything downstream.
+    local.unpersist()
+    if persisted is not None:
+        persisted.append(ranged)
     offsets, acc = [], 0
     for pid, c in counts:
         if acc < n:
@@ -230,11 +243,13 @@ def claim_batch(
     now: str,
     batch_id: int,
     hot_lanes: int = HOT_LANES,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Top-n eligible rows for the given kinds, with lease + lineage +
     salt-lane columns and a total claim_rank.  One distributed
     ``ranked_top_n`` per kind family; the claim is committed by the
-    caller's snapshot."""
+    caller's snapshot (which should then unpersist the handles appended
+    to ``persisted``)."""
     base = eligible(frontier, now).filter(F.col("doc_kind").isin(doc_kinds))
     order = (
         adstxt_order_cols() if doc_kinds == ["adstxt"] else listing_order_cols(now)
@@ -244,7 +259,7 @@ def claim_batch(
     # in one batch — keep the best-ranked representative.  The fold-back
     # join in apply-results is on url_canon, so every duplicate frontier
     # row still gets the result.
-    claimed = ranked_top_n(base, order, n)
+    claimed = ranked_top_n(base, order, n, persisted=persisted)
     claimed = (
         claimed.withColumn(
             "_dup_rn",

@@ -98,12 +98,16 @@ def parse_robots_txt(df, host_col: str = "host", body_col: str = "body",
     (host, disallow array<string>, crawl_delay double).
 
     Fully relational section parser (north_star: "robots.txt rules,
-    crawl-delay budgets"): lines explode with their position, a
-    carry-forward window tracks the active User-agent section, and only
-    the matching section's Disallow / Crawl-delay directives aggregate.
-    Comment stripping, blank-line tolerance, and case-insensitive keys
-    follow the de-facto robots.txt grammar.  No Python on the hot path:
-    one explode, one window, one aggregation."""
+    crawl-delay budgets"): lines explode with their position, and RFC
+    9309 *groups* are reconstructed relationally — a group starts at
+    the first User-agent line of a consecutive UA run (stacked
+    ``User-agent: foo`` / ``User-agent: *`` lines share one rule set),
+    rules attach to EVERY agent named in the run, and the
+    most-specific-group-wins rule applies: if any group names the
+    requested agent exactly, only those groups count; otherwise the
+    ``*`` groups do.  Comment stripping, blank-line tolerance, and
+    case-insensitive keys follow the robots.txt grammar.  No Python on
+    the hot path: one explode, two windows, one aggregation."""
     from pyspark.sql import Window
 
     lines = df.select(
@@ -119,19 +123,42 @@ def parse_robots_txt(df, host_col: str = "host", body_col: str = "body",
         F.lower(F.trim(F.substring_index("line", ":", 1))).alias("key"),
         F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("val"),
     ).filter(F.instr("line", ":") > 0)
-    w = (
+    w_seq = Window.partitionBy("host").orderBy("ln")
+    w_run = (
         Window.partitionBy("host")
         .orderBy("ln")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sect = kv.withColumn(
-        "agent",
-        F.last(
-            F.when(F.col("key") == "user-agent", F.lower("val")),
-            ignorenulls=True,
-        ).over(w),
+    is_ua = F.col("key") == "user-agent"
+    # group id = running count of UA-run starts (a UA line whose
+    # predecessor is not a UA line opens a new group)
+    grouped = kv.withColumn(
+        "grp",
+        F.sum(
+            (
+                is_ua & ~F.coalesce(F.lag(is_ua).over(w_seq), F.lit(False))
+            ).cast("int")
+        ).over(w_run),
     )
-    mine = sect.filter(F.col("agent") == agent.lower())
+    agents = (
+        grouped.filter(is_ua)
+        .groupBy("host", "grp")
+        .agg(F.collect_set(F.lower("val")).alias("agents"))
+    )
+    # rules before any User-agent line (grp with no agents) are outside
+    # every group and ignored, per RFC 9309.
+    rules = (
+        grouped.filter(~is_ua)
+        .join(agents, ["host", "grp"])
+        .withColumn("exact", F.array_contains("agents", agent.lower()))
+        .withColumn("wild", F.array_contains("agents", "*"))
+    )
+    host_has_exact = F.max(F.col("exact").cast("int")).over(
+        Window.partitionBy("host")
+    )
+    mine = rules.withColumn("_hx", host_has_exact).filter(
+        F.when(F.col("_hx") == 1, F.col("exact")).otherwise(F.col("wild"))
+    )
     return (
         mine.groupBy("host")
         .agg(

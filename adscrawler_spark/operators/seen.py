@@ -112,12 +112,22 @@ def build_bloom_filters(
 BROADCAST_FILTER_BYTES = 64 << 20  # ≤64MB of bitsets → broadcast probe
 
 
+def estimate_filter_bytes(n_keys: int, buckets: int = DEFAULT_BUCKETS) -> int:
+    """Sidecar size implied by the build's sizing rule (m = 64·⌈n·12/64⌉
+    bits per bucket): BITS_PER_KEY/8 bytes per key plus per-bucket
+    word-padding.  Exact enough for a strategy threshold — the real
+    size differs only by the ≤8-bytes-per-bucket rounding."""
+    return n_keys * BITS_PER_KEY // 8 + buckets * 16
+
+
 def probe_unseen(
     frontier: DataFrame,
     filters: DataFrame | None,
     seen: DataFrame | None,
     buckets: int = DEFAULT_BUCKETS,
     broadcast_threshold: int = BROADCAST_FILTER_BYTES,
+    seen_count: int | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Rows of ``frontier`` whose url_canon is NOT in the seen set.
 
@@ -131,23 +141,28 @@ def probe_unseen(
       shuffle on the bucket key and probe group-by-group, keeping
       per-executor memory at one bucket's bitset.
 
+    The strategy is chosen from the *seen-key count* (``seen_count`` if
+    the caller knows it, else ``seen.count()`` — metadata-only on a
+    parquet scan), never by materializing the sidecar: the build is
+    deterministic-sized, so the count implies the bytes.  That keeps
+    the bloom build a SINGLE pass over the seen set — no persist of the
+    bitsets, no extra size-aggregation action (the round-2 version paid
+    both and regressed 2× at small scale), and on the co-group path the
+    bitsets never visit the driver at all.
+
     Only maybe-seen rows reach the exact anti-join confirm.  The probed
-    set is persisted because the maybe/unseen split consumes it twice.
+    set is persisted because the maybe/unseen split consumes it twice;
+    the handle is appended to ``persisted`` (if given) so the caller
+    can unpersist once the result is materialized — Spark's
+    CacheManager holds persist entries strongly until an explicit
+    unpersist.
     """
     if seen is None or filters is None:
         return frontier
 
-    # Strategy choice from ONE scalar — never pull the bitsets to the
-    # driver unless the broadcast path is actually taken (at 10^10 keys
-    # the sidecar is many GB; collecting it just to measure it would
-    # defeat the partitioned design).  The sidecar is persisted first:
-    # building it is a full pass over the seen set, and it is consumed
-    # again by whichever probe strategy wins (ContextCleaner releases
-    # it once unreferenced).
-    filters = filters.persist()
-    total_bytes = int(
-        filters.agg(F.sum(F.length("bits")).alias("b")).first()["b"] or 0
-    )
+    if seen_count is None:
+        seen_count = seen.count()
+    total_bytes = estimate_filter_bytes(seen_count, buckets)
 
     if total_bytes <= broadcast_threshold:
         flt_rows = filters.collect()
@@ -186,6 +201,7 @@ def probe_unseen(
             "maybe_seen", bloom_maybe("url_hash64")
         ).persist()
     else:
+        # filters is consumed exactly once (by the cogroup) — no persist.
         fr = frontier.withColumn("bucket", bucket_col(buckets=buckets))
         out_schema = StructType(
             list(fr.schema.fields) + [StructField("maybe_seen", BooleanType())]
@@ -215,6 +231,8 @@ def probe_unseen(
             .persist()
         )
 
+    if persisted is not None:
+        persisted.append(probed)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     seen_keys = seen.select(

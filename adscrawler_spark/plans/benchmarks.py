@@ -2100,10 +2100,15 @@ _DOMHIST_DERIVE_SQL = """
         WHERE is_active
     ),
     apps AS (
+        -- deliberately incomplete dim (drops ~1/29 of apps) so the
+        -- LEFT-join semantics of the reference's store_app_store join
+        -- are actually exercised, not vacuously equal to an inner join
         SELECT cast(l_partkey % 300 AS INT) AS store_app,
                cast(cast(l_partkey % 300 AS INT) % 2 + 1 AS INT) AS store,
                min(cast(l_shipdate AS DATE)) AS release_date
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem
+        WHERE l_partkey % 300 % 29 != 0
+        GROUP BY 1, 2
     ),
     ew AS (
         SELECT a.*, ap.store, ap.release_date,
@@ -2118,7 +2123,7 @@ _DOMHIST_DERIVE_SQL = """
                    PARTITION BY a.store_app, a.tag_source)
                    AS first_seen_key,
                max(a.year * 10 + a.quarter) OVER () AS max_yq
-        FROM active a JOIN apps ap ON ap.store_app = a.store_app
+        FROM active a LEFT JOIN apps ap ON ap.store_app = a.store_app
         WINDOW w AS (PARTITION BY a.domain_id, a.store_app, a.tag_source
                      ORDER BY a.year, a.quarter)
     )
@@ -2142,7 +2147,8 @@ def _domhist_input(spark, sf):
         F.bool_or(F.col("l_tax") > 0.04).alias("app_ads_direct"),
     )
     apps = (
-        li.groupBy(
+        li.filter(F.col("l_partkey") % 300 % 29 != 0)
+        .groupBy(
             (F.col("l_partkey") % 300).cast("int").alias("store_app")
         )
         .agg(F.min(F.to_date("l_shipdate")).alias("release_date"))

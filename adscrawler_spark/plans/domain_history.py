@@ -47,14 +47,22 @@ def enrich_windowed(active: DataFrame, apps: DataFrame) -> DataFrame:
     columns (domain_app_changes.sql:18-38): yq = year*10 + quarter with
     the Q4→Q1 delta of 7, prev/next yq per (domain, app, tag), first
     appearance per (app, tag), and the global max observed yq (an agg +
-    broadcast, not a whole-table window)."""
+    broadcast, not a whole-table window).
+
+    The dim join is a LEFT join, matching the reference's
+    ``LEFT JOIN store_app_store`` (domain_app_changes.sql:36-38):
+    activity rows whose app is missing from the dim keep flowing with
+    null store/release_date — the added/removed CASE logic already
+    treats a null release_date as "not explained by release", instead
+    of silently dropping the row.  max_yq is computed over ``active``,
+    which under a left join equals the post-join max exactly."""
     yq = F.col("year") * 10 + F.col("quarter")
     w = Window.partitionBy("domain_id", "store_app", "tag_source").orderBy(
         "year", "quarter"
     )
     w_first = Window.partitionBy("store_app", "tag_source")
     e = (
-        active.join(F.broadcast(apps), "store_app")
+        active.join(F.broadcast(apps), "store_app", "left")
         .withColumn("yq", yq)
         .withColumn(
             "quarter_start",

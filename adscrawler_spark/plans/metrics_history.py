@@ -141,7 +141,15 @@ def interpolate_weekly(
     ONE carry-forward struct window instead of the reference's
     correlated MAX(observed_at < m) subquery — the grid join and both
     windows partition by the group key, so the whole pipeline is a
-    single hash-distribution with no driver involvement."""
+    single hash-distribution with no driver involvement.
+
+    The grid is derived PER GROUP (sequence from the group's own min
+    to max week, step 7 days), so each group's anchors land on its own
+    grid by construction.  A global calendar would require every
+    group's weeks to share the same modulo-7 phase — when they don't,
+    anchors silently miss the grid join keys and whole groups vanish.
+    Groups whose weeks are internally 7-aligned (the reference's
+    calendar weeks always are) get identical output either way."""
     gcols = list(group_cols)
     w_next = Window.partitionBy(*gcols).orderBy(week_col)
     anchors = obs.select(
@@ -151,13 +159,16 @@ def interpolate_weekly(
         F.lead(week_col).over(w_next).alias("_x2"),
         F.lead(val_col).over(w_next).alias("_y2"),
     )
-    bounds = obs.select(
-        F.min(week_col).alias("lo"), F.max(week_col).alias("hi")
+    grid = (
+        obs.groupBy(*gcols)
+        .agg(F.min(week_col).alias("_lo"), F.max(week_col).alias("_hi"))
+        .select(
+            *gcols,
+            F.explode(F.expr("sequence(_lo, _hi, interval 7 days)")).alias(
+                week_col
+            ),
+        )
     )
-    cal = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, interval 7 days)")).alias(week_col)
-    )
-    grid = obs.select(*gcols).distinct().crossJoin(F.broadcast(cal))
     j = grid.join(anchors, gcols + [week_col], "left")
     wp = (
         Window.partitionBy(*gcols)

@@ -187,11 +187,14 @@ def run_generation(
     # base+update-log merge.
     frontier = current_frontier(spark, cat).persist()
 
+    claim_caches: list[DataFrame] = []
     claim_l = frontier_ops.claim_batch(
-        frontier, ["listing_play", "listing_ios"], listing_batch, now, generation
+        frontier, ["listing_play", "listing_ios"], listing_batch, now, generation,
+        persisted=claim_caches,
     )
     claim_a = frontier_ops.claim_batch(
-        frontier, ["adstxt"], adstxt_batch, now, generation
+        frontier, ["adstxt"], adstxt_batch, now, generation,
+        persisted=claim_caches,
     )
     claimed = claim_l.unionByName(claim_a)
     claimed = politeness.with_virtual_schedule(
@@ -200,6 +203,11 @@ def run_generation(
 
     fetched = fetch_sim.fetch(claimed).persist()
     n_claimed = fetched.count()
+    # the count materialized `fetched`, so the claim-stage caches (one
+    # phase-2 rank set per claim family) are done — release them now
+    # rather than leaking two storage entries per generation.
+    for c in claim_caches:
+        c.unpersist()
 
     # ---- parse: ads.txt (entries + parser-derived crawl_result)
     adstxt_ok = fetched.filter(

@@ -114,13 +114,18 @@ def sessionize_stream(
     built-in windowed aggregations can't express (sessions have
     data-dependent, unbounded extent).
 
-    Per user_id, ``applyInPandasWithState`` keeps ONE open session
-    (start, end, count) as state; each micro-batch's events extend or
-    close it (a within-batch gap closes sessions immediately), and the
-    event-time timeout — watermark passing session end + gap — flushes
-    the open session.  State is O(users with an open session), bounded
-    by the watermark exactly as the north_rule demands of stateful
-    streaming at 100TB/day.
+    Per user_id, ``applyInPandasWithState`` keeps the user's *unflushed
+    sessions* (parallel start/end/count arrays) as state.  Each
+    micro-batch's events are gap-split, merged with the held sessions
+    (sort by start + coalesce within gap — so a late event arriving in
+    a later batch, still within the watermark, correctly extends or
+    bridges earlier sessions), and a session is emitted ONLY once the
+    event-time watermark has passed its ``end + gap`` — the point after
+    which no admissible event (ts ≥ watermark) can touch it.  That
+    makes the output correct for any arrival order within the
+    watermark, not just event-time-ordered input.  State is O(sessions
+    not yet watermark-final per user), bounded by the watermark exactly
+    as the north_rule demands of stateful streaming at 100TB/day.
 
     Gap semantics match plans/benchmarks.py::sessionize_events
     (strictly > gap starts a new session), asserted by the parity test.
@@ -129,6 +134,7 @@ def sessionize_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         LongType,
         StructField,
         StructType,
@@ -145,9 +151,9 @@ def sessionize_stream(
     )
     state_schema = StructType(
         [
-            StructField("start_us", LongType()),
-            StructField("end_us", LongType()),
-            StructField("n", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
         ]
     )
     gap_us = gap_minutes * 60 * 1_000_000
@@ -166,12 +172,51 @@ def sessionize_stream(
             }
         )
 
+    def _coalesce(sess: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+        """Merge gap-adjacent sessions (input sorted by start)."""
+        out: list[tuple[int, int, int]] = []
+        for s, e, n in sess:
+            if out and s - out[-1][1] <= gap_us:
+                ps, pe, pn = out[-1]
+                out[-1] = (ps, max(pe, e), pn + n)
+            else:
+                out.append((s, e, n))
+        return out
+
+    def _split_flush(
+        sess: list[tuple[int, int, int]], state: GroupState
+    ) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+        """(emittable, held): a session is final once the watermark is
+        strictly past end + gap — any still-admissible event (ts ≥
+        watermark) would have ts − end > gap and start a new session."""
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        done = [x for x in sess if x[1] + gap_us < wm_us]
+        held = [x for x in sess if x[1] + gap_us >= wm_us]
+        return done, held
+
+    def _park(held: list[tuple[int, int, int]], state: GroupState) -> None:
+        state.update(
+            ([s for s, _, _ in held], [e for _, e, _ in held],
+             [n for _, _, n in held])
+        )
+        # wake when the earliest held session can flush (timeout must
+        # sit strictly beyond the current watermark)
+        next_ms = min(e for _, e, _ in held) // 1000 + gap_minutes * 60 * 1000
+        state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs()) + 1)
+
     def fn(key, pdfs, state: GroupState):
         user_id = int(key[0])
         if state.hasTimedOut:
-            s, e, n = state.get
-            state.remove()
-            yield _emit(user_id, [(s, e, n)])
+            starts, ends, ns = state.get
+            done, held = _split_flush(
+                list(zip(starts, ends, ns)), state
+            )
+            if held:
+                _park(held, state)
+            else:
+                state.remove()
+            if done:
+                yield _emit(user_id, done)
             return
         parts = [pdf["ts"] for pdf in pdfs]
         ts = (
@@ -181,28 +226,28 @@ def sessionize_stream(
             .sort_values()
             .to_numpy()
         )
-        cur = state.get if state.exists else None
-        closed: list[tuple[int, int, int]] = []
         # vectorized gap split of this batch's events
         new = np.ones(len(ts), dtype=bool)
         new[1:] = (ts[1:] - ts[:-1]) > gap_us
         idx = np.flatnonzero(new)
         bounds = np.append(idx, len(ts))
-        for i in range(len(idx)):
-            lo, hi = bounds[i], bounds[i + 1]
-            s, e, n = int(ts[lo]), int(ts[hi - 1]), int(hi - lo)
-            if cur is not None:
-                cs, ce, cn = cur
-                if s - ce <= gap_us:
-                    cur = (cs, max(ce, e), cn + n)
-                    continue
-                closed.append((cs, ce, cn))
-            cur = (s, e, n)
-        state.update(cur)
-        # flush when the watermark passes session end + gap
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
-        if closed:
-            yield _emit(user_id, closed)
+        batch_sess = [
+            (int(ts[bounds[i]]), int(ts[bounds[i + 1] - 1]),
+             int(bounds[i + 1] - bounds[i]))
+            for i in range(len(idx))
+        ]
+        if state.exists:
+            starts, ends, ns = state.get
+            batch_sess.extend(zip(starts, ends, ns))
+            batch_sess.sort(key=lambda x: x[0])
+        merged = _coalesce(batch_sess)
+        done, held = _split_flush(merged, state)
+        if held:
+            _park(held, state)
+        elif state.exists:
+            state.remove()
+        if done:
+            yield _emit(user_id, done)
 
     stream = (
         spark.readStream.schema(schema)

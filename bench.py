@@ -59,15 +59,20 @@ def bench_dedup(spark) -> tuple[float, float]:
         .select("url_canon", "url_hash64")
         .dropDuplicates(["url_canon"])
     )
-    seen.persist().count()
+    n_seen = seen.persist().count()
     frontier = synth_frontier(spark, FRONTIER_N, seed=42)
     t0 = time.time()
     filters = seen_ops.build_bloom_filters(seen)
     candidates = with_canonical(frontier).select("url", "url_canon", "url_hash64")
-    unseen = seen_ops.probe_unseen(candidates, filters, seen)
+    caches: list = []
+    unseen = seen_ops.probe_unseen(
+        candidates, filters, seen, seen_count=n_seen, persisted=caches
+    )
     n = unseen.count()
     dt = time.time() - t0
     seen.unpersist()
+    for c in caches:
+        c.unpersist()
     assert n > 0
     return round(dt, 3), round(FRONTIER_N / dt, 1)
 

@@ -96,6 +96,26 @@ def test_filter_pushdown_reaches_scan(spark):
     )[1].split("]")[0]
 
 
+def test_tfidf_vocabulary_join_not_hint_broadcast(docs):
+    """The term→document-frequency join must be a plain shuffle join in
+    the OPTIMIZED plan (no user broadcast hint): the distinct-term
+    table grows with the corpus, and a forced broadcast of a
+    billions-of-rows vocabulary is an executor OOM at web scale.  AQE
+    may still *choose* a runtime broadcast when the build side turns
+    out small — we assert the hint is absent, not the physical join."""
+    from adscrawler_spark.operators.dedup import tfidf_top_terms
+
+    out = tfidf_top_terms(docs.select("doc_id", "text"), k=3)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly one broadcast hint survives: the 1-row n_docs scalar
+    hints = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+    assert len(hints) == 1, analyzed
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    for ln in optimized.splitlines():
+        if "Join Inner" in ln and "Hint" in ln:
+            raise AssertionError(f"hinted equi-join in tfidf plan: {ln}")
+
+
 def test_claim_path_has_no_global_sort(spark):
     """ranked_top_n must not compile to a single-partition global sort
     or a global-order window (rangepartitioning with numPartitions=1 /

@@ -232,6 +232,52 @@ def test_parse_robots_txt(spark):
     assert got["b.com"].crawl_delay == DEFAULT_CRAWL_DELAY
 
 
+def test_parse_robots_txt_groups(spark):
+    """RFC 9309 group rules: stacked User-agent lines share one rule
+    set, and an exact-agent group beats the '*' groups entirely."""
+    from adscrawler_spark.operators.politeness import parse_robots_txt
+
+    stacked = "\n".join(
+        [
+            "User-agent: foo",
+            "User-agent: *",
+            "Disallow: /x",
+            "",
+            "User-agent: bar",
+            "Disallow: /y",
+        ]
+    )
+    specific = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /all",
+            "Crawl-delay: 9",
+            "",
+            "User-agent: mybot",
+            "Disallow: /mine",
+            "Crawl-delay: 1",
+        ]
+    )
+    orphan = "Disallow: /before-any-group\nUser-agent: *\nDisallow: /ok"
+    df = spark.createDataFrame(
+        [("s.com", stacked), ("p.com", specific), ("o.com", orphan)],
+        "host string, body string",
+    )
+    star = {r.host: r for r in parse_robots_txt(df).collect()}
+    # '*' stacked with foo still gets the group's rules; bar's don't leak
+    assert star["s.com"].disallow == ["/x"]
+    # '*' agent: p.com's exact mybot group is ignored
+    assert star["p.com"].disallow == ["/all"] and star["p.com"].crawl_delay == 9.0
+    # rules before any User-agent line belong to no group
+    assert star["o.com"].disallow == ["/ok"]
+    mybot = {r.host: r for r in parse_robots_txt(df, agent="MyBot").collect()}
+    # exact group wins over '*' — only /mine, delay 1
+    assert mybot["p.com"].disallow == ["/mine"]
+    assert mybot["p.com"].crawl_delay == 1.0
+    # named agent with no exact group falls back to '*' groups
+    assert mybot["s.com"].disallow == ["/x"]
+
+
 def test_catalog_compact_preserves_data(spark, tmp_path):
     from adscrawler_spark.sources.catalog import Catalog
 

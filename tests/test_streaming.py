@@ -101,3 +101,70 @@ def test_stateful_sessionize_stream_parity(spark, tmp_path):
                 e, n = t, n + 1
         want.append((uid, str(s), str(e), n))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
+    """A late event that arrives in a LATER micro-batch but within the
+    watermark must extend (here: bridge) an earlier session instead of
+    producing a duplicate/split — sessions are held in state until the
+    watermark passes end + gap, so arrival order must not matter."""
+    import os
+
+    import pandas as pd
+
+    events_dir = str(tmp_path / "ooo_files")
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(events_dir)
+    t0 = pd.Timestamp("2026-08-02 10:00:00")
+
+    def mk(ts_list):
+        return pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": ts_list,
+                "user_id": [1] * len(ts_list),
+                "event_type": ["e"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+                "props": ["{}"] * len(ts_list),
+            }
+        )
+
+    m = pd.Timedelta(minutes=1)
+    # batch 1: two clusters 40 min apart -> look like two sessions
+    b1 = mk([t0, t0 + 5 * m, t0 + 45 * m])
+    # batch 2: a LATE event at +25min bridges them into ONE session
+    # (gap 30min: 25-5=20 <= 30 and 45-25=20 <= 30)
+    b2 = mk([t0 + 25 * m])
+    # sentinels push the watermark far past everything
+    far1 = mk([t0 + pd.Timedelta(days=400)])
+    far1["user_id"] = -1
+    far2 = mk([t0 + pd.Timedelta(days=401)])
+    far2["user_id"] = -1
+    for i, pdf in enumerate([b1, b2, far1, far2]):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{events_dir}/part{i}"
+        )
+    # 2h watermark: the +25min event in batch 2 is late (watermark has
+    # advanced past it) but still admissible
+    sessions = structured.sessionize_stream(
+        spark, events_dir + "/part*", SCHEMA, watermark="2 hours"
+    )
+    rows = []
+
+    def collect(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in rows
+        if r.user_id >= 0
+    ]
+    assert got == [(1, str(t0), str(t0 + 45 * m), 4)]
