@@ -109,18 +109,86 @@ def minhash_signatures(shingles: DataFrame, bands: int = 8,
     )
 
 
-def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs: any shared (band, sig) bucket."""
-    a, b = signatures.alias("a"), signatures.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+# Bucket-skew cap for LSH candidate generation.  A degenerate hot
+# bucket (a million boilerplate/empty docs collapsing to one signature)
+# re-introduces the O(|bucket|²) blowup the banding exists to avoid;
+# above the cap a bucket emits a *consecutive-pair chain* instead of
+# all pairs — O(|bucket|) candidates that keep every member reachable
+# from every other through verified links (what dedup clustering
+# needs), at the cost of pairwise-similarity completeness *inside* an
+# oversized bucket (whose members are near-identical anyway — that is
+# why they share a full band signature).
+DEFAULT_BUCKET_CAP = 512
+
+
+def _capped_bucket_pairs(
+    rows: DataFrame, bucket_keys: list[str], id_col: str,
+    a_name: str, b_name: str, bucket_cap: int | None,
+) -> DataFrame:
+    """(a, b) candidate pairs per bucket: all pairs for buckets at or
+    under ``bucket_cap``, a sorted consecutive-pair chain above it."""
+    key_eq = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in bucket_keys]
+    cond = key_eq[0]
+    for k in key_eq[1:]:
+        cond = cond & k
+    if bucket_cap is None:
+        small = rows
+        return (
+            small.alias("a")
+            .join(small.alias("b"), cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias(a_name),
+                F.col(f"b.{id_col}").alias(b_name),
+            )
+            .distinct()
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+    w = Window.partitionBy(*bucket_keys)
+    sized = rows.withColumn("_bsz", F.count("*").over(w))
+    small = sized.filter(F.col("_bsz") <= bucket_cap).drop("_bsz")
+    pairs = (
+        small.alias("a")
+        .join(small.alias("b"), cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias(a_name),
+            F.col(f"b.{id_col}").alias(b_name),
+        )
+    )
+    wo = Window.partitionBy(*bucket_keys).orderBy(id_col)
+    chain = (
+        sized.filter(F.col("_bsz") > bucket_cap)
+        .select(
+            *bucket_keys,
+            F.lag(id_col).over(wo).alias(a_name),
+            F.col(id_col).alias(b_name),
+        )
+        .filter(F.col(a_name).isNotNull())
+        .select(a_name, b_name)
+    )
+    return pairs.unionByName(chain).distinct()
+
+
+def minhash_candidates(
+    signatures: DataFrame, id_col: str = "doc_id",
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate near-dup pairs: any shared (band, sig) bucket; buckets
+    above ``bucket_cap`` emit a bounded chain (see DEFAULT_BUCKET_CAP).
+    Use ``oversized_buckets`` to report what was capped."""
+    return _capped_bucket_pairs(
+        signatures, ["band", "sig"], id_col, "doc_a", "doc_b", bucket_cap
+    )
+
+
+def oversized_buckets(
+    bucketed: DataFrame, bucket_keys: list[str],
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Buckets whose size exceeds the cap — callers materialize this to
+    log what candidate generation degraded to chains (no silent caps)."""
+    return (
+        bucketed.groupBy(*bucket_keys)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > bucket_cap)
     )
 
 
@@ -192,7 +260,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
 
 def jaccard_via_minhash(shingles: DataFrame, threshold: float, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """The wired scale path for n-gram Jaccard dedup: MinHash banding
     generates candidate pairs (linear in docs×bands), then the exact
     Jaccard is computed ONLY on candidates — never the quadratic
@@ -204,7 +273,7 @@ def jaccard_via_minhash(shingles: DataFrame, threshold: float, bands: int = 8,
     (/root/reference/adscrawler/process/app_metrics_history.py:1152-1156)
     scaled to document corpora."""
     sigs = minhash_signatures(shingles, bands, id_col)
-    cand = minhash_candidates(sigs, id_col)
+    cand = minhash_candidates(sigs, id_col, bucket_cap)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sh_a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -228,7 +297,8 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
                            dims: int = 64, n_planes: int = 6,
                            n_tables: int = 6, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """The wired scale path for embedding near-dup: sign-LSH buckets
     (multi-table banding) generate candidates via an equi-join, then the
     exact normalized cosine verifies candidates only — never the O(n²)
@@ -245,16 +315,8 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
     buckets = lsh_table_buckets(
         emb, dims, n_planes, n_tables, id_col, vec_col, seed
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
-        .distinct()
+    cand = _capped_bucket_pairs(
+        buckets, ["t", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
     )
     # identical normalized-fold formulation to embedding_near_dup_pairs,
     # so verified sims are bit-equal to the brute-force path.
