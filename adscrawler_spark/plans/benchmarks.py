@@ -2251,3 +2251,269 @@ def trend_domains(spark, sf):
     rates (reference dbcon/sql/duckdb/trend_domains.sql via
     plans/domain_history.py)."""
     return domhist.trend_domains(_domhist_input(spark, sf))
+
+
+# =====================================================================
+# Matview ports — the reference's derived-product layer
+# (plans/app_metrics.py; reference pg-ddl/schema/{public,frontend})
+# =====================================================================
+
+from adscrawler_spark.plans import app_metrics as appm  # noqa: E402
+
+# Shared synthetic app_global_metrics_history derivation: events become
+# weekly install observations (weeks spread via event_id so the
+# baseline band global_max_week-112d..-28d is populated), with running
+# totals — the engine-table stand-in for the reference's
+# app_global_metrics_history (app_global_metrics_latest__matview.sql).
+_AGML_SQL = """
+    weekly AS (
+        SELECT cast(user_id AS INT) AS store_app,
+               cast(date_trunc('week', ts) AS DATE)
+                   + cast(7 * (event_id % 26) AS INT) AS week_start,
+               cast(count(*) * 3000 AS BIGINT) AS weekly_installs,
+               cast(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS weekly_ratings
+        FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT *,
+               cast(sum(weekly_installs) OVER w_run AS BIGINT)
+                   AS total_installs,
+               cast(sum(weekly_ratings) OVER w_run AS BIGINT)
+                   AS total_ratings,
+               1.0 + (store_app % 40) / 10.0 AS rating
+        FROM weekly
+        WINDOW w_run AS (PARTITION BY store_app ORDER BY week_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    anchor AS (SELECT max(week_start) AS global_max_week FROM weekly),
+    wm AS (
+        SELECT h.*, a.global_max_week,
+               row_number() OVER w_ord AS rn,
+               cast(coalesce(sum(CASE WHEN weekly_installs > 0
+                                      THEN weekly_installs END)
+                             OVER w_4w, 0) AS BIGINT) AS monthly_installs,
+               avg(CASE WHEN weekly_installs > 0 THEN weekly_installs END)
+                   OVER w_2w AS i_avg_2w,
+               avg(CASE WHEN weekly_installs > 0 THEN weekly_installs END)
+                   OVER w_4w AS i_avg_4w,
+               avg(CASE WHEN week_start
+                             BETWEEN a.global_max_week - 112
+                                 AND a.global_max_week - 28
+                        THEN weekly_installs END) OVER w_app AS b_avg,
+               stddev_samp(CASE WHEN week_start
+                             BETWEEN a.global_max_week - 112
+                                 AND a.global_max_week - 28
+                        THEN weekly_installs END) OVER w_app AS b_std
+        FROM hist h CROSS JOIN anchor a
+        WINDOW w_ord AS (PARTITION BY store_app ORDER BY week_start DESC),
+               w_4w AS (PARTITION BY store_app ORDER BY week_start DESC
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING),
+               w_2w AS (PARTITION BY store_app ORDER BY week_start DESC
+                        ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING),
+               w_app AS (PARTITION BY store_app)
+    ),
+    agml AS (
+        SELECT store_app, week_start, weekly_installs, weekly_ratings,
+               total_installs, total_ratings, rating, monthly_installs,
+               floor(i_avg_2w * 10000 + 0.5) / 10000 AS installs_avg_2w,
+               floor(i_avg_4w * 10000 + 0.5) / 10000 AS installs_avg_4w,
+               floor((i_avg_2w - b_avg) / nullif(b_std, 0) * 10000 + 0.5)
+                   / 10000 AS installs_z_score_2w,
+               floor((i_avg_4w - b_avg) / nullif(b_std, 0) * 10000 + 0.5)
+                   / 10000 AS installs_z_score_4w,
+               floor((i_avg_2w - i_avg_4w) / nullif(i_avg_4w, 0) * 10000
+                     + 0.5) / 10000 AS installs_acceleration,
+               (b_std IS NOT NULL AND b_avg > 0) AS has_reliable_baseline
+        FROM wm WHERE rn = 1
+    )
+"""
+
+_APPS_SQL = """
+    apps AS (
+        SELECT cast(p_partkey AS INT) AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               lower(p_name) AS name
+        FROM part
+    ),
+    ake AS (
+        SELECT DISTINCT store_app, keyword_text FROM (
+            SELECT cast(p_partkey AS INT) AS store_app,
+                   unnest(string_split(lower(p_name), ' ')) AS keyword_text
+            FROM part
+            UNION ALL
+            SELECT cast(p_partkey AS INT), lower(p_name) FROM part
+        )
+    )
+"""
+
+
+def _agml_hist(spark, sf):
+    """events → weekly observations with running totals (the Spark twin
+    of _AGML_SQL's weekly/hist CTEs)."""
+    ev = _t(spark, sf, "events")
+    wk = F.date_add(
+        F.date_trunc("week", "ts").cast("date"),
+        (F.col("event_id") % 26 * 7).cast("int"),
+    )
+    weekly = ev.groupBy(
+        F.col("user_id").cast("int").alias("store_app"),
+        wk.alias("week_start"),
+    ).agg(
+        (F.count("*") * 3000).alias("weekly_installs"),
+        F.sum((F.col("value") > 50).cast("long")).alias("weekly_ratings"),
+    )
+    w_run = (
+        Window.partitionBy("store_app")
+        .orderBy("week_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.withColumn("total_installs", F.sum("weekly_installs").over(w_run))
+        .withColumn("total_ratings", F.sum("weekly_ratings").over(w_run))
+        .withColumn("rating", 1.0 + (F.col("store_app") % 40) / 10.0)
+    )
+
+
+def _apps_dim(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        F.col("p_partkey").cast("int").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.lower("p_name").alias("name"),
+    )
+
+
+def _ake(spark, sf):
+    p = _t(spark, sf, "part")
+    words = p.select(
+        F.col("p_partkey").cast("int").alias("store_app"),
+        F.explode(F.split(F.lower("p_name"), " ")).alias("keyword_text"),
+    )
+    full = p.select(
+        F.col("p_partkey").cast("int").alias("store_app"),
+        F.lower("p_name").alias("keyword_text"),
+    )
+    return words.unionByName(full).distinct()
+
+
+@query(
+    "app_global_metrics_latest",
+    f"WITH {_AGML_SQL} SELECT * FROM agml",
+)
+def app_global_metrics_latest(spark, sf):
+    """The composed daily→weekly→latest metrics chain — the engine port
+    of public.app_global_metrics_latest (2w/4w trailing windows on DESC
+    week order, fixed baseline band, z-scores;
+    app_global_metrics_latest__matview.sql:30-115 via
+    plans/app_metrics.py::global_metrics_latest)."""
+    return appm.global_metrics_latest(_agml_hist(spark, sf))
+
+
+@query(
+    "z_scores_top_apps",
+    f"""
+    WITH {_AGML_SQL},
+    {_APPS_SQL},
+    joined AS (
+        SELECT g.*, ap.store, ap.category, ap.name
+        FROM agml g JOIN apps ap ON ap.store_app = g.store_app
+        WHERE ap.store IN (1, 2) AND g.total_installs > 50000
+          AND g.weekly_installs > 1000
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY store, category,
+                CASE WHEN store = 2 THEN 'rating' ELSE 'installs' END
+            ORDER BY installs_z_score_2w DESC NULLS LAST, store_app) AS rn
+        FROM joined
+    )
+    SELECT store, store_app, name AS app_name, category AS app_category,
+           total_installs AS installs, weekly_installs AS installs_sum_1w,
+           monthly_installs, installs_avg_2w, installs_avg_4w,
+           installs_acceleration, has_reliable_baseline,
+           installs_z_score_2w, installs_z_score_4w
+    FROM ranked WHERE rn <= 100
+    """,
+)
+def z_scores_top_apps(spark, sf):
+    """Top-100 apps per (store, category, metric-kind) by 2-week z-score
+    (frontend z_scores_top_apps__matview.sql:62-94 via
+    plans/app_metrics.py::z_scores_top_apps; deterministic store_app
+    tie-break added for engine-independent ranks)."""
+    latest = appm.global_metrics_latest(_agml_hist(spark, sf))
+    return appm.z_scores_top_apps(latest, _apps_dim(spark, sf))
+
+
+@query(
+    "keyword_scores",
+    f"""
+    WITH {_AGML_SQL},
+    {_APPS_SQL},
+    kbase AS (
+        SELECT ak.store_app, ak.keyword_text, ap.store, ap.name,
+               g.total_installs, g.weekly_installs, g.rating,
+               g.installs_z_score_4w
+        FROM ake ak
+        LEFT JOIN apps ap ON ap.store_app = ak.store_app
+        LEFT JOIN agml g ON g.store_app = ak.store_app
+    ),
+    {appm.KEYWORD_SCORES_SQL_TAIL}
+    """,
+)
+def keyword_scores(spark, sf):
+    """The keyword-scores matview port: per-(store, keyword) market
+    stats, competitor install distribution (avg / max / interpolated
+    median / FILTER-count thresholds / title containment) and the
+    derived opportunity metrics
+    (keyword_scores__matview.sql:30-137 via
+    plans/app_metrics.py::keyword_scores)."""
+    latest = appm.global_metrics_latest(_agml_hist(spark, sf))
+    return appm.keyword_scores(
+        _ake(spark, sf), _apps_dim(spark, sf), latest
+    )
+
+
+@query(
+    "adstxt_staleness_entries",
+    """
+    WITH entries AS (
+        SELECT event_id AS app_ad_entry_id,
+               cast(user_id % 23 AS INT) AS ad_domain_id,
+               cast(user_id % 37 AS INT) AS pub_domain_id,
+               ts AS updated_at
+        FROM events
+    ),
+    crawl AS (
+        SELECT cast(user_id % 37 AS INT) AS domain_id,
+               max(ts) + INTERVAL 30 MINUTE AS crawled_at
+        FROM events WHERE user_id % 37 % 5 != 0 GROUP BY 1
+    )
+    SELECT DISTINCT e.ad_domain_id, e.app_ad_entry_id, e.pub_domain_id
+    FROM entries e LEFT JOIN crawl c ON c.domain_id = e.pub_domain_id
+    WHERE (c.crawled_at - e.updated_at) < INTERVAL 1 HOUR
+    """,
+)
+def adstxt_staleness_entries(spark, sf):
+    """Interval-windowed staleness view over ads.txt entries: keep
+    entries whose publisher domain was recrawled within 1 hour of the
+    entry's update (adstxt_domain_entries__matview.sql:29-38 via
+    plans/app_metrics.py::adstxt_fresh_entries; crawl set deliberately
+    misses 1-in-5 domains to exercise the LEFT-join NULL drop)."""
+    ev = _t(spark, sf, "events")
+    entries = ev.select(
+        F.col("event_id").alias("app_ad_entry_id"),
+        (F.col("user_id") % 23).cast("int").alias("ad_domain_id"),
+        (F.col("user_id") % 37).cast("int").alias("pub_domain_id"),
+        F.col("ts").alias("updated_at"),
+    )
+    crawl = (
+        ev.filter(F.col("user_id") % 37 % 5 != 0)
+        .groupBy((F.col("user_id") % 37).cast("int").alias("domain_id"))
+        .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("crawled_at"))
+    )
+    return appm.adstxt_fresh_entries(entries, crawl)
