@@ -251,8 +251,13 @@ def claim_batch(
     caller's snapshot (which should then unpersist the handles appended
     to ``persisted``)."""
     base = eligible(frontier, now).filter(F.col("doc_kind").isin(doc_kinds))
+    # adstxt AND rankings order by recrawl recency (oldest-first, never-
+    # crawled first); rankings re-enter pending after each fetch, giving
+    # the reference's daily re-crawl cadence (app_rankings.py scenarios)
     order = (
-        adstxt_order_cols() if doc_kinds == ["adstxt"] else listing_order_cols(now)
+        adstxt_order_cols()
+        if doc_kinds in (["adstxt"], ["rankings"])
+        else listing_order_cols(now)
     )
     # one fetch per canonical URL: subdomain variants (www./m.) collapse
     # to the same url_canon, and the reference never fetches a URL twice

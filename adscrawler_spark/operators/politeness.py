@@ -65,16 +65,29 @@ def apply_robots(claimed: DataFrame, robots: DataFrame) -> DataFrame:
 def with_virtual_schedule(
     claimed: DataFrame, budget_seconds: float = DEFAULT_BUDGET_SECONDS
 ) -> DataFrame:
-    """Virtual fetch time per (host, lane) from the claim order; rows
-    whose start time exceeds the lane budget are deferred.
+    """Virtual fetch time per (host, lane, claim family) from the claim
+    order; rows whose start time exceeds the lane budget are deferred.
 
     robots-denied rows do NOT consume budget: lane_rank counts only
     fetchable rows (a running sum over the claim order, which keeps the
-    schedule a pure function of the claim log at any parallelism)."""
+    schedule a pure function of the claim log at any parallelism).
+
+    The window partitions by claim FAMILY as well as (host, lane):
+    rankings share the hot store hosts with listings, and the
+    reference runs those crawls as separate dramatiq worker queues
+    with independent throughput (dispatcher.py queues) — so each
+    family gets its own per-lane budget, and claim_rank (unique only
+    within a family) stays a total order inside every window."""
     from pyspark.sql import Window
 
+    fam = (
+        F.when(F.col("doc_kind") == "adstxt", "adstxt")
+        .when(F.col("doc_kind") == "rankings", "rankings")
+        .otherwise("listing")
+    )
+    claimed = claimed.withColumn("_fam", fam)
     w = (
-        Window.partitionBy("host", "lane")
+        Window.partitionBy("host", "lane", "_fam")
         .orderBy("claim_rank")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -89,6 +102,7 @@ def with_virtual_schedule(
         .withColumn(
             "within_budget", F.coalesce(vt < F.lit(budget_seconds), F.lit(False))
         )
+        .drop("_fam")
     )
 
 

@@ -208,6 +208,27 @@ def app_country_metrics(documents: DataFrame) -> DataFrame:
     return country_share_model(weekly)
 
 
+def store_app_ranks_latest(rankings: DataFrame) -> DataFrame:
+    """Best (lowest) rank per app per scenario on the scenario's latest
+    crawled date — the store_app_ranks_latest matview analog
+    (/root/reference/pg-ddl/schema/frontend/store_app_ranks_latest__matview.sql;
+    feeds the rankings_latest_dedup battery pipeline shape)."""
+    scenario = ["store", "country", "collection", "category"]
+    w_date = Window.partitionBy(*scenario)
+    w_best = Window.partitionBy(*scenario, "store_id").orderBy(
+        "rank", "crawled_date"
+    )
+    return (
+        rankings.withColumn("max_date", F.max("crawled_date").over(w_date))
+        .filter(F.col("crawled_date") == F.col("max_date"))
+        .drop("max_date")
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter("rn = 1")
+        .select(*scenario, "crawled_date", "store_id",
+                F.col("rank").alias("best_rank"))
+    )
+
+
 def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
     """Materialize the derived-product chain in dependency order.
 
@@ -289,4 +310,10 @@ def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
 
     commit("mv_app_country_metrics", app_country_metrics(documents))
     commit("mv_adstxt_domain_entries", adstxt_domain_entries(adstxt, crawl_log))
+
+    # rankings product: best rank per (scenario key, app) on the latest
+    # crawled date (store_app_ranks_latest__matview.sql shape)
+    rankings = cat.table("rankings").read(spark)
+    if rankings is not None:
+        commit("mv_store_app_ranks_latest", store_app_ranks_latest(rankings))
     return counts

@@ -41,6 +41,7 @@ def _path_of(url: str) -> str:
 class SimConfig:
     listing_batch: int = 2_000
     adstxt_batch: int = 2_000
+    rankings_batch: int = 100
     budget_seconds: float = 3_600.0
     # shared data constant (operators/frontier.py HOT_LANES) — the
     # per-host fetch-concurrency budget; must match the engine's.
@@ -61,6 +62,9 @@ class SimState:
     docs: set[str]
     crawl_results: dict[str, int]
     doc_countries: dict[str, str | None] = field(default_factory=dict)
+    # (store, date, country, collection, category, rank, store_id)
+    rankings: set[tuple] = field(default_factory=set)
+    ranking_keys: set[tuple] = field(default_factory=set)
 
 
 def _doc_country(row: dict, h: int) -> str | None:
@@ -115,7 +119,7 @@ def _claim(rows: list[dict], kinds: set[str], n: int, now: datetime) -> list[dic
     ]
     key = (
         (lambda r: _adstxt_sort_key(r))
-        if kinds == {"adstxt"}
+        if kinds <= {"adstxt", "rankings"}  # both order by recrawl recency
         else (lambda r: _listing_sort_key(r, now))
     )
     top = sorted(elig, key=key)[:n]
@@ -141,6 +145,8 @@ def run_sim(
             ("listing", _claim(st.frontier, {"listing_play", "listing_ios"},
                                cfg.listing_batch, now)),
             ("adstxt", _claim(st.frontier, {"adstxt"}, cfg.adstxt_batch, now)),
+            ("rankings", _claim(st.frontier, {"rankings"},
+                                cfg.rankings_batch, now)),
         ]
         results: dict[str, tuple[int | None, bool, bool]] = {}
         discovered_domains: list[str] = []
@@ -169,7 +175,24 @@ def run_sim(
                 if r["doc_kind"] == "adstxt" and ok:
                     entries, result = py_adstxt.parse_body(synth.synth_adstxt_body(h))
                     discovered_domains.extend(e[0] for e in entries)
-                if ok or result in (2,):
+                if r["doc_kind"] == "rankings" and ok and result == 1:
+                    import json as _json
+
+                    path = _path_of(r["url"])
+                    seg = path.split("/rankings/", 1)[-1].split("/")
+                    collection, category = seg[0], seg[1]
+                    store = 1 if r["host"] == HOT_PLAY else 2
+                    key = (store, now.date().isoformat(), r.get("country"),
+                           collection, category)
+                    # existence-probe skip: one ranked list per key per day
+                    if key not in st.ranking_keys:
+                        st.ranking_keys.add(key)
+                        ranks = _json.loads(
+                            synth.synth_rankings_body(h, r["url"])
+                        )["ranks"]
+                        for i, sid in enumerate(ranks, start=1):
+                            st.rankings.add(key + (i, sid))
+                if (ok or result in (2,)) and r["doc_kind"] != "rankings":
                     prefix = {
                         "listing_play": "gp::",
                         "listing_ios": "ios::",
@@ -191,6 +214,11 @@ def run_sim(
                 r["state"] = "denied"
             elif not fetched:
                 r["state"] = "pending"
+            elif r["doc_kind"] == "rankings":
+                # ranked lists re-enter pending (daily re-crawl cadence)
+                r["state"] = "pending"
+                r["crawl_result"] = res
+                r["last_crawled_at"] = now
             else:
                 r["state"] = "done" if res == 1 else "failed"
                 r["crawl_result"] = res

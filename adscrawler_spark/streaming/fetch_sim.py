@@ -73,19 +73,21 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Vectorized fetch: outcome classes resolve with numpy over the
     whole Arrow batch; Python strings are built only for the rows whose
     simulated fetch succeeds (where real IO would happen)."""
-    last_vt: dict[tuple[str, int], float] = {}  # per-lane token state
+    last_vt: dict[tuple[str, int, str], float] = {}  # per-lane token state
     for pdf in batches:
         n = len(pdf)
         fetchable = (~pdf["robots_denied"].to_numpy(dtype=bool)) & pdf[
             "within_budget"
         ].to_numpy(dtype=bool)
-        # per-lane monotone schedule invariant (politeness order)
-        for (host, lane), grp in pdf.loc[fetchable].groupby(
-            ["host", "lane"], sort=False
+        # per-(lane, family) monotone schedule invariant (politeness
+        # order; doc_kind is a family refinement — budgets are
+        # per-family, so virtual time restarts across families)
+        for (host, lane, kind), grp in pdf.loc[fetchable].groupby(
+            ["host", "lane", "doc_kind"], sort=False
         ):
             vts = grp["virtual_time"].to_numpy()
             assert (np.diff(vts) >= 0).all(), "lane schedule not monotone"
-            key = (host, int(lane))
+            key = (host, int(lane), kind)
             assert vts[0] >= last_vt.get(key, -1.0), "lane state regressed"
             last_vt[key] = float(vts[-1])
 
@@ -173,6 +175,6 @@ def fetch(claimed: DataFrame) -> DataFrame:
     return (
         claimed.select(*_IN_COLS)
         .repartition(2 * par, F.col("host"), F.col("lane"))
-        .sortWithinPartitions("host", "lane", "lane_rank")
+        .sortWithinPartitions("host", "lane", "doc_kind", "lane_rank")
         .mapInPandas(_fetch_batches, FETCH_SCHEMA)
     )

@@ -22,6 +22,10 @@ BASE_TS = "2026-08-01 00:00:00"
 # storefront countries each app fans out across (the reference's
 # countries_to_crawl dimension, query_apps_to_update_primary.sql:97-99)
 COUNTRIES = ["us", "gb", "de", "jp", "br"]
+# ranked-list dimensions (the reference crawls one ranked list per
+# (store, country, collection, category) daily — app_rankings.py:60-162)
+RANK_COLLECTIONS = ["topselling_free", "topgrossing"]
+RANK_CATEGORIES = ["TOOLS", "GAME_PUZZLE", "SOCIAL", "FINANCE"]
 
 
 def _h(seed: int, salt: int) -> F.Column:
@@ -128,4 +132,58 @@ def synth_frontier(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         F.concat(F.lit("seed"), F.pmod(he, F.lit(20)).cast("string")).alias(
             "seed_id"
         ),
+    )
+
+
+def synth_rankings_frontier(spark: SparkSession) -> DataFrame:
+    """One frontier row per (store, country, collection, category)
+    ranked list — the reference's rankings crawl universe
+    (/root/reference/adscrawler/app_stores/app_rankings.py:60-162:
+    ingests one ranked list per scenario per day).  Deterministic and
+    tiny (stores × countries × collections × categories); rows share
+    the hot store hosts, so the rankings fetch exercises the salted
+    lanes like listings do."""
+    n_c, n_col, n_cat = len(COUNTRIES), len(RANK_COLLECTIONS), len(RANK_CATEGORIES)
+    n = 2 * n_c * n_col * n_cat
+    df = spark.range(n)
+    store_idx = F.pmod(F.col("id"), F.lit(2))
+    cc = F.get(
+        F.array(*[F.lit(c) for c in COUNTRIES]),
+        F.pmod(F.floor(F.col("id") / 2), F.lit(n_c)).cast("int"),
+    )
+    coll = F.get(
+        F.array(*[F.lit(c) for c in RANK_COLLECTIONS]),
+        F.pmod(F.floor(F.col("id") / (2 * n_c)), F.lit(n_col)).cast("int"),
+    )
+    cat = F.get(
+        F.array(*[F.lit(c) for c in RANK_CATEGORIES]),
+        F.pmod(F.floor(F.col("id") / (2 * n_c * n_col)), F.lit(n_cat)).cast("int"),
+    )
+    host = F.when(store_idx == 0, HOT_PLAY).otherwise(HOT_IOS)
+    url = F.when(
+        store_idx == 0,
+        F.concat(
+            F.lit("https://" + HOT_PLAY + "/rankings/"), coll, F.lit("/"),
+            cat, F.lit("?gl="), cc,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://" + HOT_IOS + "/"), cc, F.lit("/rankings/"),
+            coll, F.lit("/"), cat,
+        )
+    )
+    return df.select(
+        url.alias("url"),
+        host.alias("host"),
+        F.lit("rankings").alias("doc_kind"),
+        F.lit(None).cast("int").alias("crawl_result"),
+        F.lit(False).alias("ranked"),
+        F.lit(False).alias("ad_supported"),
+        F.lit(0).cast("long").alias("installs"),
+        F.lit(0).cast("long").alias("rating_count"),
+        F.upper(cc).alias("country"),
+        F.lit(None).cast("timestamp").alias("last_crawled_at"),
+        F.lit("pending").alias("state"),
+        F.lit(None).cast("timestamp").alias("leased_until"),
+        F.lit("rankings").alias("seed_id"),
     )

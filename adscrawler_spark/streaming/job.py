@@ -61,7 +61,7 @@ IOS_RAW_SCHEMA = (
 
 TABLES = [
     "frontier", "frontier_updates", "url_seen", "documents", "crawl_log",
-    "adstxt_entries", "metrics",
+    "adstxt_entries", "rankings", "metrics",
 ]
 
 # fold the update log back into the base every K generations (the
@@ -122,6 +122,7 @@ def compact_frontier(spark: SparkSession, cat: Catalog, generation: int) -> None
     )
     cat.table("crawl_log").compact(spark, meta)
     cat.table("adstxt_entries").compact(spark, meta)
+    cat.table("rankings").compact(spark, meta, partition_by=["store", "crawled_date"])
 
 
 def now_str(generation: int) -> str:
@@ -170,6 +171,41 @@ def _listing_docs(fetched: DataFrame, kind: str, now: str) -> DataFrame:
     )
 
 
+def _parse_rankings(fetched: DataFrame, now: str) -> DataFrame:
+    """Rankings bodies → one row per (list, rank): the reference's
+    ranked-list ingestion (app_rankings.py:60-162).  Collection and
+    category come from the URL path, country from the storefront, store
+    from the host; rank is the 1-based list position."""
+    rows = fetched.filter(
+        (F.col("doc_kind") == "rankings")
+        & F.col("fetched")
+        & (F.col("crawl_result") == 1)
+        & F.col("body").isNotNull()
+    )
+    parsed = rows.select(
+        "url_canon", "host", "country", "seed_id", "batch_id", "partition_id",
+        F.regexp_extract("url_canon", r"rankings/([^/]+)/", 1).alias(
+            "collection"
+        ),
+        F.regexp_extract("url_canon", r"rankings/[^/]+/([^/?]+)", 1).alias(
+            "category"
+        ),
+        F.when(F.col("host") == "google-play-store.com", 1)
+        .otherwise(2)
+        .alias("store"),
+        F.from_json("body", "ranks array<string>").alias("r"),
+    )
+    return parsed.select(
+        "store",
+        F.to_date(F.to_timestamp(F.lit(now))).alias("crawled_date"),
+        "country",
+        "collection",
+        "category",
+        F.posexplode("r.ranks").alias("rank0", "store_id"),
+        "seed_id", "batch_id", "partition_id",
+    ).withColumn("rank", (F.col("rank0") + 1).cast("int")).drop("rank0")
+
+
 def run_generation(
     spark: SparkSession,
     cat: Catalog,
@@ -178,6 +214,7 @@ def run_generation(
     adstxt_batch: int,
     budget_seconds: float,
     robots: DataFrame,
+    rankings_batch: int = 100,
 ) -> dict:
     t0 = time.time()
     now = now_str(generation)
@@ -196,7 +233,11 @@ def run_generation(
         frontier, ["adstxt"], adstxt_batch, now, generation,
         persisted=claim_caches,
     )
-    claimed = claim_l.unionByName(claim_a)
+    claim_r = frontier_ops.claim_batch(
+        frontier, ["rankings"], rankings_batch, now, generation,
+        persisted=claim_caches,
+    )
+    claimed = claim_l.unionByName(claim_a).unionByName(claim_r)
     claimed = politeness.with_virtual_schedule(
         politeness.apply_robots(claimed, robots), budget_seconds
     )
@@ -230,6 +271,21 @@ def run_generation(
             "seed_id", "partition_id", "batch_id",
         )
     )
+    # ---- rankings ingestion with the daily existence-probe skip (T9):
+    # a (store, date, country, collection, category) list already in the
+    # rankings table is not re-inserted — the reference checks existing
+    # scenario rows before insert (app_rankings.py), so intra-day
+    # re-crawls (rankings re-enter pending each generation) are no-ops.
+    rank_rows = _parse_rankings(fetched, now)
+    rank_keys = ["store", "crawled_date", "country", "collection", "category"]
+    existing_ranks = cat.table("rankings").read(spark)
+    if existing_ranks is not None:
+        rank_rows = rank_rows.join(
+            existing_ranks.select(*rank_keys).dropDuplicates(),
+            rank_keys,
+            "left_anti",
+        )
+
     play_docs = _listing_docs(fetched, "listing_play", now)
     ios_docs = _listing_docs(fetched, "listing_ios", now)
     docs = (
@@ -292,6 +348,19 @@ def run_generation(
         f_log = pool.submit(
             lambda: cat.table("crawl_log").append(log, {"generation": generation})
         )
+        def _ingest_ranks():
+            # a partitioned write of ZERO rows leaves no data files to
+            # infer a schema from on read-back — skip the commit when
+            # the idempotency anti-join removed everything
+            n = rank_rows.count()
+            if n:
+                cat.table("rankings").append(
+                    rank_rows, {"generation": generation},
+                    partition_by=["store", "crawled_date"],
+                )
+            return n
+
+        f_ranks = pool.submit(_ingest_ranks)
         f_counts = pool.submit(
             lambda: results.agg(
                 F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
@@ -304,6 +373,7 @@ def run_generation(
         n_docs = f_docs.result()[0]
         n_entries = f_entries.result()[0]
         f_log.result()
+        n_rank_rows = f_ranks.result()
         counts = f_counts.result()
 
     # ---- discovery: DIRECT/RESELLER ad domains become new adstxt URLs
@@ -355,6 +425,10 @@ def run_generation(
         .select(
             F.col("url_canon").alias("u_canon"),
             F.when(F.col("denied"), "denied")
+            # rankings re-enter pending: ranked lists are re-crawled
+            # every cycle (daily in the reference); the ingestion skip
+            # above makes intra-day re-fetches idempotent
+            .when(F.col("doc_kind") == "rankings", "pending")
             .when(F.col("crawl_result") == 1, "done")
             .otherwise("failed")
             .alias("u_state"),
@@ -384,6 +458,7 @@ def run_generation(
         "deferred": n_deferred,
         "docs": n_docs,
         "adstxt_entries": n_entries,
+        "rankings_rows": n_rank_rows,
         "discovered": n_discovered,
         "elapsed_sec": round(elapsed, 3),
         "urls_per_sec": round(n_fetched / elapsed, 1) if elapsed > 0 else 0.0,
@@ -400,7 +475,12 @@ def run_generation(
 
 
 def bootstrap(spark: SparkSession, cat: Catalog, frontier_size: int, seed: int) -> None:
-    frontier = frontier_ops.with_canonical(synth_frontier(spark, frontier_size, seed))
+    from adscrawler_spark.streaming.frontier_gen import synth_rankings_frontier
+
+    seeds = synth_frontier(spark, frontier_size, seed).unionByName(
+        synth_rankings_frontier(spark)
+    )
+    frontier = frontier_ops.with_canonical(seeds)
     cat.table("frontier").overwrite(frontier, {"bootstrap": True})
     cat.table("url_seen").overwrite(
         frontier.select("url_canon", "url_hash64").dropDuplicates(["url_canon"]),
@@ -432,6 +512,7 @@ def run(
     adstxt_batch: int = 2_000,
     budget_seconds: float = politeness.DEFAULT_BUDGET_SECONDS,
     seed: int = 42,
+    rankings_batch: int = 100,
 ) -> list[dict]:
     cat = Catalog(out_dir)
     robots = politeness.default_robots(spark)
@@ -443,7 +524,8 @@ def run(
     all_metrics = []
     for g in range(state.get("generation", 0), generations):
         m = run_generation(
-            spark, cat, g, listing_batch, adstxt_batch, budget_seconds, robots
+            spark, cat, g, listing_batch, adstxt_batch, budget_seconds, robots,
+            rankings_batch=rankings_batch,
         )
         cat.write_state({"generation": g + 1, "versions": _versions(cat)})
         print(json.dumps(m))

@@ -157,9 +157,30 @@ def synth_ios_listing(h: int, track_id: str) -> str:
     return json.dumps(d)
 
 
+RANK_LIST_LEN = 20
+
+
+def synth_rankings_body(h: int, url: str) -> str:
+    """Deterministic ranked list of store ids for a rankings URL
+    (the reference's scraped collection page, app_rankings.py:60-113):
+    RANK_LIST_LEN ids, order a pure function of the URL hash."""
+    is_play = "google-play-store.com" in url
+    seen: set[int] = set()
+    ids = []
+    for i in range(RANK_LIST_LEN):
+        k = (h + (i + 1) * 2654435761) % 400
+        if k in seen:  # a ranked list never repeats an app
+            continue
+        seen.add(k)
+        ids.append(f"com.app{k}" if is_play else str(k))
+    return json.dumps({"ranks": ids})
+
+
 def synth_body(h: int, doc_kind: str, url: str) -> str:
     if doc_kind == "adstxt":
         return synth_adstxt_body(h)
+    if doc_kind == "rankings":
+        return synth_rankings_body(h, url)
     app_id = url.rsplit("id", 1)[-1].split("&")[0].replace("=com.app", "")
     if doc_kind == "listing_play":
         return synth_play_listing(h, f"com.app{app_id}")

@@ -72,10 +72,11 @@ def sim_state(spark, run_dir):
 def test_claim_log_matches_oracle(spark, run_dir, sim_state):
     cat = Catalog(run_dir)
     log = cat.table("crawl_log").read(spark)
+    fam = {"adstxt": "adstxt", "rankings": "rankings"}
     got = sorted(
         (
             int(r.batch_id),
-            "adstxt" if r.doc_kind == "adstxt" else "listing",
+            fam.get(r.doc_kind, "listing"),
             int(r.claim_rank),
             r.url_canon,
         )
@@ -135,6 +136,49 @@ def test_documents_partition_layout(spark, run_dir):
         os.path.join(snap["files"][0], "store=*", "crawled_date=*", "country=*")
     )
     assert leaf, "expected hive-style store/crawled_date/country dirs"
+
+
+def test_rankings_match_oracle_and_dedup(spark, run_dir, sim_state):
+    """Rankings land as a crawl-job product: every ingested (store,
+    date, country, collection, category, rank, store_id) row equals the
+    sequential oracle's ingestion (incl. the daily existence-probe
+    skip — re-crawled lists within the same virtual day insert
+    nothing), rows land hive-partitioned by store/crawled_date, and the
+    best-rank dedup yields one row per (key, store_id)."""
+    import glob
+    import os
+
+    from pyspark.sql import Window
+
+    cat = Catalog(run_dir)
+    ranks = cat.table("rankings").read(spark)
+    assert ranks is not None
+    got = {
+        (int(r.store), str(r.crawled_date), r.country, r.collection,
+         r.category, int(r.rank), r.store_id)
+        for r in ranks.collect()
+    }
+    assert got == sim_state.rankings and len(got) > 0
+    # T9: 3 generations share one virtual day -> exactly one ingestion
+    # per key (no duplicate (key, rank) rows)
+    key_cols = ["store", "crawled_date", "country", "collection", "category"]
+    dup = (
+        ranks.groupBy(*key_cols, "rank").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    # partition layout store/crawled_date (reference rankings lake)
+    snap = cat.table("rankings").snapshot()
+    leaf = glob.glob(os.path.join(snap["files"][0], "store=*", "crawled_date=*"))
+    assert leaf
+    # best-rank dedup product (store_app_ranks_latest analog)
+    w = Window.partitionBy(*key_cols, "store_id").orderBy("rank")
+    best = (
+        ranks.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    assert best.groupBy(*key_cols, "store_id").count().filter("count > 1").count() == 0
+    assert best.count() == ranks.select(*key_cols, "store_id").distinct().count()
 
 
 def test_politeness_budget_enforced(spark, run_dir):

@@ -41,6 +41,7 @@ def test_chain_materializes_in_order(spark, crawl_and_refresh):
         "mv_app_global_metrics_latest", "mv_store_apps_overview",
         "mv_app_keywords_extracted", "mv_keyword_scores",
         "mv_z_scores_top_apps", "mv_app_country_metrics",
+        "mv_store_app_ranks_latest",
     ]
     for name in non_empty:
         assert counts.get(name, 0) > 0, f"{name} empty: {counts}"
