@@ -2517,3 +2517,474 @@ def adstxt_staleness_entries(spark, sf):
         .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("crawled_at"))
     )
     return appm.adstxt_fresh_entries(entries, crawl)
+
+
+# =====================================================================
+# Frontend matview ports (plans/frontend.py) — leaderboards, retention,
+# tag rollups, supply-chain overviews
+# =====================================================================
+
+from adscrawler_spark.plans import frontend as fe  # noqa: E402
+
+_APPSNEW_SQL = """
+    appsd AS (
+        SELECT o_orderkey AS store_app,
+               cast(o_orderkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(o_orderkey % 5 AS VARCHAR) AS category,
+               lower(o_orderpriority) AS name,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE cast(floor(o_totalprice) AS BIGINT) END AS installs,
+               o_custkey AS rating_count,
+               cast(o_orderdate AS DATE) AS release_date,
+               cast(o_orderdate AS DATE)
+                   - to_days(cast(o_orderkey % 15 AS INT)) AS created_at,
+               cast(o_orderkey % 3 AS INT) AS crawl_result
+        FROM orders
+    )
+"""
+
+
+def _appsnew_dim(spark, sf):
+    """Synthetic store_apps_overview with the columns the apps_new
+    family filters on (release/created windows, crawl_result, nullable
+    installs for the NULLS LAST ordering)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("store_app"),
+        (F.col("o_orderkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "category"
+        ),
+        F.lower("o_orderpriority").alias("name"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.floor("o_totalprice").cast("long")
+        ).alias("installs"),
+        F.col("o_custkey").alias("rating_count"),
+        F.col("o_orderdate").cast("date").alias("release_date"),
+        F.date_sub(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 15).cast("int"),
+        ).alias("created_at"),
+        (F.col("o_orderkey") % 3).cast("int").alias("crawl_result"),
+    )
+
+
+@query(
+    "apps_new_weekly",
+    f"""
+    WITH {_APPSNEW_SQL},
+    eligible AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY store, category
+            ORDER BY installs DESC NULLS LAST,
+                     rating_count DESC NULLS LAST, store_app) AS rn
+        FROM appsd
+        WHERE release_date >= DATE '2001-08-01' - INTERVAL 7 DAY
+          AND created_at >= DATE '2001-08-01' - INTERVAL 11 DAY
+          AND crawl_result = 1
+    )
+    SELECT store, category AS app_category, store_app, name, installs,
+           rating_count, release_date, created_at, rn
+    FROM eligible WHERE rn <= 100
+    """,
+)
+def apps_new_weekly(spark, sf):
+    """New-app leaderboard, weekly window: top-100 per (store,
+    category) of apps released in the trailing 7 days whose row was
+    created within 11 (apps_new_weekly__matview.sql:31-62 via
+    plans/frontend.py::apps_new)."""
+    out = fe.apps_new(_appsnew_dim(spark, sf), "2001-08-01", 7, 11)
+    return out.select(
+        "store", "app_category", "store_app", "name", "installs",
+        "rating_count", "release_date", "created_at", "rn",
+    )
+
+
+@query(
+    "apps_new_yearly",
+    f"""
+    WITH {_APPSNEW_SQL},
+    eligible AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY store, category
+            ORDER BY installs DESC NULLS LAST,
+                     rating_count DESC NULLS LAST, store_app) AS rn
+        FROM appsd
+        WHERE release_date >= DATE '2001-08-01' - INTERVAL 365 DAY
+          AND created_at >= DATE '2001-08-01' - INTERVAL 380 DAY
+          AND crawl_result = 1
+    )
+    SELECT store, category AS app_category, store_app, name, installs,
+           rating_count, release_date, created_at, rn
+    FROM eligible WHERE rn <= 100
+    """,
+)
+def apps_new_yearly(spark, sf):
+    """Yearly variant of the new-app leaderboard — same plan, 365/380
+    windows (apps_new_yearly__matview.sql:31-64); exercises the top-k
+    truncation (the year window admits far more than 100 per group)."""
+    out = fe.apps_new(_appsnew_dim(spark, sf), "2001-08-01", 365, 380)
+    return out.select(
+        "store", "app_category", "store_app", "name", "installs",
+        "rating_count", "release_date", "created_at", "rn",
+    )
+
+
+_RANKSYN_SQL = """
+    ranks AS (
+        SELECT cast(o_orderdate AS DATE) AS crawled_date,
+               o_custkey AS store_id,
+               cast(o_orderkey % 100 + 1 AS INT) AS rank,
+               cast(o_orderkey % 3 AS INT) AS country,
+               o_orderpriority AS collection,
+               o_orderstatus AS category
+        FROM orders
+    )
+"""
+
+
+def _ranks_syn(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderdate").cast("date").alias("crawled_date"),
+        F.col("o_custkey").alias("store_id"),
+        (F.col("o_orderkey") % 100 + 1).cast("int").alias("rank"),
+        (F.col("o_orderkey") % 3).cast("int").alias("country"),
+        F.col("o_orderpriority").alias("collection"),
+        F.col("o_orderstatus").alias("category"),
+    )
+
+
+@query(
+    "ranks_weekly_retention",
+    f"""
+    WITH {_RANKSYN_SQL}
+    SELECT * FROM ranks
+    WHERE crawled_date >= DATE '2001-08-01' - INTERVAL 200 DAY
+      AND (crawled_date >= DATE '2001-08-01' - INTERVAL 14 DAY
+           OR isodow(crawled_date) = 1)
+    """,
+)
+def ranks_weekly_retention(spark, sf):
+    """Rank-history age-out: full trailing 14 days, Mondays only back
+    to 200 days (reference dbcon/queries.py:479-511's two DELETE
+    predicates, as the retained-set filter; via
+    plans/frontend.py::ranks_weekly_retention)."""
+    return fe.ranks_weekly_retention(_ranks_syn(spark, sf), "2001-08-01")
+
+
+@query(
+    "ranks_best_monthly",
+    f"""
+    WITH {_RANKSYN_SQL}
+    SELECT store_id, country, collection, category,
+           cast(min(rank) AS BIGINT) AS best_rank
+    FROM ranks
+    WHERE crawled_date >= DATE '2001-08-01' - INTERVAL 30 DAY
+    GROUP BY store_id, country, collection, category
+    """,
+)
+def ranks_best_monthly(spark, sf):
+    """Best rank per app per scenario over the trailing 30 days
+    (store_app_ranks_best_monthly__matview.sql:31-46 via
+    plans/frontend.py::store_app_ranks_best_monthly)."""
+    return fe.store_app_ranks_best_monthly(
+        _ranks_syn(spark, sf), "2001-08-01", days=30, rank_col="rank"
+    )
+
+
+_TAGGED_SQL = """
+    appco AS (
+        SELECT p_partkey AS store_app,
+               p_size % 2 = 0 AS sdk,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(floor(p_retailprice) AS BIGINT) AS installs_total,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    )
+"""
+
+
+@query(
+    "category_tag_stats",
+    f"""
+    WITH {_TAGGED_SQL},
+    tagged AS (
+        SELECT DISTINCT store_app, tag_source FROM (
+            SELECT store_app, 'sdk' AS tag_source FROM appco WHERE sdk
+            UNION ALL
+            SELECT store_app, 'api_call' FROM appco WHERE api_call
+            UNION ALL
+            SELECT store_app, 'publisher' FROM appco WHERE publisher
+            UNION ALL
+            SELECT store_app, 'app_ads_direct' FROM appco
+            WHERE app_ads_direct
+            UNION ALL
+            SELECT store_app, 'app_ads_reseller' FROM appco
+            WHERE app_ads_reseller
+        )
+    )
+    SELECT a.store, a.category, t.tag_source,
+           count(DISTINCT t.store_app) AS app_count,
+           cast(sum(a.installs_d30) AS BIGINT) AS installs_d30,
+           cast(sum(a.installs_total) AS BIGINT) AS installs_total
+    FROM tagged t LEFT JOIN appdim a ON a.store_app = t.store_app
+    GROUP BY a.store, a.category, t.tag_source
+    """,
+)
+def category_tag_stats(spark, sf):
+    """Per-(store, category, tag-source) reach rollup: lateral-VALUES
+    unpivot of five boolean tag columns, distinct app-tag pairs, dim
+    join, multi-count-distinct (category_tag_stats__matview.sql:29-46
+    via plans/frontend.py::category_tag_stats)."""
+    p = _t(spark, sf, "part")
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 2 == 0).alias("sdk"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.floor("p_retailprice").cast("long").alias("installs_total"),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    return fe.category_tag_stats(appco, appdim)
+
+
+@query(
+    "latest_sdk_scanned",
+    """
+    WITH scans AS (
+        SELECT event_id AS scan_id,
+               cast(event_id % 3000 AS BIGINT) AS store_app,
+               'v' || cast(event_id % 7 AS VARCHAR) AS version_code,
+               CASE WHEN value > 50 THEN 1 ELSE 2 END AS crawl_result,
+               ts AS run_at
+        FROM events
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               lower(p_name) AS name,
+               cast(floor(p_retailprice) AS BIGINT) AS installs,
+               cast(p_size AS BIGINT) AS rating_count
+        FROM part
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY store_app
+                ORDER BY run_at DESC, scan_id DESC) AS rn
+            FROM scans)
+        WHERE rn = 1 AND run_at <= DATE '2024-01-30' - INTERVAL 1 DAY
+    ),
+    ranked AS (
+        SELECT l.run_at AS sdk_crawled_at, l.version_code,
+               l.crawl_result, a.store, l.store_app, a.name, a.installs,
+               a.rating_count,
+               row_number() OVER (PARTITION BY a.store, l.crawl_result
+                   ORDER BY l.run_at DESC, l.store_app) AS updated_rank
+        FROM last l LEFT JOIN appdim a ON a.store_app = l.store_app
+    )
+    SELECT * FROM ranked WHERE updated_rank <= 100
+    """,
+)
+def latest_sdk_scanned(spark, sf):
+    """Most-recently SDK-scanned apps, top-100 per (store, scan
+    result): DISTINCT-ON latest scan per app then recency rank
+    (latest_sdk_scanned_apps__matview.sql:29-55 via
+    plans/frontend.py::latest_sdk_scanned_apps)."""
+    ev = _t(spark, sf, "events")
+    scans = ev.select(
+        F.col("event_id").alias("scan_id"),
+        (F.col("event_id") % 3000).alias("store_app"),
+        F.concat(F.lit("v"), (F.col("event_id") % 7).cast("string")).alias(
+            "version_code"
+        ),
+        F.when(F.col("value") > 50, 1).otherwise(2).alias("crawl_result"),
+        F.col("ts").alias("run_at"),
+    )
+    p = _t(spark, sf, "part")
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.lower("p_name").alias("name"),
+        F.floor("p_retailprice").cast("long").alias("installs"),
+        F.col("p_size").cast("long").alias("rating_count"),
+    )
+    return fe.latest_sdk_scanned_apps(scans, appdim, "2024-01-30")
+
+
+@query(
+    "adstxt_ad_domain_overview",
+    """
+    WITH de AS (
+        SELECT cast(user_id % 37 AS INT) AS pub_domain_id,
+               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
+               event_id AS app_ad_entry_id
+        FROM events
+    ),
+    ae AS (
+        SELECT event_id AS app_ad_entry_id,
+               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
+                    ELSE 'RESELLER' END AS relationship,
+               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
+        FROM events
+    ),
+    aum AS (
+        SELECT cast(c_custkey % 37 AS INT) AS pub_domain_id,
+               c_custkey AS store_app
+        FROM customer
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
+        FROM customer
+    )
+    SELECT de.ad_domain_url, ae.relationship, a.store,
+           count(DISTINCT ae.publisher_id) AS publisher_id_count,
+           count(DISTINCT a.developer) AS developer_count,
+           count(DISTINCT aum.store_app) AS app_count
+    FROM de
+    LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
+    LEFT JOIN appdim a ON a.store_app = aum.store_app
+    LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
+    GROUP BY de.ad_domain_url, ae.relationship, a.store
+    """,
+)
+def adstxt_ad_domain_overview_q(spark, sf):
+    """Supply-chain rollup per (ad domain, relationship, store): the
+    four-way LEFT-join chain with three count-DISTINCTs
+    (adstxt_ad_domain_overview__matview.sql:29-42 via
+    plans/frontend.py::adstxt_ad_domain_overview)."""
+    ev = _t(spark, sf, "events")
+    de = ev.select(
+        (F.col("user_id") % 37).cast("int").alias("pub_domain_id"),
+        F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
+            "ad_domain_url"
+        ),
+        F.col("event_id").alias("app_ad_entry_id"),
+    )
+    ae = ev.select(
+        F.col("event_id").alias("app_ad_entry_id"),
+        F.when(F.col("event_id") % 2 == 0, "DIRECT")
+        .otherwise("RESELLER")
+        .alias("relationship"),
+        F.concat(F.lit("pub"), (F.col("user_id") % 11).cast("string")).alias(
+            "publisher_id"
+        ),
+    )
+    c = _t(spark, sf, "customer")
+    aum = c.select(
+        (F.col("c_custkey") % 37).cast("int").alias("pub_domain_id"),
+        F.col("c_custkey").alias("store_app"),
+    )
+    appdim = c.select(
+        F.col("c_custkey").alias("store_app"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("dev"), (F.col("c_custkey") % 13).cast("string")).alias(
+            "developer"
+        ),
+    )
+    return fe.adstxt_ad_domain_overview(de, aum, appdim, ae)
+
+
+@query(
+    "companies_category_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_size % 29 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'codom' || cast(i AS VARCHAR) END AS company_domain
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(floor(p_retailprice) AS BIGINT) AS installs,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    )
+    SELECT a.store, a.category AS app_category,
+           coalesce(co.company_domain, d.domain_name) AS company_domain,
+           co.company_name,
+           count(DISTINCT ac.store_app) AS app_count,
+           cast(sum(a.installs) AS BIGINT) AS installs_total,
+           cast(sum(a.installs_d30) AS BIGINT) AS installs_d30
+    FROM appco ac
+    LEFT JOIN domains d ON d.domain_id = ac.domain_id
+    LEFT JOIN companies co ON co.company_id = ac.company_id
+    LEFT JOIN appdim a ON a.store_app = ac.store_app
+    GROUP BY a.store, a.category,
+             coalesce(co.company_domain, d.domain_name), co.company_name
+    """,
+)
+def companies_category_stats_q(spark, sf):
+    """Company reach per (store, category): broadcast company/domain
+    dims, COALESCE of company domain over matched ad domain, grouped
+    count-distinct + sums (companies_category_stats__matview.sql:29-44
+    via plans/frontend.py::companies_category_stats)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("codom"), F.col("id").cast("string")))
+        .alias("company_domain"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.floor("p_retailprice").cast("long").alias("installs"),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    return fe.companies_category_stats(appco, companies, domains, appdim)

@@ -1,0 +1,254 @@
+"""Frontend matview ports — the reference's user-facing derived views
+re-expressed as distributed DataFrame plans.
+
+Each function is the Spark twin of one materialized view under
+/root/reference/pg-ddl/schema/frontend/ (file:line cited per function)
+and is exercised both by a battery entry in plans/benchmarks.py (DuckDB
+oracle) and, where the engine's own crawl lake produces the input
+shape, by a step in plans/refresh.py::refresh_all.
+
+Scale notes common to the family:
+* every "top-N per group" is a row_number window partitioned on the
+  group key — work distributes across groups, no global sort;
+* dims (countries / collections / categories / pattern tables) are
+  broadcast — they are O(100) rows in the reference schema;
+* multi-count-distinct aggregations ride Spark's expand operator —
+  one shuffle keyed on the group-by columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apps_new(
+    apps: DataFrame,
+    as_of: str,
+    release_days: int,
+    created_days: int,
+    top_n: int = 100,
+) -> DataFrame:
+    """New-app leaderboards: top-N per (store, category) of apps whose
+    release_date falls within ``release_days`` of ``as_of`` (and whose
+    row was created within ``created_days`` — the reference's guard
+    against backfilled old apps), ordered installs DESC NULLS LAST then
+    rating_count DESC NULLS LAST.
+
+    Port of frontend.apps_new_weekly / _monthly / _yearly
+    (apps_new_weekly__matview.sql:31-62: rankedapps CTE + rn <= 100;
+    the three views differ only in the 7/11, 30/41, 365/380 windows).
+    A deterministic store_app tie-break is appended so ranks are
+    engine-independent."""
+    eligible = apps.filter(
+        (F.col("release_date") >= F.date_sub(F.lit(as_of).cast("date"), release_days))
+        & (F.col("created_at") >= F.date_sub(F.lit(as_of).cast("date"), created_days))
+        & (F.col("crawl_result") == 1)
+    )
+    w = Window.partitionBy("store", "category").orderBy(
+        F.desc_nulls_last("installs"),
+        F.desc_nulls_last("rating_count"),
+        F.asc("store_app"),
+    )
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .withColumn("app_category", F.col("category"))
+    )
+
+
+def ranks_weekly_retention(
+    ranks: DataFrame,
+    as_of: str,
+    keep_all_days: int = 14,
+    max_days: int = 200,
+    date_col: str = "crawled_date",
+) -> DataFrame:
+    """Rank-history age-out: keep every row from the trailing
+    ``keep_all_days``, only Monday rows between that and ``max_days``,
+    nothing older.  Port of clean_app_ranks_weekly_table
+    (reference dbcon/queries.py:479-511 — two batched DELETEs:
+    `crawled_date < CURRENT_DATE - 14 days AND EXTRACT(DOW) != 1`,
+    then `< CURRENT_DATE - 200 days`), expressed as the retained-set
+    filter (a lake rewrite keeps, it does not delete).
+
+    Pure partition-prunable filter — at 100 TB this is a metadata-only
+    scan when the table is partitioned by crawled_date."""
+    d = F.col(date_col)
+    as_of_d = F.lit(as_of).cast("date")
+    recent = d >= F.date_sub(as_of_d, keep_all_days)
+    monday = F.weekday(d) == 0  # Spark weekday(): Monday = 0
+    within = d >= F.date_sub(as_of_d, max_days)
+    return ranks.filter(within & (recent | monday))
+
+
+def store_app_ranks_best_monthly(
+    ranks: DataFrame,
+    as_of: str,
+    days: int = 30,
+    rank_col: str = "best_rank",
+    scenario: tuple[str, ...] = ("store_id", "country", "collection", "category"),
+) -> DataFrame:
+    """Best (minimum) rank each app reached per scenario over the
+    trailing ``days``.  Port of frontend.store_app_ranks_best_monthly
+    (store_app_ranks_best_monthly__matview.sql:31-46: min(best_rank)
+    GROUP BY store_id, country, collection, category over the 30-day
+    window; the dim joins resolve ids→names — the engine's rankings
+    table is already name-keyed so callers pass resolved columns)."""
+    windowed = ranks.filter(
+        F.col("crawled_date")
+        >= F.date_sub(F.lit(as_of).cast("date"), days)
+    )
+    return windowed.groupBy(*scenario).agg(
+        F.min(rank_col).cast("long").alias("best_rank")
+    )
+
+
+TAG_SOURCES = (
+    "sdk",
+    "api_call",
+    "publisher",
+    "app_ads_direct",
+    "app_ads_reseller",
+)
+
+
+def category_tag_stats(app_companies: DataFrame, apps: DataFrame) -> DataFrame:
+    """Per-(store, category, tag_source) app counts and install sums.
+    Port of frontend.category_tag_stats
+    (category_tag_stats__matview.sql:29-46: CROSS JOIN LATERAL VALUES
+    unpivot of the five boolean tag columns → DISTINCT (store_app,
+    tag_source) → LEFT JOIN store_apps_overview → grouped count
+    DISTINCT + install sums).
+
+    The lateral-VALUES unpivot is a `stack` projection (row count ×5
+    before the distinct — no shuffle until the distinct's hash agg)."""
+    stack_expr = "stack({n}, {pairs}) as (tag_source, present)".format(
+        n=len(TAG_SOURCES),
+        pairs=", ".join(f"'{t}', {t}" for t in TAG_SOURCES),
+    )
+    tagged = (
+        app_companies.select("store_app", F.expr(stack_expr))
+        .filter(F.col("present"))
+        .select("store_app", "tag_source")
+        .distinct()
+    )
+    joined = tagged.join(apps, "store_app", "left")
+    return joined.groupBy("store", "category", "tag_source").agg(
+        F.countDistinct("store_app").alias("app_count"),
+        F.sum("installs_d30").alias("installs_d30"),
+        F.sum("installs_total").alias("installs_total"),
+    )
+
+
+def latest_sdk_scanned_apps(
+    scan_results: DataFrame,
+    apps: DataFrame,
+    as_of: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Most-recently SDK-scanned apps, top-N per (store, crawl_result).
+    Port of frontend.latest_sdk_scanned_apps
+    (latest_sdk_scanned_apps__matview.sql:29-55: DISTINCT ON
+    (store_app) ORDER BY run_at DESC picks each app's last scan; apps
+    scanned up to ``as_of`` - 1 day are ranked per (store, run_result)
+    by recency, keeping 100).
+
+    ``scan_results`` columns: store_app, version_code, crawl_result,
+    run_at, scan_id (deterministic tie-break for equal run_at)."""
+    w_last = Window.partitionBy("store_app").orderBy(
+        F.desc("run_at"), F.desc("scan_id")
+    )
+    last = (
+        scan_results.withColumn("rn", F.row_number().over(w_last))
+        .filter("rn = 1")
+        .drop("rn")
+        .filter(
+            F.col("run_at") <= F.date_sub(F.lit(as_of).cast("date"), 1)
+        )
+    )
+    joined = last.join(apps, "store_app", "left")
+    w_rank = Window.partitionBy("store", "crawl_result").orderBy(
+        F.desc("run_at"), F.asc("store_app")
+    )
+    return (
+        joined.withColumn("updated_rank", F.row_number().over(w_rank))
+        .filter(F.col("updated_rank") <= top_n)
+        .select(
+            F.col("run_at").alias("sdk_crawled_at"),
+            "version_code",
+            "crawl_result",
+            "store",
+            "store_app",
+            "name",
+            "installs",
+            "rating_count",
+            "updated_rank",
+        )
+    )
+
+
+def adstxt_ad_domain_overview(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+) -> DataFrame:
+    """Supply-chain rollup per (ad domain, relationship, store): how
+    many distinct publisher ids, developers and apps each ad system
+    reaches.  Port of frontend.adstxt_ad_domain_overview
+    (adstxt_ad_domain_overview__matview.sql:29-42: the four-way LEFT
+    join chain off adstxt_domain_entries with three count-DISTINCTs).
+
+    ``domain_entries``: pub_domain_id, ad_domain_url, app_ad_entry_id;
+    ``app_urls_map``: pub_domain_id, store_app; ``apps``: store_app,
+    store, developer; ``ad_entries``: app_ad_entry_id, relationship,
+    publisher_id."""
+    chained = (
+        domain_entries.join(app_urls_map, "pub_domain_id", "left")
+        .join(apps, "store_app", "left")
+        .join(ad_entries, "app_ad_entry_id", "left")
+    )
+    return chained.groupBy("ad_domain_url", "relationship", "store").agg(
+        F.countDistinct("publisher_id").alias("publisher_id_count"),
+        F.countDistinct("developer").alias("developer_count"),
+        F.countDistinct("store_app").alias("app_count"),
+    )
+
+
+def companies_category_stats(
+    app_companies: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """Per-(store, category, company) reach: distinct apps and install
+    sums, with the company's own domain preferred over the matched ad
+    domain.  Port of frontend.companies_category_stats
+    (companies_category_stats__matview.sql:29-44: LEFT joins to
+    domains/companies, COALESCE(company domain, ad domain), grouped
+    count DISTINCT + sums).
+
+    ``app_companies``: store_app, domain_id, company_id; ``companies``:
+    company_id, company_name, company_domain; ``domains``: domain_id,
+    domain_name; ``apps``: store_app, store, category, installs,
+    installs_d30."""
+    chained = (
+        app_companies.join(F.broadcast(domains), "domain_id", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .join(apps, "store_app", "left")
+        .withColumn(
+            "company_domain",
+            F.coalesce(F.col("company_domain"), F.col("domain_name")),
+        )
+    )
+    return chained.groupBy(
+        "store",
+        F.col("category").alias("app_category"),
+        "company_domain",
+        "company_name",
+    ).agg(
+        F.countDistinct("store_app").alias("app_count"),
+        F.sum("installs").alias("installs_total"),
+        F.sum("installs_d30").alias("installs_d30"),
+    )

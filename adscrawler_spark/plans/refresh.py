@@ -30,6 +30,11 @@ The DAG (step → reference analog):
   documents  → app_country_metrics       (country-share grouped-map)
   adstxt_entries ⋈ crawl_log
              → adstxt_domain_entries     (staleness-windowed entries MV)
+  apps ⋈ frontier ⋈ crawl_log
+             → apps_new_weekly           (new-app leaderboard MV)
+  rankings   → store_app_ranks_latest    (latest best-rank MV)
+             → store_app_ranks_weekly    (DOW retention compaction)
+             → store_app_ranks_best_monthly (30-day best-rank rollup)
 
 Scale shape: every step is a hash-distributed DataFrame plan keyed on
 url_canon / store_app / host — no driver loops, no global sorts; the
@@ -45,6 +50,7 @@ from adscrawler_spark.operators import dedup as dedup_ops
 from adscrawler_spark.operators.adstxt import entries_from_spans  # noqa: F401
 from adscrawler_spark.operators.estimates import country_share_model
 from adscrawler_spark.plans import app_metrics as appm
+from adscrawler_spark.plans import frontend as fe
 from adscrawler_spark.plans import metrics_history as mh
 from adscrawler_spark.sources.catalog import Catalog
 
@@ -229,6 +235,40 @@ def store_app_ranks_latest(rankings: DataFrame) -> DataFrame:
     )
 
 
+def apps_overview_enriched(
+    apps: DataFrame, frontier: DataFrame, crawl_log: DataFrame
+) -> DataFrame:
+    """store_apps_overview widened with the columns the apps_new
+    leaderboards filter on: installs / rating_count from the frontier
+    dim, first-seen fetch date standing in for release_date/created_at
+    (the engine's "new app" = newly discovered), crawl_result = 1 when
+    the app ever fetched ok."""
+    dim = (
+        frontier.filter(F.col("doc_kind").isin(LISTING_KINDS))
+        .groupBy(F.col("url_canon").alias("store_app"))
+        .agg(
+            F.max("installs").alias("installs"),
+            F.max("rating_count").alias("rating_count"),
+        )
+    )
+    logd = (
+        crawl_log.filter(F.col("doc_kind").isin(LISTING_KINDS))
+        .groupBy(F.col("url_canon").alias("store_app"))
+        .agg(
+            F.min(F.col("fetched_at").cast("date")).alias("release_date"),
+            F.max(
+                F.when(F.col("fetched") & (F.col("crawl_result") == 1), 1)
+                .otherwise(0)
+            ).alias("crawl_result"),
+        )
+    )
+    return (
+        apps.join(dim, "store_app", "left")
+        .join(logd, "store_app", "left")
+        .withColumn("created_at", F.col("release_date"))
+    )
+
+
 def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
     """Materialize the derived-product chain in dependency order.
 
@@ -311,9 +351,45 @@ def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
     commit("mv_app_country_metrics", app_country_metrics(documents))
     commit("mv_adstxt_domain_entries", adstxt_domain_entries(adstxt, crawl_log))
 
+    # new-app leaderboard over the enriched apps dim (apps_new_weekly
+    # MV; engine virtual time compresses generations into one day, so
+    # the 7-day release window admits every discovered app)
+    as_of_row = crawl_log.agg(
+        F.max(F.col("fetched_at").cast("date")).alias("d")
+    ).first()
+    if as_of_row and as_of_row["d"] is not None:
+        enriched = apps_overview_enriched(apps, frontier, crawl_log)
+        commit(
+            "mv_apps_new_weekly",
+            fe.apps_new(enriched, str(as_of_row["d"]), 7, 11).select(
+                "store_app", "store", "app_category", "name", "installs",
+                "rating_count", "release_date", "created_at",
+                "crawl_result", "rn",
+            ),
+        )
+
     # rankings product: best rank per (scenario key, app) on the latest
-    # crawled date (store_app_ranks_latest__matview.sql shape)
+    # crawled date (store_app_ranks_latest__matview.sql shape), plus
+    # the retention-compacted weekly table feeding the 30-day best-rank
+    # rollup (store_app_ranks_weekly / _best_monthly)
     rankings = cat.table("rankings").read(spark)
     if rankings is not None:
         commit("mv_store_app_ranks_latest", store_app_ranks_latest(rankings))
+        rank_as_of = rankings.agg(F.max("crawled_date").alias("d")).first()
+        weekly = commit(
+            "mv_store_app_ranks_weekly",
+            fe.ranks_weekly_retention(rankings, str(rank_as_of["d"])),
+        )
+        commit(
+            "mv_store_app_ranks_best_monthly",
+            fe.store_app_ranks_best_monthly(
+                weekly,
+                str(rank_as_of["d"]),
+                days=30,
+                rank_col="rank",
+                scenario=(
+                    "store", "store_id", "country", "collection", "category",
+                ),
+            ),
+        )
     return counts

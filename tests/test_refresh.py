@@ -41,7 +41,8 @@ def test_chain_materializes_in_order(spark, crawl_and_refresh):
         "mv_app_global_metrics_latest", "mv_store_apps_overview",
         "mv_app_keywords_extracted", "mv_keyword_scores",
         "mv_z_scores_top_apps", "mv_app_country_metrics",
-        "mv_store_app_ranks_latest",
+        "mv_store_app_ranks_latest", "mv_apps_new_weekly",
+        "mv_store_app_ranks_weekly", "mv_store_app_ranks_best_monthly",
     ]
     for name in non_empty:
         assert counts.get(name, 0) > 0, f"{name} empty: {counts}"
@@ -96,6 +97,33 @@ def test_keyword_scores_terminal_oracle(spark, crawl_and_refresh):
     g = sorted(map(tuple, got[cols].astype(str).values.tolist()))
     o = sorted(map(tuple, oracle[cols].astype(str).values.tolist()))
     assert g == o
+
+
+def test_rank_rollups_over_engine_rankings(spark, crawl_and_refresh):
+    """The retention-compacted weekly table is a subset of rankings,
+    and best_monthly is exactly the per-scenario min rank over it."""
+    cat, counts = crawl_and_refresh
+    rankings = cat.table("rankings").read(spark)
+    weekly = cat.table("mv_store_app_ranks_weekly").read(spark)
+    best = cat.table("mv_store_app_ranks_best_monthly").read(spark)
+    assert weekly.count() <= rankings.count()
+    scenario = ["store", "store_id", "country", "collection", "category"]
+    expect = weekly.groupBy(*scenario).agg(
+        F.min("rank").cast("long").alias("best_rank")
+    )
+    assert best.exceptAll(expect).count() == 0
+    assert expect.exceptAll(best).count() == 0
+
+
+def test_apps_new_weekly_over_engine_apps(spark, crawl_and_refresh):
+    """Leaderboard rows key into the apps dim, respect the top-100
+    truncation, and only rank apps that ever fetched ok."""
+    cat, counts = crawl_and_refresh
+    newapps = cat.table("mv_apps_new_weekly").read(spark)
+    apps = cat.table("mv_store_apps_overview").read(spark)
+    assert newapps.join(apps, "store_app", "left_anti").count() == 0
+    assert newapps.agg(F.max("rn")).first()[0] <= 100
+    assert newapps.filter(F.col("crawl_result") != 1).count() == 0
 
 
 def test_refresh_idempotent(spark, crawl_and_refresh):
