@@ -2988,3 +2988,267 @@ def companies_category_stats_q(spark, sf):
         F.col("p_size").cast("long").alias("installs_d30"),
     )
     return fe.companies_category_stats(appco, companies, domains, appdim)
+
+
+@query(
+    "company_top_apps",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               'co' || cast(p_size % 13 AS VARCHAR) AS company_domain,
+               p_size % 2 = 0 AS sdk,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct
+        FROM part
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               lower(p_name) AS name,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS app_category,
+               CASE WHEN p_partkey % 11 = 0 THEN NULL
+                    ELSE cast(p_size AS BIGINT) END AS installs_d30
+        FROM part
+    ),
+    ranked AS (
+        SELECT ac.company_domain, a.store, a.name, ac.store_app,
+               a.app_category, a.installs_d30,
+               ac.sdk, ac.api_call, ac.publisher, ac.app_ads_direct,
+               row_number() OVER (
+                   PARTITION BY a.store, ac.company_domain
+                   ORDER BY coalesce(cast(ac.sdk AS INT), 0)
+                          + coalesce(cast(ac.api_call AS INT), 0)
+                          + coalesce(cast(ac.publisher AS INT), 0) DESC,
+                       coalesce(cast(a.installs_d30 AS DOUBLE), 0) DESC,
+                       ac.store_app) AS app_company_rank,
+               row_number() OVER (
+                   PARTITION BY a.store, a.app_category, ac.company_domain
+                   ORDER BY coalesce(cast(ac.sdk AS INT), 0)
+                          + coalesce(cast(ac.api_call AS INT), 0)
+                          + coalesce(cast(ac.publisher AS INT), 0) DESC,
+                       coalesce(cast(a.installs_d30 AS DOUBLE), 0) DESC,
+                       ac.store_app) AS app_company_category_rank
+        FROM appco ac LEFT JOIN appdim a ON a.store_app = ac.store_app
+        WHERE ac.sdk OR ac.api_call OR ac.app_ads_direct OR ac.publisher
+    )
+    SELECT * FROM ranked WHERE app_company_category_rank <= 20
+    """,
+)
+def company_top_apps_q(spark, sf):
+    """Top-20 apps per (store, category, company) with the dual
+    company/category ranks ordered by tag-kind count then installs
+    (company_parent_top_apps__matview.sql:31-71 via
+    plans/frontend.py::company_top_apps)."""
+    p = _t(spark, sf, "part")
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        F.concat(F.lit("co"), (F.col("p_size") % 13).cast("string")).alias(
+            "company_domain"
+        ),
+        (F.col("p_size") % 2 == 0).alias("sdk"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.lower("p_name").alias("name"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "app_category"
+        ),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("p_size").cast("long"))
+        .alias("installs_d30"),
+    )
+    out = fe.company_top_apps(appco, appdim)
+    return out.select(
+        "company_domain", "store", "name", "store_app", "app_category",
+        "installs_d30", "sdk", "api_call", "publisher", "app_ads_direct",
+        "app_company_rank", "app_company_category_rank",
+    )
+
+
+@query(
+    "companies_open_source_percent",
+    """
+    WITH sdks AS (
+        SELECT p_partkey AS sdk_id,
+               CASE WHEN p_partkey % 5 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id,
+               p_size % 3 = 0 AS is_open_source
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               cast(i % 29 AS INT) AS domain_id
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    )
+    SELECT d.domain_name AS company_domain,
+           floor(avg(CASE WHEN s.is_open_source THEN 1 ELSE 0 END)
+                 * 10000 + 0.5) / 10000 AS percent_open_source
+    FROM sdks s
+    LEFT JOIN companies c ON c.company_id = s.company_id
+    LEFT JOIN domains d ON d.domain_id = c.domain_id
+    GROUP BY d.domain_name
+    """,
+)
+def companies_open_source_percent_q(spark, sf):
+    """Open-source SDK share per company domain — avg(CASE) ratio over
+    the dim chain, portable half-up rounding
+    (companies_open_source_percent__matview.sql:29-40 via
+    plans/frontend.py::companies_open_source_percent)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    sdks = p.select(
+        F.col("p_partkey").alias("sdk_id"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+        (F.col("p_size") % 3 == 0).alias("is_open_source"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        (F.col("id") % 29).cast("int").alias("domain_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    out = fe.companies_open_source_percent(sdks, companies, domains)
+    # portable half-up at 4dp on both sides (see module conventions)
+    return out.withColumn(
+        "percent_open_source",
+        F.floor(
+            F.col("percent_open_source") * 10000 + F.lit(0.5)
+        ) / 10000,
+    )
+
+
+@query(
+    "api_call_countries",
+    r"""
+    WITH calls AS (
+        SELECT user_id AS store_app,
+               cast(event_id % 50 AS INT) AS run_id,
+               DATE '2024-02-01' + to_days(cast(event_id % 50 AS INT))
+                   AS run_at,
+               'tld' || cast(event_id % 19 AS VARCHAR) || '.com' AS tld_url,
+               CASE WHEN event_id % 5 = 0
+                    THEN 'http://h' || cast(event_id % 19 AS VARCHAR)
+                         || '.com/a' || cast(event_id % 4 AS VARCHAR)
+                    ELSE 'https://h' || cast(event_id % 19 AS VARCHAR)
+                         || '.com/a' || cast(event_id % 4 AS VARCHAR)
+                         || '/b' || cast(event_id % 3 AS VARCHAR)
+                         || '/c/d?q=1' END AS url,
+               CASE WHEN user_id % 10 = 0 THEN NULL
+                    ELSE cast(user_id % 9 AS INT) END AS country_id,
+               'org' || cast(event_id % 5 AS VARCHAR) AS org
+        FROM events
+    ),
+    dc AS (
+        SELECT 'tld' || cast(i AS VARCHAR) || '.com' AS tld_url,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'codom' || cast(i AS VARCHAR) END AS company_domain,
+               CASE WHEN i % 4 = 0 THEN NULL
+                    ELSE 'parent' || cast(i AS VARCHAR) END
+                   AS parent_company_domain
+        FROM range(0, 19) t(i)
+    ),
+    countries AS (
+        SELECT cast(i AS INT) AS country_id,
+               'c' || cast(i AS VARCHAR) AS alpha2
+        FROM range(0, 9) t(i)
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY store_app
+                ORDER BY run_at DESC, run_id DESC) AS rn
+            FROM calls WHERE country_id IS NOT NULL)
+        WHERE rn = 1
+    ),
+    this_run AS (
+        SELECT c.* FROM calls c
+        JOIN latest l ON l.store_app = c.store_app AND l.run_id = c.run_id
+        WHERE c.country_id IS NOT NULL
+    )
+    SELECT t.tld_url, co.alpha2 AS country, t.org,
+           coalesce(d.company_domain, t.tld_url) AS company_domain,
+           coalesce(d.parent_company_domain,
+                    coalesce(d.company_domain, t.tld_url))
+               AS parent_company_domain,
+           count(DISTINCT t.store_app) AS store_app_count
+    FROM this_run t
+    LEFT JOIN dc d ON d.tld_url = t.tld_url
+    LEFT JOIN countries co ON co.country_id = t.country_id
+    GROUP BY t.tld_url, co.alpha2, t.org,
+             coalesce(d.company_domain, t.tld_url),
+             coalesce(d.parent_company_domain,
+                      coalesce(d.company_domain, t.tld_url))
+    """,
+)
+def api_call_countries_q(spark, sf):
+    """API-traffic country/company rollup: latest scan run per app,
+    URL shortening, double-COALESCE company/parent resolution, distinct
+    app counts (api_call_countries__matview.sql:29-59 via
+    plans/frontend.py::api_call_countries)."""
+    ev = _t(spark, sf, "events")
+    calls = ev.select(
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 50).cast("int").alias("run_id"),
+        F.date_add(
+            F.lit("2024-02-01").cast("date"),
+            (F.col("event_id") % 50).cast("int"),
+        ).alias("run_at"),
+        F.concat(
+            F.lit("tld"), (F.col("event_id") % 19).cast("string"),
+            F.lit(".com"),
+        ).alias("tld_url"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit("http://h"), (F.col("event_id") % 19).cast("string"),
+                F.lit(".com/a"), (F.col("event_id") % 4).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (F.col("event_id") % 19).cast("string"),
+                F.lit(".com/a"), (F.col("event_id") % 4).cast("string"),
+                F.lit("/b"), (F.col("event_id") % 3).cast("string"),
+                F.lit("/c/d?q=1"),
+            )
+        )
+        .alias("url"),
+        F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("user_id") % 9).cast("int"))
+        .alias("country_id"),
+        F.concat(F.lit("org"), (F.col("event_id") % 5).cast("string")).alias(
+            "org"
+        ),
+    )
+    spark_sess = ev.sparkSession
+    dc = spark_sess.range(0, 19).select(
+        F.concat(
+            F.lit("tld"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("tld_url"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("codom"), F.col("id").cast("string")))
+        .alias("company_domain"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("parent"), F.col("id").cast("string")))
+        .alias("parent_company_domain"),
+    )
+    countries = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("country_id"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("alpha2"),
+    )
+    return fe.api_call_countries(calls, dc, countries)

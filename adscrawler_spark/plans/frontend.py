@@ -252,3 +252,126 @@ def companies_category_stats(
         F.sum("installs").alias("installs_total"),
         F.sum("installs_d30").alias("installs_d30"),
     )
+
+
+def company_top_apps(
+    app_companies: DataFrame, apps: DataFrame, top_n: int = 20
+) -> DataFrame:
+    """Top apps per company (and per company × category): apps tagged
+    by any of the four company-association booleans, double-ranked by
+    how many tag kinds associate them (sdk + api_call + publisher)
+    then by 30-day installs.  Port of frontend.company_parent_top_apps
+    (company_parent_top_apps__matview.sql:31-71: two row_number
+    windows over the same ordering — per (store, company_domain) and
+    per (store, app_category, company_domain) — keeping category rank
+    <= 20).  A store_app tie-break keeps ranks engine-independent.
+
+    ``app_companies``: store_app, company_domain, sdk, api_call,
+    publisher, app_ads_direct (booleans); ``apps``: store_app, store,
+    name, app_category, installs_d30."""
+    tagged = app_companies.filter(
+        F.col("sdk")
+        | F.col("api_call")
+        | F.col("app_ads_direct")
+        | F.col("publisher")
+    ).join(apps, "store_app", "left")
+    tag_count = (
+        F.coalesce(F.col("sdk").cast("int"), F.lit(0))
+        + F.coalesce(F.col("api_call").cast("int"), F.lit(0))
+        + F.coalesce(F.col("publisher").cast("int"), F.lit(0))
+    )
+    installs = F.coalesce(F.col("installs_d30").cast("double"), F.lit(0.0))
+    order = [
+        tag_count.desc(),
+        installs.desc(),
+        F.asc("store_app"),
+    ]
+    w_company = Window.partitionBy("store", "company_domain").orderBy(*order)
+    w_cat = Window.partitionBy(
+        "store", "app_category", "company_domain"
+    ).orderBy(*order)
+    return (
+        tagged.withColumn("app_company_rank", F.row_number().over(w_company))
+        .withColumn(
+            "app_company_category_rank", F.row_number().over(w_cat)
+        )
+        .filter(F.col("app_company_category_rank") <= top_n)
+    )
+
+
+def companies_open_source_percent(
+    sdks: DataFrame, companies: DataFrame, domains: DataFrame
+) -> DataFrame:
+    """Share of each company's SDKs that are open source.  Port of
+    frontend.companies_open_source_percent
+    (companies_open_source_percent__matview.sql:29-40: avg(CASE) over
+    the sdks→companies→domains LEFT-join chain, grouped by company
+    domain).
+
+    ``sdks``: sdk_id, company_id, is_open_source; ``companies``:
+    company_id, domain_id; ``domains``: domain_id, domain_name."""
+    chained = sdks.join(F.broadcast(companies), "company_id", "left").join(
+        F.broadcast(domains), "domain_id", "left"
+    )
+    return chained.groupBy(F.col("domain_name").alias("company_domain")).agg(
+        F.round(
+            F.avg(F.when(F.col("is_open_source"), 1).otherwise(0)), 4
+        ).alias("percent_open_source")
+    )
+
+
+def short_url(url: F.Column) -> F.Column:
+    """The reference's three-step URL shortener: strip scheme, strip
+    query, keep at most the first three path segments
+    (api_call_countries__matview.sql:33-39 cleaned_calls CTE).
+    Spark group refs are ``$1`` where PG/DuckDB use ``\\1`` — same
+    first-occurrence replace semantics."""
+    no_scheme = F.regexp_replace(url, r"^https?://", "")
+    no_query = F.regexp_replace(no_scheme, r"\?.*$", "")
+    return F.regexp_replace(no_query, r"^(([^/]+/){0,2}[^/]+).*$", "$1")
+
+
+def api_call_countries(
+    calls: DataFrame, domain_company: DataFrame, countries: DataFrame
+) -> DataFrame:
+    """Where apps' API traffic terminates, by endpoint TLD, geo country
+    and owning company: keep only each app's LATEST scan run, clean the
+    endpoint URL, resolve the TLD to company and parent-company domains
+    (double COALESCE fallback to the raw TLD), count distinct apps.
+    Port of frontend.api_call_countries
+    (api_call_countries__matview.sql:29-59).
+
+    ``calls``: store_app, run_id, run_at, tld_url, url, country_id,
+    org; ``domain_company``: tld_url, company_domain (nullable),
+    parent_company_domain (nullable); ``countries``: country_id,
+    alpha2."""
+    w_last = Window.partitionBy("store_app").orderBy(
+        F.desc("run_at"), F.desc("run_id")
+    )
+    latest = (
+        calls.filter(F.col("country_id").isNotNull())
+        .withColumn("lr", F.first("run_id").over(w_last))
+        .filter(F.col("run_id") == F.col("lr"))
+    )
+    cleaned = latest.withColumn("short_url", short_url(F.col("url")))
+    resolved = (
+        cleaned.join(F.broadcast(domain_company), "tld_url", "left")
+        .join(F.broadcast(countries), "country_id", "left")
+        .withColumn(
+            "company_domain",
+            F.coalesce(F.col("company_domain"), F.col("tld_url")),
+        )
+        .withColumn(
+            "parent_company_domain",
+            F.coalesce(
+                F.col("parent_company_domain"), F.col("company_domain")
+            ),
+        )
+    )
+    return resolved.groupBy(
+        "tld_url",
+        F.col("alpha2").alias("country"),
+        "org",
+        "company_domain",
+        "parent_company_domain",
+    ).agg(F.countDistinct("store_app").alias("store_app_count"))

@@ -1,0 +1,55 @@
+"""Unit coverage for plans/frontend.py pieces that the battery's
+column pruning can hide — the URL shortener regexp chain (the
+reference computes it in api_call_countries' cleaned_calls CTE,
+api_call_countries__matview.sql:33-39) and the Monday-retention
+predicate."""
+
+from pyspark.sql import functions as F
+
+from adscrawler_spark.plans import frontend as fe
+
+SHORT_URL_CASES = [
+    ("https://a.com/x/y/z/deep/deeper?q=1", "a.com/x/y"),
+    ("http://a.com/x?q=1", "a.com/x"),
+    ("https://a.com", "a.com"),
+    ("a.com/one/two/three/four", "a.com/one/two"),
+    # trailing slash: the {0,2} group backtracks to zero segments and
+    # `.*$` eats the slash — PG/DuckDB agree
+    ("https://a.com/?q=1", "a.com"),
+    # non-http scheme survives step 1; the segment regex then keeps
+    # "ftp:" (empty segment after "//" stops the {0,2} group) — DuckDB
+    # produces the same
+    ("ftp://b.org/x", "ftp:"),
+]
+
+
+def test_short_url_golden(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _ in SHORT_URL_CASES], "url string"
+    ).withColumn("short", fe.short_url(F.col("url")))
+    got = {r["url"]: r["short"] for r in df.collect()}
+    for url, want in SHORT_URL_CASES:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_retention_keeps_mondays_only_in_tail(spark):
+    # 2001-08-01 is a Wednesday; 2001-07-02 and 2001-01-01 are Mondays
+    rows = [
+        ("2001-07-30", True),   # within 14 days (a Monday too)
+        ("2001-07-25", True),   # within 14 days, Wednesday
+        ("2001-07-10", False),  # outside 14d, Tuesday -> dropped
+        ("2001-07-02", True),   # outside 14d but Monday -> kept
+        ("2001-02-05", True),   # Monday, within 200d -> kept
+        ("2001-01-01", False),  # Monday but 213d back -> dropped
+        ("2000-12-31", False),  # Sunday and way back -> dropped
+        ("2000-06-05", False),  # Monday but older than 200d -> dropped
+    ]
+    df = spark.createDataFrame(
+        [(d,) for d, _ in rows], "crawled_date string"
+    ).withColumn("crawled_date", F.col("crawled_date").cast("date"))
+    kept = {
+        str(r["crawled_date"])
+        for r in fe.ranks_weekly_retention(df, "2001-08-01").collect()
+    }
+    for d, want in rows:
+        assert (d in kept) == want, (d, want, kept)
