@@ -3133,9 +3133,7 @@ def companies_open_source_percent_q(spark, sf):
     )
 
 
-@query(
-    "api_call_countries",
-    r"""
+_ACC_SQL = r"""
     WITH calls AS (
         SELECT user_id AS store_app,
                cast(event_id % 50 AS INT) AS run_id,
@@ -3193,8 +3191,10 @@ def companies_open_source_percent_q(spark, sf):
              coalesce(d.company_domain, t.tld_url),
              coalesce(d.parent_company_domain,
                       coalesce(d.company_domain, t.tld_url))
-    """,
-)
+    """
+
+
+@query("api_call_countries", _ACC_SQL)
 def api_call_countries_q(spark, sf):
     """API-traffic country/company rollup: latest scan run per app,
     URL shortening, double-COALESCE company/parent resolution, distinct
@@ -3252,3 +3252,187 @@ def api_call_countries_q(spark, sf):
         F.concat(F.lit("c"), F.col("id").cast("string")).alias("alpha2"),
     )
     return fe.api_call_countries(calls, dc, countries)
+
+
+@query(
+    "app_keyword_rank_stats",
+    """
+    WITH akr AS (
+        SELECT cast(user_id % 5 AS INT) AS country,
+               user_id AS store_app,
+               cast(event_id % 40 AS INT) AS keyword_id,
+               cast(event_id % 30 + 1 AS INT) AS app_rank,
+               cast(ts AS DATE) AS crawled_date
+        FROM events
+    ),
+    d30 AS (
+        SELECT country, store_app, keyword_id,
+               min(app_rank) AS d30_best_rank
+        FROM akr
+        WHERE crawled_date >= DATE '2024-01-30' - INTERVAL 30 DAY
+        GROUP BY country, store_app, keyword_id
+    ),
+    latest AS (
+        SELECT country, store_app, keyword_id,
+               app_rank AS latest_app_rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY country, store_app, keyword_id
+                  ORDER BY crawled_date DESC, app_rank) AS rn
+              FROM akr)
+        WHERE rn = 1
+    )
+    SELECT d.country, d.store_app, d.keyword_id, d.d30_best_rank,
+           l.latest_app_rank
+    FROM d30 d
+    LEFT JOIN latest l ON l.country = d.country
+       AND l.store_app = d.store_app AND l.keyword_id = d.keyword_id
+    """,
+)
+def app_keyword_rank_stats_q(spark, sf):
+    """Keyword rank stats per (country, app, keyword): 30-day best
+    rank joined with the latest observed rank
+    (app_keyword_rank_stats__matview.sql:29-66 via
+    plans/frontend.py::app_keyword_rank_stats)."""
+    ev = _t(spark, sf, "events")
+    akr = ev.select(
+        (F.col("user_id") % 5).cast("int").alias("country"),
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 40).cast("int").alias("keyword_id"),
+        (F.col("event_id") % 30 + 1).cast("int").alias("app_rank"),
+        F.col("ts").cast("date").alias("crawled_date"),
+    )
+    return fe.app_keyword_rank_stats(akr, "2024-01-30")
+
+
+@query(
+    "companies_sdks_overview",
+    """
+    WITH companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               cast(i % 29 AS INT) AS domain_id,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE cast(i % 7 AS INT) END AS parent_company_id
+        FROM range(0, 25) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    sdks AS (
+        SELECT p_partkey AS sdk_id,
+               cast(p_partkey % 25 AS INT) AS company_id,
+               'sdk' || cast(p_partkey AS VARCHAR) AS sdk_name
+        FROM part WHERE p_partkey % 4 != 0
+    ),
+    pkgs AS (
+        SELECT p_partkey AS sdk_id,
+               'pkg' || cast(p_size AS VARCHAR) AS package_pattern
+        FROM part WHERE p_size % 2 = 0
+    ),
+    paths AS (
+        SELECT p_partkey AS sdk_id,
+               'path' || cast(p_size AS VARCHAR) AS path_pattern
+        FROM part WHERE p_size % 3 = 0
+    )
+    SELECT c.company_name,
+           ad.domain_name AS company_domain,
+           parad.domain_name AS parent_company_domain,
+           s.sdk_name, sp.package_pattern, sp2.path_pattern,
+           coalesce(cc.company_name, c.company_name)
+               AS parent_company_name
+    FROM companies c
+    LEFT JOIN companies cc ON c.parent_company_id = cc.company_id
+    LEFT JOIN domains ad ON c.domain_id = ad.domain_id
+    LEFT JOIN domains parad ON cc.domain_id = parad.domain_id
+    LEFT JOIN sdks s ON s.company_id = c.company_id
+    LEFT JOIN pkgs sp ON sp.sdk_id = s.sdk_id
+    LEFT JOIN paths sp2 ON sp2.sdk_id = s.sdk_id
+    """,
+)
+def companies_sdks_overview_q(spark, sf):
+    """Flattened company→SDK→pattern catalogue with the parent-company
+    self-join and name COALESCE
+    (companies_sdks_overview__matview.sql:29-45 via
+    plans/frontend.py::companies_sdks_overview)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    companies = spark_sess.range(0, 25).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        (F.col("id") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 7).cast("int"))
+        .alias("parent_company_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    sdks = p.filter(F.col("p_partkey") % 4 != 0).select(
+        F.col("p_partkey").alias("sdk_id"),
+        (F.col("p_partkey") % 25).cast("int").alias("company_id"),
+        F.concat(F.lit("sdk"), F.col("p_partkey").cast("string")).alias(
+            "sdk_name"
+        ),
+    )
+    pkgs = p.filter(F.col("p_size") % 2 == 0).select(
+        F.col("p_partkey").alias("sdk_id"),
+        F.concat(F.lit("pkg"), F.col("p_size").cast("string")).alias(
+            "package_pattern"
+        ),
+    )
+    paths = p.filter(F.col("p_size") % 3 == 0).select(
+        F.col("p_partkey").alias("sdk_id"),
+        F.concat(F.lit("path"), F.col("p_size").cast("string")).alias(
+            "path_pattern"
+        ),
+    )
+    return fe.companies_sdks_overview(companies, domains, sdks, pkgs, paths)
+
+
+@query(
+    "company_domain_country",
+    f"""
+    WITH acc AS ({_ACC_SQL}),
+    ct AS (
+        SELECT company_domain, country,
+               cast(sum(store_app_count) AS BIGINT) AS total_app_count
+        FROM acc GROUP BY company_domain, country
+    ),
+    pt AS (
+        SELECT parent_company_domain, country,
+               cast(sum(store_app_count) AS BIGINT) AS total_app_count
+        FROM acc GROUP BY parent_company_domain, country
+    ),
+    crc AS (
+        SELECT *, row_number() OVER (PARTITION BY company_domain
+            ORDER BY total_app_count DESC, country) AS rn FROM ct
+    ),
+    prc AS (
+        SELECT *, row_number() OVER (PARTITION BY parent_company_domain
+            ORDER BY total_app_count DESC, country) AS rn FROM pt
+    )
+    SELECT company_domain, country AS most_common_country,
+           total_app_count
+    FROM crc
+    WHERE rn = 1 AND company_domain NOT IN
+          (SELECT parent_company_domain FROM prc)
+    UNION
+    SELECT parent_company_domain AS company_domain,
+           country AS most_common_country, total_app_count
+    FROM prc WHERE rn = 1
+    """,
+)
+def company_domain_country_q(spark, sf):
+    """Most common API-traffic country per company domain, parents
+    rolling up children — composed over the api_call_countries view
+    (company_domain_country__matview.sql:29-68 via
+    plans/frontend.py::company_domain_country; two-stage pipeline)."""
+    acc = api_call_countries_q(spark, sf)
+    return fe.company_domain_country(acc)

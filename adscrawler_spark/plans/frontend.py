@@ -375,3 +375,128 @@ def api_call_countries(
         "company_domain",
         "parent_company_domain",
     ).agg(F.countDistinct("store_app").alias("store_app_count"))
+
+
+def app_keyword_rank_stats(
+    ranks_daily: DataFrame, as_of: str, days: int = 30
+) -> DataFrame:
+    """Per-(country, app, keyword): best rank over the trailing 30
+    days LEFT-joined with the latest observed rank.  Port of
+    frontend.app_keyword_rank_stats
+    (app_keyword_rank_stats__matview.sql:29-66: d30_keywords grouped
+    min + DISTINCT ON latest_ranks + left join).  ``app_rank`` ASC is
+    the deterministic tie-break when several rows share the latest
+    crawled_date."""
+    keys = ["country", "store_app", "keyword_id"]
+    d30 = (
+        ranks_daily.filter(
+            F.col("crawled_date")
+            >= F.date_sub(F.lit(as_of).cast("date"), days)
+        )
+        .groupBy(*keys)
+        .agg(F.min("app_rank").alias("d30_best_rank"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("crawled_date"), F.asc("app_rank")
+    )
+    latest = (
+        ranks_daily.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(*keys, F.col("app_rank").alias("latest_app_rank"))
+    )
+    return d30.join(latest, keys, "left")
+
+
+def companies_sdks_overview(
+    companies: DataFrame,
+    domains: DataFrame,
+    sdks: DataFrame,
+    sdk_packages: DataFrame,
+    sdk_paths: DataFrame,
+) -> DataFrame:
+    """Flattened company→SDK→pattern catalogue with the parent-company
+    self-join.  Port of frontend.companies_sdks_overview
+    (companies_sdks_overview__matview.sql:29-45: companies LEFT JOIN
+    companies (parent) LEFT JOIN domains ×2 LEFT JOIN sdks LEFT JOIN
+    sdk_packages LEFT JOIN sdk_paths, COALESCE parent name).
+
+    All dims are broadcast — this is a catalogue view, small by
+    construction; the fan-out (one row per package × path pattern)
+    mirrors the reference's join multiplicity."""
+    parents = companies.select(
+        F.col("company_id").alias("parent_company_id"),
+        F.col("company_name").alias("_parent_name"),
+        F.col("domain_id").alias("_parent_domain_id"),
+    )
+    base = (
+        companies.join(F.broadcast(parents), "parent_company_id", "left")
+        .join(F.broadcast(domains), "domain_id", "left")
+        .join(
+            F.broadcast(
+                domains.select(
+                    F.col("domain_id").alias("_parent_domain_id"),
+                    F.col("domain_name").alias("parent_company_domain"),
+                )
+            ),
+            "_parent_domain_id",
+            "left",
+        )
+        .join(F.broadcast(sdks), "company_id", "left")
+        .join(F.broadcast(sdk_packages), "sdk_id", "left")
+        .join(F.broadcast(sdk_paths), "sdk_id", "left")
+    )
+    return base.select(
+        "company_name",
+        F.col("domain_name").alias("company_domain"),
+        "parent_company_domain",
+        "sdk_name",
+        "package_pattern",
+        "path_pattern",
+        F.coalesce(F.col("_parent_name"), F.col("company_name")).alias(
+            "parent_company_name"
+        ),
+    )
+
+
+def company_domain_country(api_calls_by_country: DataFrame) -> DataFrame:
+    """Each company's most common API-traffic country — parent domains
+    roll up their children; child domains that ARE parents defer to the
+    parent rollup.  Port of frontend.company_domain_country
+    (company_domain_country__matview.sql:29-68: dual company/parent
+    country totals, rank-1 per domain, NOT-IN anti-join, UNION dedupe).
+    ``country`` ASC is the deterministic tie-break on equal totals.
+
+    Input is the api_call_countries view (plans/frontend.py::
+    api_call_countries) — a composed two-stage pipeline."""
+    ct = api_calls_by_country.groupBy("company_domain", "country").agg(
+        F.sum("store_app_count").alias("total_app_count")
+    )
+    pt = api_calls_by_country.groupBy(
+        "parent_company_domain", "country"
+    ).agg(F.sum("store_app_count").alias("total_app_count"))
+    w_c = Window.partitionBy("company_domain").orderBy(
+        F.desc("total_app_count"), F.asc("country")
+    )
+    w_p = Window.partitionBy("parent_company_domain").orderBy(
+        F.desc("total_app_count"), F.asc("country")
+    )
+    crc = ct.withColumn("rn", F.row_number().over(w_c))
+    prc = pt.withColumn("rn", F.row_number().over(w_p))
+    parents = prc.select(
+        F.col("parent_company_domain").alias("company_domain")
+    ).distinct()
+    own = (
+        crc.filter("rn = 1")
+        .join(parents, "company_domain", "left_anti")
+        .select(
+            "company_domain",
+            F.col("country").alias("most_common_country"),
+            "total_app_count",
+        )
+    )
+    rolled = prc.filter("rn = 1").select(
+        F.col("parent_company_domain").alias("company_domain"),
+        F.col("country").alias("most_common_country"),
+        "total_app_count",
+    )
+    return own.union(rolled).distinct()

@@ -34,8 +34,17 @@ def _run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _warmup(spark) -> None:
+    """One untimed scan+agg+noop-write so the first measured query
+    doesn't absorb JVM classloading / codegen-JIT / parquet-footer
+    warm-up (it was worth ~4s of pure noise on the first entry)."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    _run_query(df.groupBy("l_returnflag").count())
+
+
 def bench_queries(spark) -> dict[str, float]:
     times: dict[str, float] = {}
+    _warmup(spark)
     for name, fn in benchmarks.QUERIES.items():
         t0 = time.time()
         _run_query(fn(spark, SF_DIR))
