@@ -3436,3 +3436,230 @@ def company_domain_country_q(spark, sf):
     plans/frontend.py::company_domain_country; two-stage pipeline)."""
     acc = api_call_countries_q(spark, sf)
     return fe.company_domain_country(acc)
+
+
+@query(
+    "adstxt_publishers_overview",
+    """
+    WITH de AS (
+        SELECT cast(user_id % 37 AS INT) AS pub_domain_id,
+               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
+               event_id AS app_ad_entry_id
+        FROM events
+    ),
+    ae AS (
+        SELECT event_id AS app_ad_entry_id,
+               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
+                    ELSE 'RESELLER' END AS relationship,
+               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
+        FROM events
+    ),
+    aum AS (
+        SELECT cast(c_custkey % 37 AS INT) AS pub_domain_id,
+               c_custkey AS store_app
+        FROM customer
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
+        FROM customer
+    ),
+    grouped AS (
+        SELECT de.ad_domain_url, ae.relationship, a.store,
+               ae.publisher_id,
+               count(DISTINCT a.developer) AS developer_count,
+               count(DISTINCT aum.store_app) AS app_count
+        FROM de
+        LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
+        LEFT JOIN appdim a ON a.store_app = aum.store_app
+        LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
+        GROUP BY de.ad_domain_url, ae.relationship, a.store,
+                 ae.publisher_id
+    )
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY ad_domain_url, relationship, store
+            ORDER BY app_count DESC, publisher_id) AS pubrank
+        FROM grouped)
+    WHERE pubrank <= 50
+    """,
+)
+def adstxt_publishers_overview_q(spark, sf):
+    """Top-50 publisher accounts per (ad domain, relationship, store)
+    by distinct-app reach — rank over an aggregated relation
+    (adstxt_publishers_overview__matview.sql:29-54 via
+    plans/frontend.py::adstxt_publishers_overview)."""
+    ev = _t(spark, sf, "events")
+    de = ev.select(
+        (F.col("user_id") % 37).cast("int").alias("pub_domain_id"),
+        F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
+            "ad_domain_url"
+        ),
+        F.col("event_id").alias("app_ad_entry_id"),
+    )
+    ae = ev.select(
+        F.col("event_id").alias("app_ad_entry_id"),
+        F.when(F.col("event_id") % 2 == 0, "DIRECT")
+        .otherwise("RESELLER")
+        .alias("relationship"),
+        F.concat(F.lit("pub"), (F.col("user_id") % 11).cast("string")).alias(
+            "publisher_id"
+        ),
+    )
+    c = _t(spark, sf, "customer")
+    aum = c.select(
+        (F.col("c_custkey") % 37).cast("int").alias("pub_domain_id"),
+        F.col("c_custkey").alias("store_app"),
+    )
+    appdim = c.select(
+        F.col("c_custkey").alias("store_app"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("dev"), (F.col("c_custkey") % 13).cast("string")).alias(
+            "developer"
+        ),
+    )
+    return fe.adstxt_publishers_overview(de, aum, appdim, ae)
+
+
+@query(
+    "category_tag_type_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 11 AS INT) AS company_id,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    ),
+    coca AS (
+        SELECT cast(i % 11 AS INT) AS company_id,
+               cast(i % 6 AS INT) AS category_id
+        FROM range(0, 22) t(i)
+    ),
+    cats AS (
+        SELECT cast(i AS INT) AS category_id,
+               'slug' || cast(i AS VARCHAR) AS url_slug
+        FROM range(0, 6) t(i)
+    ),
+    app_sdks AS (
+        SELECT p_partkey AS store_app,
+               CASE WHEN p_partkey % 6 = 0 THEN NULL
+                    ELSE cast(p_partkey % 9 AS INT) END AS sdk_id
+        FROM part
+    ),
+    sdkcats AS (
+        SELECT cast(i AS INT) AS sdk_id, cast(i % 6 AS INT) AS category_id
+        FROM range(0, 9) t(i)
+    ),
+    mcc AS (
+        SELECT company_id, min(category_id) AS category_id
+        FROM coca GROUP BY company_id
+    ),
+    branch_tags AS (
+        SELECT store, app_category, tag_source, type_url_slug,
+               count(*) AS app_count,
+               cast(sum(installs_d30) AS BIGINT) AS installs_d30
+        FROM (
+            SELECT DISTINCT x.store_app, a.store,
+                   a.category AS app_category, x.tag_source,
+                   CASE WHEN x.tag_source LIKE 'app_ads%'
+                        THEN 'ad-networks'
+                        WHEN x.tag_source = 'publisher'
+                        THEN 'app-publishers'
+                        ELSE ct.url_slug END AS type_url_slug,
+                   a.installs_d30
+            FROM (
+                SELECT store_app, company_id, 'api_call' AS tag_source
+                FROM appco WHERE api_call
+                UNION ALL
+                SELECT store_app, company_id, 'publisher' FROM appco
+                WHERE publisher
+                UNION ALL
+                SELECT store_app, company_id, 'app_ads_direct' FROM appco
+                WHERE app_ads_direct
+                UNION ALL
+                SELECT store_app, company_id, 'app_ads_reseller'
+                FROM appco WHERE app_ads_reseller
+            ) x
+            JOIN appdim a ON a.store_app = x.store_app
+            JOIN mcc ON mcc.company_id = x.company_id
+            LEFT JOIN cats ct ON ct.category_id = mcc.category_id
+        )
+        GROUP BY store, app_category, tag_source, type_url_slug
+    ),
+    branch_sdk AS (
+        SELECT store, app_category, 'sdk' AS tag_source, type_url_slug,
+               count(*) AS app_count,
+               cast(sum(installs_d30) AS BIGINT) AS installs_d30
+        FROM (
+            SELECT DISTINCT s.store_app, a.store,
+                   a.category AS app_category,
+                   ct.url_slug AS type_url_slug, a.installs_d30
+            FROM app_sdks s
+            JOIN appdim a ON a.store_app = s.store_app
+            LEFT JOIN sdkcats sc ON sc.sdk_id = s.sdk_id
+            LEFT JOIN cats ct ON ct.category_id = sc.category_id
+            WHERE s.sdk_id IS NOT NULL
+        )
+        GROUP BY store, app_category, type_url_slug
+    )
+    SELECT * FROM branch_tags
+    UNION ALL
+    SELECT * FROM branch_sdk
+    """,
+)
+def category_tag_type_stats_q(spark, sf):
+    """Tag-source × company-type rollup: unpivoted tag kinds classified
+    via each company's min category (slug overrides for app-ads and
+    publisher kinds), UNION ALL the SDK branch via SDK categories
+    (category_tag_type_stats__matview.sql:29-96 via
+    plans/frontend.py::category_tag_type_stats)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 11).cast("int").alias("company_id"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    coca = spark_sess.range(0, 22).select(
+        (F.col("id") % 11).cast("int").alias("company_id"),
+        (F.col("id") % 6).cast("int").alias("category_id"),
+    )
+    cats = spark_sess.range(0, 6).select(
+        F.col("id").cast("int").alias("category_id"),
+        F.concat(F.lit("slug"), F.col("id").cast("string")).alias("url_slug"),
+    )
+    app_sdks = p.select(
+        F.col("p_partkey").alias("store_app"),
+        F.when(F.col("p_partkey") % 6 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 9).cast("int"))
+        .alias("sdk_id"),
+    )
+    sdkcats = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("sdk_id"),
+        (F.col("id") % 6).cast("int").alias("category_id"),
+    )
+    return fe.category_tag_type_stats(
+        appco, appdim, coca, cats, app_sdks, sdkcats
+    )

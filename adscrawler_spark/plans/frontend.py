@@ -500,3 +500,115 @@ def company_domain_country(api_calls_by_country: DataFrame) -> DataFrame:
         "total_app_count",
     )
     return own.union(rolled).distinct()
+
+
+def adstxt_publishers_overview(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top publisher accounts per (ad domain, relationship, store),
+    ranked by distinct-app reach — a row_number over an AGGREGATED
+    relation (rank of count-distinct), not over raw rows.  Port of
+    frontend.adstxt_publishers_overview
+    (adstxt_publishers_overview__matview.sql:29-54: ranked_data CTE
+    groups by publisher_id inside the (ad domain, relationship, store)
+    scenario, then pubrank <= 50).  ``publisher_id`` ASC is the
+    deterministic tie-break on equal app counts."""
+    chained = (
+        domain_entries.join(app_urls_map, "pub_domain_id", "left")
+        .join(apps, "store_app", "left")
+        .join(ad_entries, "app_ad_entry_id", "left")
+    )
+    grouped = chained.groupBy(
+        "ad_domain_url", "relationship", "store", "publisher_id"
+    ).agg(
+        F.countDistinct("developer").alias("developer_count"),
+        F.countDistinct("store_app").alias("app_count"),
+    )
+    w = Window.partitionBy("ad_domain_url", "relationship", "store").orderBy(
+        F.desc("app_count"), F.asc("publisher_id")
+    )
+    return grouped.withColumn("pubrank", F.row_number().over(w)).filter(
+        F.col("pubrank") <= top_n
+    )
+
+
+def category_tag_type_stats(
+    app_companies: DataFrame,
+    apps: DataFrame,
+    company_categories: DataFrame,
+    categories: DataFrame,
+    app_sdks: DataFrame,
+    sdk_categories: DataFrame,
+) -> DataFrame:
+    """Per-(store, category, tag-source, company-type) app counts and
+    installs: the four non-sdk tag kinds classified through each
+    company's minimum category (with the app-ads/publisher slug
+    overrides), UNION ALL the sdk branch classified through SDK
+    categories.  Port of frontend.category_tag_type_stats
+    (category_tag_type_stats__matview.sql:29-96)."""
+    mcc = company_categories.groupBy("company_id").agg(
+        F.min("category_id").alias("category_id")
+    )
+    tag_sources = ["api_call", "publisher", "app_ads_direct", "app_ads_reseller"]
+    stack_expr = "stack({n}, {pairs}) as (tag_source, present)".format(
+        n=len(tag_sources),
+        pairs=", ".join(f"'{t}', {t}" for t in tag_sources),
+    )
+    slug = (
+        F.when(F.col("tag_source").startswith("app_ads"), F.lit("ad-networks"))
+        .when(F.col("tag_source") == "publisher", F.lit("app-publishers"))
+        .otherwise(F.col("url_slug"))
+    )
+    branch_tags = (
+        app_companies.select("store_app", "company_id", F.expr(stack_expr))
+        .filter(F.col("present"))
+        .join(apps, "store_app")  # sa.id IS NOT NULL -> inner
+        .join(mcc, "company_id")
+        .join(F.broadcast(categories), "category_id", "left")
+        .select(
+            "store_app",
+            "store",
+            F.col("category").alias("app_category"),
+            "tag_source",
+            slug.alias("type_url_slug"),
+            "installs_d30",
+        )
+        .distinct()
+        .groupBy("store", "app_category", "tag_source", "type_url_slug")
+        .agg(
+            F.count("*").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+        )
+    )
+    branch_sdk = (
+        app_sdks.filter(F.col("sdk_id").isNotNull())
+        .join(apps, "store_app")
+        .join(F.broadcast(sdk_categories), "sdk_id", "left")
+        .join(F.broadcast(categories), "category_id", "left")
+        .select(
+            "store_app",
+            "store",
+            F.col("category").alias("app_category"),
+            F.col("url_slug").alias("type_url_slug"),
+            "installs_d30",
+        )
+        .distinct()
+        .groupBy("store", "app_category", "type_url_slug")
+        .agg(
+            F.count("*").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+        )
+        .select(
+            "store", "app_category", F.lit("sdk").alias("tag_source"),
+            "type_url_slug", "app_count", "installs_d30",
+        )
+    )
+    cols = [
+        "store", "app_category", "tag_source", "type_url_slug",
+        "app_count", "installs_d30",
+    ]
+    return branch_tags.select(*cols).unionByName(branch_sdk.select(*cols))
