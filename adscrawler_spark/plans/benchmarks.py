@@ -2834,7 +2834,7 @@ def latest_sdk_scanned(spark, sf):
     "adstxt_ad_domain_overview",
     """
     WITH de AS (
-        SELECT cast(user_id % 37 AS INT) AS pub_domain_id,
+        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
                'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
                event_id AS app_ad_entry_id
         FROM events
@@ -2847,7 +2847,7 @@ def latest_sdk_scanned(spark, sf):
         FROM events
     ),
     aum AS (
-        SELECT cast(c_custkey % 37 AS INT) AS pub_domain_id,
+        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
                c_custkey AS store_app
         FROM customer
     ),
@@ -2875,7 +2875,7 @@ def adstxt_ad_domain_overview_q(spark, sf):
     plans/frontend.py::adstxt_ad_domain_overview)."""
     ev = _t(spark, sf, "events")
     de = ev.select(
-        (F.col("user_id") % 37).cast("int").alias("pub_domain_id"),
+        (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
         F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
             "ad_domain_url"
         ),
@@ -2892,7 +2892,7 @@ def adstxt_ad_domain_overview_q(spark, sf):
     )
     c = _t(spark, sf, "customer")
     aum = c.select(
-        (F.col("c_custkey") % 37).cast("int").alias("pub_domain_id"),
+        (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
         F.col("c_custkey").alias("store_app"),
     )
     appdim = c.select(
@@ -3442,7 +3442,7 @@ def company_domain_country_q(spark, sf):
     "adstxt_publishers_overview",
     """
     WITH de AS (
-        SELECT cast(user_id % 37 AS INT) AS pub_domain_id,
+        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
                'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
                event_id AS app_ad_entry_id
         FROM events
@@ -3455,7 +3455,7 @@ def company_domain_country_q(spark, sf):
         FROM events
     ),
     aum AS (
-        SELECT cast(c_custkey % 37 AS INT) AS pub_domain_id,
+        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
                c_custkey AS store_app
         FROM customer
     ),
@@ -3492,7 +3492,7 @@ def adstxt_publishers_overview_q(spark, sf):
     plans/frontend.py::adstxt_publishers_overview)."""
     ev = _t(spark, sf, "events")
     de = ev.select(
-        (F.col("user_id") % 37).cast("int").alias("pub_domain_id"),
+        (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
         F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
             "ad_domain_url"
         ),
@@ -3509,7 +3509,7 @@ def adstxt_publishers_overview_q(spark, sf):
     )
     c = _t(spark, sf, "customer")
     aum = c.select(
-        (F.col("c_custkey") % 37).cast("int").alias("pub_domain_id"),
+        (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
         F.col("c_custkey").alias("store_app"),
     )
     appdim = c.select(
@@ -3663,3 +3663,107 @@ def category_tag_type_stats_q(spark, sf):
     return fe.category_tag_type_stats(
         appco, appdim, coca, cats, app_sdks, sdkcats
     )
+
+
+@query(
+    "mediation_adapter_app_counts",
+    r"""
+    WITH vs AS (
+        SELECT p_partkey AS string_id,
+               'med' || cast(p_size % 4 AS VARCHAR) || '.adapt'
+                   || cast(p_partkey % 6 AS VARCHAR) || '.cls'
+                   || cast(p_partkey % 9 AS VARCHAR) AS value_name
+        FROM part
+    ),
+    medp AS (
+        SELECT 'med' || cast(i AS VARCHAR) AS mediation_pattern,
+               cast(100 + i AS INT) AS mediation_company_id
+        FROM range(0, 4) t(i)
+    ),
+    adp AS (
+        SELECT 'adapt' || cast(i AS VARCHAR) AS adapter_pattern,
+               CASE WHEN i % 5 = 4 THEN cast(100 + i % 4 AS INT)
+                    ELSE cast(200 + i AS INT) END AS adapter_company_id
+        FROM range(0, 6) t(i)
+    ),
+    sas AS (
+        SELECT user_id AS store_app,
+               cast(event_id % 997 + 1 AS BIGINT) AS string_id
+        FROM events
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               'cat' || cast(c_custkey % 7 AS VARCHAR) AS app_category
+        FROM customer
+    ),
+    fms AS (
+        SELECT v.string_id, m.mediation_company_id,
+               v.value_name AS full_sdk,
+               regexp_replace(regexp_replace(v.value_name,
+                   concat(m.mediation_pattern, '.'), ''),
+                   '\..*$', '') AS adapter_string
+        FROM vs v JOIN medp m
+          ON starts_with(lower(v.value_name),
+                         lower(m.mediation_pattern) || '.')
+    ),
+    ms AS (
+        SELECT f.string_id, f.mediation_company_id,
+               a.adapter_company_id, f.adapter_string, f.full_sdk
+        FROM fms f LEFT JOIN adp a
+          ON starts_with(lower(f.adapter_string), lower(a.adapter_pattern))
+        WHERE f.mediation_company_id <> a.adapter_company_id
+    )
+    SELECT ms.mediation_company_id, ms.adapter_string,
+           ms.adapter_company_id, ap.app_category,
+           count(DISTINCT s.store_app) AS app_count
+    FROM sas s
+    JOIN ms ON ms.string_id = s.string_id
+    LEFT JOIN appdim ap ON ap.store_app = s.store_app
+    GROUP BY ms.mediation_company_id, ms.adapter_string,
+             ms.adapter_company_id, ap.app_category
+    """,
+)
+def mediation_adapter_app_counts_q(spark, sf):
+    """Mediation-adapter reach: prefix joins against broadcast pattern
+    dims, regexp adapter extraction, self-mediation NULL-drop filter,
+    distinct-app counts (mediation_adapter_app_counts__matview.sql:29-96
+    via plans/frontend.py::mediation_adapter_app_counts; an adapter
+    whose company IS the mediation company (adp i%5=4) exercises the
+    self-mediation drop)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    vs = p.select(
+        F.col("p_partkey").alias("string_id"),
+        F.concat(
+            F.lit("med"), (F.col("p_size") % 4).cast("string"),
+            F.lit(".adapt"), (F.col("p_partkey") % 6).cast("string"),
+            F.lit(".cls"), (F.col("p_partkey") % 9).cast("string"),
+        ).alias("value_name"),
+    )
+    medp = spark_sess.range(0, 4).select(
+        F.concat(F.lit("med"), F.col("id").cast("string")).alias(
+            "mediation_pattern"
+        ),
+        (F.col("id") + 100).cast("int").alias("mediation_company_id"),
+    )
+    adp = spark_sess.range(0, 6).select(
+        F.concat(F.lit("adapt"), F.col("id").cast("string")).alias(
+            "adapter_pattern"
+        ),
+        F.when(F.col("id") % 5 == 4, (F.col("id") % 4 + 100).cast("int"))
+        .otherwise((F.col("id") + 200).cast("int"))
+        .alias("adapter_company_id"),
+    )
+    ev = _t(spark, sf, "events")
+    sas = ev.select(
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 997 + 1).alias("string_id"),
+    )
+    c = _t(spark, sf, "customer")
+    appdim = c.select(
+        F.col("c_custkey").alias("store_app"),
+        F.concat(F.lit("cat"), (F.col("c_custkey") % 7).cast("string")).alias(
+            "app_category"
+        ),
+    )
+    return fe.mediation_adapter_app_counts(vs, medp, adp, sas, appdim)

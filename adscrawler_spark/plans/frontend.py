@@ -612,3 +612,70 @@ def category_tag_type_stats(
         "app_count", "installs_d30",
     ]
     return branch_tags.select(*cols).unionByName(branch_sdk.select(*cols))
+
+
+def mediation_adapter_app_counts(
+    version_strings: DataFrame,
+    mediation_patterns: DataFrame,
+    adapter_patterns: DataFrame,
+    app_sdk_strings: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """How many apps carry each mediation adapter: SDK strings prefix-
+    matched against mediation patterns (broadcast nested-loop on a tiny
+    pattern dim), the adapter token regexp-extracted from the remainder,
+    prefix-matched again against adapter patterns, self-mediation
+    dropped, then distinct-app counts per adapter × app category.  Port
+    of frontend.mediation_adapter_app_counts
+    (mediation_adapter_app_counts__matview.sql:29-96; the reference's
+    `<>` filter after the LEFT JOIN drops unmatched adapters via
+    NULL-comparison semantics — kept bug-for-bug).
+
+    ``version_strings``: string_id, value_name; ``mediation_patterns``:
+    mediation_pattern, mediation_company_id; ``adapter_patterns``:
+    adapter_pattern, adapter_company_id; ``app_sdk_strings``:
+    store_app, string_id; ``apps``: store_app, app_category."""
+    fms = version_strings.join(
+        F.broadcast(mediation_patterns),
+        F.lower("value_name").startswith(
+            F.concat(F.lower("mediation_pattern"), F.lit("."))
+        ),
+    ).select(
+        "string_id",
+        "mediation_company_id",
+        F.col("value_name").alias("full_sdk"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("value_name"),
+                F.concat(F.col("mediation_pattern"), F.lit(".")),
+                F.lit(""),
+            ),
+            F.lit(r"\..*$"),
+            F.lit(""),
+        ).alias("adapter_string"),
+    )
+    ms = (
+        fms.join(
+            F.broadcast(adapter_patterns),
+            F.lower("adapter_string").startswith(F.lower("adapter_pattern")),
+            "left",
+        )
+        # reference WHERE fms.mediation_company_id <> cma.company_id:
+        # NULL adapter company compares unknown and is dropped
+        .filter(F.col("mediation_company_id") != F.col("adapter_company_id"))
+        .select(
+            "string_id", "mediation_company_id", "adapter_company_id",
+            "adapter_string", "full_sdk",
+        )
+    )
+    return (
+        app_sdk_strings.join(ms, "string_id")
+        .join(apps, "store_app", "left")
+        .groupBy(
+            "mediation_company_id",
+            "adapter_string",
+            "adapter_company_id",
+            "app_category",
+        )
+        .agg(F.countDistinct("store_app").alias("app_count"))
+    )
