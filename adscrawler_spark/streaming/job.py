@@ -244,6 +244,7 @@ def run_generation(
 
     fetched = fetch_sim.fetch(claimed).persist()
     n_claimed = fetched.count()
+    t_fetch = time.time()
     # the count materialized `fetched`, so the claim-stage caches (one
     # phase-2 rank set per claim family) are done — release them now
     # rather than leaking two storage entries per generation.
@@ -375,6 +376,7 @@ def run_generation(
         f_log.result()
         n_rank_rows = f_ranks.result()
         counts = f_counts.result()
+    t_sinks = time.time()
 
     # ---- discovery: DIRECT/RESELLER ad domains become new adstxt URLs
     seen_tbl = cat.table("url_seen").read(spark)
@@ -461,6 +463,16 @@ def run_generation(
         "rankings_rows": n_rank_rows,
         "discovered": n_discovered,
         "elapsed_sec": round(elapsed, 3),
+        # wall-clock split: claim+politeness+fetch | parse+concurrent
+        # sinks | discovery+frontier transitions.  The first and last
+        # segments are dominated by fixed per-action latency (they
+        # shrink to noise once real fetches cost 0.1-4s/URL); the sink
+        # segment carries the actual data volume.
+        "phase_secs": {
+            "claim_fetch": round(t_fetch - t0, 3),
+            "parse_sinks": round(t_sinks - t_fetch, 3),
+            "frontier_update": round(time.time() - t_sinks, 3),
+        },
         "urls_per_sec": round(n_fetched / elapsed, 1) if elapsed > 0 else 0.0,
     }
     cat.table("metrics").append(
