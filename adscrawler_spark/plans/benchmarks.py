@@ -3767,3 +3767,64 @@ def mediation_adapter_app_counts_q(spark, sf):
         ),
     )
     return fe.mediation_adapter_app_counts(vs, medp, adp, sas, appdim)
+
+
+@query(
+    "store_apps_in_latest_rankings",
+    f"""
+    WITH {_AGML_SQL},
+    appsd AS (
+        SELECT c_custkey AS store_app,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               c_name AS name,
+               cast(floor(c_acctbal) AS BIGINT) AS installs,
+               cast(c_nationkey AS BIGINT) AS rating_count,
+               c_custkey % 5 != 0 AS free
+        FROM customer
+    ),
+    {_RANKSYN_SQL},
+    growth AS (
+        SELECT a.store_app, a.store, a.name, a.installs, a.rating_count
+        FROM agml g JOIN appsd a ON a.store_app = g.store_app
+        WHERE a.free
+        ORDER BY g.installs_z_score_2w DESC NULLS LAST, a.store_app
+        LIMIT 500
+    ),
+    ranked AS (
+        SELECT a.store_app, a.store, a.name, a.installs, a.rating_count
+        FROM (SELECT * FROM (
+                SELECT store_id AS store_app, row_number() OVER (
+                    PARTITION BY store_id
+                    ORDER BY crawled_date DESC, rank) AS rn
+                FROM ranks
+                WHERE collection IN ('1-URGENT', '3-MEDIUM')
+                  AND country IN (0, 1)
+                  AND crawled_date > DATE '2001-08-01' - INTERVAL 15 DAY
+                  AND rank < 50) WHERE rn = 1) r
+        JOIN appsd a ON a.store_app = r.store_app
+    )
+    SELECT * FROM growth UNION SELECT * FROM ranked
+    """,
+)
+def store_apps_in_latest_rankings_q(spark, sf):
+    """Re-crawl priority pool: global top-500 by install z-score UNION
+    recently top-ranked apps in tracked collections/countries
+    (public store_apps_in_latest_rankings__matview.sql:29-76 via
+    plans/frontend.py::store_apps_in_latest_rankings — composed over
+    the agml latest-metrics pipeline and the rankings table shape)."""
+    c = _t(spark, sf, "customer")
+    apps = c.select(
+        F.col("c_custkey").alias("store_app"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.col("c_name").alias("name"),
+        F.floor("c_acctbal").cast("long").alias("installs"),
+        F.col("c_nationkey").cast("long").alias("rating_count"),
+        (F.col("c_custkey") % 5 != 0).alias("free"),
+    )
+    latest = appm.global_metrics_latest(_agml_hist(spark, sf))
+    ranks = _ranks_syn(spark, sf).withColumnRenamed("store_id", "store_app")
+    return fe.store_apps_in_latest_rankings(
+        latest, apps, ranks, "2001-08-01",
+        collections=["1-URGENT", "3-MEDIUM"], countries=[0, 1],
+        max_rank=50,
+    )

@@ -679,3 +679,57 @@ def mediation_adapter_app_counts(
         )
         .agg(F.countDistinct("store_app").alias("app_count"))
     )
+
+
+def store_apps_in_latest_rankings(
+    latest_metrics: DataFrame,
+    apps: DataFrame,
+    ranks: DataFrame,
+    as_of: str,
+    collections: list,
+    countries: list,
+    top_growth: int = 500,
+    max_rank: int = 150,
+    days: int = 15,
+) -> DataFrame:
+    """The re-crawl priority pool: the global top-``top_growth`` apps
+    by 2-week install z-score (free apps only) UNION the apps that
+    appeared under ``max_rank`` in the tracked collections/countries in
+    the trailing ``days``.  Port of
+    public.store_apps_in_latest_rankings
+    (store_apps_in_latest_rankings__matview.sql:29-76: growth_apps
+    LIMIT 500 over z-scores + DISTINCT ON ranked_apps with IN-list
+    filters, UNION dedupe).
+
+    The global LIMIT is a TakeOrdered (per-partition top-500 merged on
+    the driver — bounded by 500×partitions rows); the ranked branch is
+    a per-app DISTINCT-ON window.  ``store_app`` ASC tie-breaks both."""
+    out_cols = ["store_app", "store", "name", "installs", "rating_count"]
+    growth = (
+        latest_metrics.join(apps, "store_app")
+        .filter(F.col("free"))
+        .orderBy(
+            F.desc_nulls_last("installs_z_score_2w"), F.asc("store_app")
+        )
+        .limit(top_growth)
+        .select(*out_cols)
+    )
+    w = Window.partitionBy("store_app").orderBy(
+        F.desc("crawled_date"), F.asc("rank")
+    )
+    ranked = (
+        ranks.filter(
+            F.col("collection").isin(collections)
+            & F.col("country").isin(countries)
+            & (
+                F.col("crawled_date")
+                > F.date_sub(F.lit(as_of).cast("date"), days)
+            )
+            & (F.col("rank") < max_rank)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .join(apps, "store_app")
+        .select(*out_cols)
+    )
+    return growth.union(ranked).distinct()
