@@ -131,3 +131,48 @@ def test_claim_path_has_no_global_sort(spark):
     out = fo.ranked_top_n(base, fo.listing_order_cols(now), 500)
     plan = _plan(out)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_frontend_topk_uses_window_group_limit(spark):
+    """The frontend leaderboards must carry Spark's WindowGroupLimit
+    (rank-pushdown: per-partition top-k before the window sort) — a
+    plain Window over the full input would sort every group member at
+    100 TB for rows that are then discarded."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    for name in ["apps_new_yearly", "company_top_apps",
+                 "latest_sdk_scanned"]:
+        plan = _plan(B.QUERIES[name](spark, SF))
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_frontend_pattern_joins_broadcast_only_pattern_dims(spark):
+    """mediation_adapter_app_counts: the two prefix-match joins are
+    nested-loop by nature — assert the BUILD side of each is a
+    broadcast (the O(10)-row pattern dim), never the strings table."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    plan = _plan(B.QUERIES["mediation_adapter_app_counts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line, line
+    # the app-count join on string_id must be a hash equi-join
+    assert any(
+        "Join" in ln and "string_id" in ln and "NestedLoop" not in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_frontend_rollups_have_no_nested_loops(spark):
+    """The count-distinct rollup family must be pure hash joins +
+    hash aggregates — any nested loop here is a synth-key bug."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    for name in ["adstxt_ad_domain_overview", "adstxt_publishers_overview",
+                 "category_tag_stats", "companies_category_stats",
+                 "category_tag_type_stats", "api_call_countries",
+                 "company_domain_country"]:
+        plan = _plan(B.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoopJoin" not in plan, (name, plan)
