@@ -3828,3 +3828,49 @@ def store_apps_in_latest_rankings_q(spark, sf):
         collections=["1-URGENT", "3-MEDIUM"], countries=[0, 1],
         max_rank=50,
     )
+
+
+@query(
+    "redirect_chain_hops",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT 'u' || cast(event_id AS VARCHAR) AS src,
+               'u' || cast(event_id + 1 AS VARCHAR) AS dst
+        FROM events WHERE event_id % 7 != 6 AND event_id % 11 != 3
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    heads AS (SELECT node FROM nodes
+              WHERE node NOT IN (SELECT dst FROM edges)),
+    walk AS (
+        SELECT node AS head, node, 0 AS hop_index FROM heads
+        UNION ALL
+        SELECT w.head, e.dst, w.hop_index + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT w.node, w.head, w.hop_index,
+           w.hop_index = 0 AS is_chain_start,
+           w.node NOT IN (SELECT src FROM edges) AS is_chain_end
+    FROM walk w
+    """,
+)
+def redirect_chain_hops(spark, sf):
+    """Redirect-chain reconstruction from an unordered edge set: every
+    URL resolved to its chain head with exact hop index in O(log L)
+    pointer-doubling rounds (operators/chains.py::chain_hops — the
+    distributed analog of the reference's sequential per-URL follow,
+    network_parsers.py:502-560).  The oracle walks the same edges with
+    a recursive CTE — two structurally different algorithms must
+    agree exactly."""
+    ev = _t(spark, sf, "events")
+    edges = ev.filter(
+        (F.col("event_id") % 7 != 6) & (F.col("event_id") % 11 != 3)
+    ).select(
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"), (F.col("event_id") + 1).cast("string")).alias(
+            "dst"
+        ),
+    )
+    from adscrawler_spark.operators.chains import chain_hops
+
+    return chain_hops(edges)

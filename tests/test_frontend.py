@@ -53,3 +53,28 @@ def test_retention_keeps_mondays_only_in_tail(spark):
     }
     for d, want in rows:
         assert (d in kept) == want, (d, want, kept)
+
+
+def test_chain_hops_reconstructs_paths(spark):
+    """Pointer doubling vs hand-computed chains: two chains (lengths 4
+    and 1) plus a 20-hop chain exceeding the default round budget when
+    max_hops is raised accordingly."""
+    from adscrawler_spark.operators.chains import (
+        chain_final_urls,
+        chain_hops,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    edges += [(f"n{i}", f"n{i+1}") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r for r in chain_hops(df, max_hops=32).collect()}
+    assert out["a"]["hop_index"] == 0 and out["a"]["is_chain_start"]
+    assert out["d"]["hop_index"] == 3 and out["d"]["is_chain_end"]
+    assert out["d"]["head"] == "a"
+    assert out["y"]["head"] == "x" and out["y"]["hop_index"] == 1
+    assert out["n20"]["head"] == "n0" and out["n20"]["hop_index"] == 20
+    finals = {
+        r["head"]: (r["final_url"], r["n_hops"])
+        for r in chain_final_urls(chain_hops(df, max_hops=32)).collect()
+    }
+    assert finals == {"a": ("d", 3), "x": ("y", 1), "n0": ("n20", 20)}
