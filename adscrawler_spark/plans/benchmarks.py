@@ -3874,3 +3874,157 @@ def redirect_chain_hops(spark, sf):
     from adscrawler_spark.operators.chains import chain_hops
 
     return chain_hops(edges)
+
+
+@query(
+    "combined_domain_tags",
+    """
+    WITH vc AS (
+        SELECT o_orderkey AS vc_id, o_custkey AS store_app,
+               o_orderdate AS created_at
+        FROM orders
+    ),
+    scans AS (
+        SELECT o_orderkey AS vc_id,
+               CASE WHEN o_totalprice > 100000 THEN 1 ELSE 2 END
+                   AS scan_result
+        FROM orders
+    ),
+    lvc AS (
+        SELECT * FROM (
+            SELECT v.*, row_number() OVER (PARTITION BY v.store_app
+                ORDER BY v.created_at DESC, v.vc_id DESC) AS rn
+            FROM vc v JOIN scans s
+              ON s.vc_id = v.vc_id AND s.scan_result = 1
+            WHERE v.created_at >= TIMESTAMP '1996-01-01 00:00:00'
+              AND v.created_at < TIMESTAMP '2001-01-01 00:00:00')
+        WHERE rn = 1
+    ),
+    app_sdks AS (
+        SELECT user_id AS store_app,
+               cast(event_id % 997 + 1 AS BIGINT) AS vc_id,
+               cast(event_id % 40 AS INT) AS sdk_id
+        FROM events
+    ),
+    sdks AS (
+        SELECT cast(i AS INT) AS sdk_id, cast(i % 17 AS INT) AS company_id
+        FROM range(0, 40) t(i)
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               cast(i % 29 AS INT) AS domain_id
+        FROM range(0, 17) t(i)
+    ),
+    sdk_branch AS (
+        SELECT DISTINCT s.store_app, co.domain_id
+        FROM app_sdks s
+        JOIN lvc ON lvc.vc_id = s.vc_id AND lvc.store_app = s.store_app
+        LEFT JOIN sdks sd ON sd.sdk_id = s.sdk_id
+        LEFT JOIN companies co ON co.company_id = sd.company_id
+    ),
+    domains AS (
+        SELECT 'tld' || cast(i AS VARCHAR) AS tld_url,
+               cast(i AS INT) AS domain_id
+        FROM range(0, 15) t(i)
+    ),
+    api_branch AS (
+        SELECT DISTINCT ev.user_id AS store_app, d.domain_id
+        FROM events ev
+        LEFT JOIN domains d
+          ON d.tld_url = 'tld' || cast(ev.event_id % 19 AS VARCHAR)
+        WHERE d.domain_id IS NOT NULL
+    ),
+    adstxt_branch AS (
+        SELECT DISTINCT c_custkey AS store_app,
+               cast(c_custkey % 31 AS INT) AS domain_id,
+               CASE WHEN c_custkey % 2 = 0 THEN 'app_ads_direct'
+                    ELSE 'app_ads_reseller' END AS tag_source
+        FROM customer
+    ),
+    cs AS (
+        SELECT domain_id, store_app, 'api_call' AS tag_source
+        FROM api_branch
+        UNION ALL
+        SELECT domain_id, store_app, 'sdk' FROM sdk_branch
+        UNION ALL
+        SELECT domain_id, store_app, tag_source FROM adstxt_branch
+    )
+    SELECT domain_id, store_app,
+           bool_or(tag_source = 'sdk') AS sdk,
+           bool_or(tag_source = 'api_call') AS api_call,
+           bool_or(tag_source = 'app_ads_direct') AS app_ads_direct,
+           bool_or(tag_source = 'app_ads_reseller') AS app_ads_reseller
+    FROM cs GROUP BY domain_id, store_app
+    """,
+)
+def combined_domain_tags_q(spark, sf):
+    """The evidence pivot that produces the company-tag booleans: SDK
+    evidence through each app's latest ok-scanned version code, API
+    evidence through domain resolution, ads.txt evidence by
+    relationship — UNION ALL + bool_or per (domain, app)
+    (query_report_combined_domains.sql:1-108 via
+    plans/frontend.py::latest_ok_version_codes + combined_domain_tags)."""
+    o = _t(spark, sf, "orders")
+    vc = o.select(
+        F.col("o_orderkey").alias("vc_id"),
+        F.col("o_custkey").alias("store_app"),
+        F.col("o_orderdate").alias("created_at"),
+    )
+    scans = o.select(
+        F.col("o_orderkey").alias("vc_id"),
+        F.when(F.col("o_totalprice") > 100000, 1).otherwise(2).alias(
+            "scan_result"
+        ),
+    )
+    lvc = fe.latest_ok_version_codes(
+        vc, scans, "1996-01-01 00:00:00", "2001-01-01 00:00:00"
+    )
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    app_sdks = ev.select(
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 997 + 1).alias("vc_id"),
+        (F.col("event_id") % 40).cast("int").alias("sdk_id"),
+    )
+    sdks = spark_sess.range(0, 40).select(
+        F.col("id").cast("int").alias("sdk_id"),
+        (F.col("id") % 17).cast("int").alias("company_id"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        (F.col("id") % 29).cast("int").alias("domain_id"),
+    )
+    sdk_branch = (
+        app_sdks.join(
+            lvc.select("vc_id", "store_app"), ["vc_id", "store_app"]
+        )
+        .join(F.broadcast(sdks), "sdk_id", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .select("store_app", "domain_id")
+        .distinct()
+    )
+    domains = spark_sess.range(0, 15).select(
+        F.concat(F.lit("tld"), F.col("id").cast("string")).alias("tld_url"),
+        F.col("id").cast("int").alias("domain_id"),
+    )
+    api_branch = (
+        ev.select(
+            F.col("user_id").alias("store_app"),
+            F.concat(
+                F.lit("tld"), (F.col("event_id") % 19).cast("string")
+            ).alias("tld_url"),
+        )
+        .join(F.broadcast(domains), "tld_url", "left")
+        .filter(F.col("domain_id").isNotNull())
+        .select("store_app", "domain_id")
+        .distinct()
+    )
+    c = _t(spark, sf, "customer")
+    adstxt_branch = c.select(
+        F.col("c_custkey").alias("store_app"),
+        (F.col("c_custkey") % 31).cast("int").alias("domain_id"),
+        F.when(F.col("c_custkey") % 2 == 0, "app_ads_direct")
+        .otherwise("app_ads_reseller")
+        .alias("tag_source"),
+    ).distinct()
+    return fe.combined_domain_tags(api_branch, sdk_branch, adstxt_branch)

@@ -733,3 +733,71 @@ def store_apps_in_latest_rankings(
         .select(*out_cols)
     )
     return growth.union(ranked).distinct()
+
+
+def latest_ok_version_codes(
+    version_codes: DataFrame,
+    scan_results: DataFrame,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Each app's newest successfully-scanned version code within the
+    reporting period — the latest_version_codes CTE of the combined-
+    domains report (dbcon/sql/query_report_combined_domains.sql:1-21:
+    DISTINCT ON (store_app) ORDER BY created_at DESC over codes with a
+    scan_result = 1 scan).  ``vc_id`` DESC tie-breaks equal
+    created_at."""
+    ok = version_codes.join(
+        scan_results.filter(F.col("scan_result") == 1).select("vc_id"),
+        "vc_id",
+    ).filter(
+        (F.col("created_at") >= F.lit(start).cast("timestamp"))
+        & (F.col("created_at") < F.lit(end).cast("timestamp"))
+    )
+    w = Window.partitionBy("store_app").orderBy(
+        F.desc("created_at"), F.desc("vc_id")
+    )
+    return (
+        ok.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+
+
+def combined_domain_tags(
+    api_companies: DataFrame,
+    sdk_companies: DataFrame,
+    adstxt_companies: DataFrame,
+) -> DataFrame:
+    """The (domain, app) evidence pivot that PRODUCES the company-tag
+    booleans every *_tag_stats rollup consumes: three evidence branches
+    UNION ALL'd then bool_or-pivoted per (domain_id, store_app).  Port
+    of the combined-domains report
+    (dbcon/sql/query_report_combined_domains.sql:80-108 combined_sources
+    + final bool_or GROUP BY; queries.py:1251-1270 streams it
+    chunked — here it is one distributed plan).
+
+    ``api_companies`` / ``sdk_companies``: (store_app, domain_id);
+    ``adstxt_companies``: (store_app, domain_id, tag_source in
+    {'app_ads_direct','app_ads_reseller'})."""
+    cs = (
+        api_companies.select(
+            "domain_id", "store_app", F.lit("api_call").alias("tag_source")
+        )
+        .unionByName(
+            sdk_companies.select(
+                "domain_id", "store_app", F.lit("sdk").alias("tag_source")
+            )
+        )
+        .unionByName(
+            adstxt_companies.select("domain_id", "store_app", "tag_source")
+        )
+    )
+    return cs.groupBy("domain_id", "store_app").agg(
+        F.max(F.col("tag_source") == "sdk").alias("sdk"),
+        F.max(F.col("tag_source") == "api_call").alias("api_call"),
+        F.max(F.col("tag_source") == "app_ads_direct").alias(
+            "app_ads_direct"
+        ),
+        F.max(F.col("tag_source") == "app_ads_reseller").alias(
+            "app_ads_reseller"
+        ),
+    )
