@@ -62,7 +62,12 @@ def country_share_columns(pdf: pd.DataFrame) -> pd.DataFrame:
     422-447 (max candidates, fallback zeroing, grc sum) and 479-487
     (pct_of_global, scaled estimates)."""
     df = pdf.copy()
-    gb = df.groupby("week_start")
+    # keyed on (store_app, week_start): with one app per call (the
+    # per-app grouped-map) store_app is constant and this degenerates
+    # to the per-week grouping; with a hash BUCKET of apps per call
+    # (country_share_model's bucketed path) the same vectorized code
+    # models every app in the batch at once.
+    gb = df.groupby(["store_app", "week_start"])
     df["max_reviews"] = gb["review_count"].transform("max")
     df["global_installs"] = gb["installs"].transform("max")
     df["is_max_candidate"] = (
@@ -75,9 +80,9 @@ def country_share_columns(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     # fallback rows contribute 0, so this equals the reference's
     # sum-over-non-fallback local_sums_df join (line 453-459).
-    df["grc_summed"] = df.groupby("week_start")["true_review_count"].transform(
-        "sum"
-    )
+    df["grc_summed"] = df.groupby(["store_app", "week_start"])[
+        "true_review_count"
+    ].transform("sum")
     has_fallback = gb["is_global_fallback"].transform("max")
     global_review_count = np.where(
         has_fallback, df["max_reviews"], df["grc_summed"]
@@ -103,14 +108,40 @@ def country_share_columns(pdf: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
-def country_share_model(weekly: DataFrame) -> DataFrame:
-    """Distributed grouped-map: one Arrow batch per store_app.
+def country_share_model(
+    weekly: DataFrame, buckets: int | None = None
+) -> DataFrame:
+    """Distributed grouped-map country-share estimation.
 
     Input columns: store_app int, country int, week_start date,
-    review_count long, installs long.  Scale shape: the shuffle key is
-    the app id, group size is countries×weeks (small and bounded), so
-    10^8 apps fan out across executors with no skew concern beyond the
-    key count itself."""
-    return weekly.groupBy("store_app").applyInPandas(
-        lambda pdf: country_share_columns(pdf), OUT_SCHEMA
+    review_count long, installs long.
+
+    ``buckets=None``: one Arrow batch per store_app — the natural
+    grouped-map shape when groups are large (many weeks × countries
+    per app).  With many SMALL groups this pays ~5-10 ms of Python
+    dispatch per group (measured: 16k single-row groups → 137 s), so
+    pass ``buckets``: apps are hashed into that many buckets and one
+    pandas call models a whole bucket vectorized — exactly the
+    reference's per-hash-bucket processing loop
+    (app_metrics_history.py:413-534 iterates hash buckets, not apps).
+    Results are identical (the model is keyed on store_app
+    internally).  Size buckets so a bucket's rows fit one Arrow batch
+    comfortably (~10^5-10^6 rows)."""
+    import pyspark.sql.functions as F
+
+    if buckets is None:
+        return weekly.groupBy("store_app").applyInPandas(
+            lambda pdf: country_share_columns(pdf), OUT_SCHEMA
+        )
+    return (
+        weekly.withColumn(
+            "_b", F.pmod(F.xxhash64("store_app"), F.lit(buckets))
+        )
+        .groupBy("_b")
+        .applyInPandas(
+            lambda pdf: country_share_columns(
+                pdf.drop(columns=["_b"])
+            ),
+            OUT_SCHEMA,
+        )
     )

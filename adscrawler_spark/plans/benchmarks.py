@@ -1954,7 +1954,7 @@ def country_share_estimates(spark, sf):
         (F.count("*") * 100).cast("long").alias("review_count"),
         (F.lit(1000) + F.min("event_id") % 5000).cast("long").alias("installs"),
     )
-    out = est_ops.country_share_model(weekly)
+    out = est_ops.country_share_model(weekly, buckets=64)
     return out.select(
         "store_app",
         "country",

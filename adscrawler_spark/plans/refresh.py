@@ -211,7 +211,9 @@ def app_country_metrics(documents: DataFrame) -> DataFrame:
         F.count("*").alias("review_count"),
         (F.count("*") * 1000).alias("installs"),
     )
-    return country_share_model(weekly)
+    # many small per-app groups at crawl scale -> bucketed
+    # grouped-map (one pandas call models a bucket of apps)
+    return country_share_model(weekly, buckets=256)
 
 
 def store_app_ranks_latest(rankings: DataFrame) -> DataFrame:

@@ -86,10 +86,14 @@ def bench_dedup(spark) -> tuple[float, float]:
     return round(dt, 3), round(FRONTIER_N / dt, 1)
 
 
-def bench_crawl(spark) -> tuple[float, float]:
+def bench_crawl(spark) -> tuple[float, float, float, int]:
     """One full generation (claim→fetch→parse→commit) at the
-    reference's default batch sizing (200k frontier / 20k batches).
-    Returns (seconds, urls fetched per second)."""
+    reference's default batch sizing (200k frontier / 20k batches),
+    then the dependency-ordered derived-product refresh over the lake
+    the generation just wrote (the recreate_all_mvs analog).  Returns
+    (crawl seconds, urls/sec, refresh seconds, mv tables built)."""
+    from adscrawler_spark.plans import refresh
+    from adscrawler_spark.sources.catalog import Catalog
     from adscrawler_spark.streaming import job
 
     out = tempfile.mkdtemp(prefix="bench_crawl_")
@@ -103,7 +107,13 @@ def bench_crawl(spark) -> tuple[float, float]:
         )
         dt = time.time() - t0
         fetched = metrics[0]["fetched"]
-        return round(dt, 3), round(fetched / dt, 1)
+        t1 = time.time()
+        counts = refresh.refresh_all(spark, Catalog(out))
+        refresh_dt = time.time() - t1
+        return (
+            round(dt, 3), round(fetched / dt, 1),
+            round(refresh_dt, 3), len(counts),
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -115,13 +125,15 @@ def main() -> None:
     extras: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
         dedup_sec, dedup_rps = bench_dedup(spark)
-        crawl_sec, urls_ps = bench_crawl(spark)
+        crawl_sec, urls_ps, refresh_sec, n_mvs = bench_crawl(spark)
         queries["frontier_dedup"] = dedup_sec
         queries["crawl_generation"] = crawl_sec
+        queries["derived_refresh"] = refresh_sec
         extras = {
             "dedup_rows_per_sec": dedup_rps,
             "urls_per_sec": urls_ps,
             "dedup_frontier_rows": FRONTIER_N,
+            "refresh_mv_tables": n_mvs,
         }
     total = round(sum(queries.values()), 3)
     print(
