@@ -2191,10 +2191,7 @@ def domain_app_changes_quarterly(spark, sf):
     return domhist.domain_app_changes(_domhist_input(spark, sf))
 
 
-@query(
-    "trend_domains",
-    f"""
-    WITH {_DOMHIST_DERIVE_SQL},
+_TREND_TAIL_SQL = """
     pre_agg AS (
         SELECT year, quarter, store, tag_source,
                count(DISTINCT store_app) AS total_apps_in_quarter
@@ -2244,6 +2241,14 @@ def domain_app_changes_quarterly(spark, sf):
     LEFT JOIN added a ON a.domain_id = cq.domain_id
        AND a.year = cq.year AND a.quarter = cq.quarter
        AND a.store = cq.store AND a.tag_source = cq.tag_source
+"""
+
+
+@query(
+    "trend_domains",
+    f"""
+    WITH {_DOMHIST_DERIVE_SQL},
+{_TREND_TAIL_SQL}
     """,
 )
 def trend_domains(spark, sf):
@@ -4028,3 +4033,70 @@ def combined_domain_tags_q(spark, sf):
         .alias("tag_source"),
     ).distinct()
     return fe.combined_domain_tags(api_branch, sdk_branch, adstxt_branch)
+
+
+_DOMHIST_COMPANY_SQL = _DOMHIST_DERIVE_SQL.replace(
+    "    active AS (",
+    """    cmap AS (
+        SELECT cast(i AS INT) AS domain_id,
+               cast(i % 11 AS INT) AS company_id
+        FROM range(0, 40) t(i) WHERE i % 7 != 3
+    ),
+    active0 AS (""",
+).replace(
+    "    apps AS (",
+    """    active AS (
+        SELECT DISTINCT m.company_id AS domain_id, a.store_app, a.year,
+               a.quarter, a.tag_source
+        FROM active0 a JOIN cmap m ON m.domain_id = a.domain_id
+    ),
+    apps AS (""",
+)
+
+
+@query(
+    "trend_companies",
+    f"""
+    WITH {_DOMHIST_COMPANY_SQL},
+{_TREND_TAIL_SQL}
+    """,
+)
+def trend_companies(spark, sf):
+    """Company-level market-share/churn trends: the domain activity set
+    remapped through the company mapping (apps deduped across a
+    company's domains), then the identical windowed trend pipeline
+    (reference dbcon/sql/duckdb/trend_companies.sql via
+    plans/domain_history.py::map_to_entity + trend_domains; the
+    domain_id output column carries company ids — 1-in-7 domains are
+    deliberately unmapped to exercise the inner mapping join).
+    trend_parent_companies is this exact shape with the parent-company
+    mapping."""
+    li = _t(spark, sf, "lineitem")
+    quarterly = li.groupBy(
+        (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
+        (F.col("l_partkey") % 300).cast("int").alias("store_app"),
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.quarter("l_shipdate").cast("int").alias("quarter"),
+    ).agg(
+        F.bool_or(F.col("l_quantity") > 25).alias("sdk"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("api_call"),
+        F.bool_or(F.col("l_tax") > 0.04).alias("app_ads_direct"),
+    )
+    apps = (
+        li.filter(F.col("l_partkey") % 300 % 29 != 0)
+        .groupBy(
+            (F.col("l_partkey") % 300).cast("int").alias("store_app")
+        )
+        .agg(F.min(F.to_date("l_shipdate")).alias("release_date"))
+        .withColumn("store", (F.col("store_app") % 2 + 1).cast("int"))
+    )
+    cmap = (
+        spark.range(0, 40)
+        .filter(F.col("id") % 7 != 3)
+        .select(
+            F.col("id").cast("int").alias("domain_id"),
+            (F.col("id") % 11).cast("int").alias("company_id"),
+        )
+    )
+    active = domhist.map_to_entity(domhist.unpivot_tags(quarterly), cmap)
+    return domhist.trend_domains(domhist.enrich_windowed(active, apps))

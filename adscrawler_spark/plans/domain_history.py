@@ -212,3 +212,28 @@ def trend_domains(enriched: DataFrame) -> DataFrame:
             2,
         ).alias("pct_apps_lost"),
     )
+
+
+def map_to_entity(
+    active: DataFrame, mapping: DataFrame, entity_col: str = "company_id"
+) -> DataFrame:
+    """Remap the active (domain, app, quarter, tag) set onto a coarser
+    entity — company or parent company — before windowing: the only
+    difference between trend_domains and trend_companies /
+    trend_parent_companies (reference dbcon/sql/duckdb/
+    trend_companies.sql:1-11 joins company_domain_mapping and GROUPs
+    the duplicates an app reaches via several of a company's domains).
+    The output keeps the ``domain_id`` column name so the whole
+    windowed/churn pipeline downstream is reused unchanged; the column
+    carries entity ids."""
+    return (
+        active.join(F.broadcast(mapping), "domain_id")
+        .select(
+            F.col(entity_col).alias("domain_id"),
+            "store_app",
+            "year",
+            "quarter",
+            "tag_source",
+        )
+        .distinct()
+    )
