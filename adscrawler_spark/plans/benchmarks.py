@@ -4100,3 +4100,133 @@ def trend_companies(spark, sf):
     )
     active = domhist.map_to_entity(domhist.unpivot_tags(quarterly), cmap)
     return domhist.trend_domains(domhist.enrich_windowed(active, apps))
+
+
+@query(
+    "adstxt_parent_overview",
+    """
+    WITH de AS (
+        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
+               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
+               event_id AS app_ad_entry_id
+        FROM events
+    ),
+    ae AS (
+        SELECT event_id AS app_ad_entry_id,
+               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
+                    ELSE 'RESELLER' END AS relationship,
+               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
+        FROM events
+    ),
+    aum AS (
+        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
+               c_custkey AS store_app
+        FROM customer
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
+        FROM customer
+    ),
+    cmap AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS ad_domain_url,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE cast(i % 9 AS INT) END AS company_id
+        FROM range(0, 23) t(i)
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               CASE WHEN i < 3 THEN NULL
+                    ELSE cast(i % 3 AS INT) END AS parent_company_id,
+               'codom' || cast(i AS VARCHAR) AS company_domain
+        FROM range(0, 9) t(i)
+    ),
+    joined AS (
+        SELECT c.company_id, c.parent_company_id,
+               ae.relationship, a.store, ae.publisher_id, a.developer,
+               aum.store_app
+        FROM de
+        LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
+        LEFT JOIN appdim a ON a.store_app = aum.store_app
+        LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
+        LEFT JOIN cmap ON cmap.ad_domain_url = de.ad_domain_url
+        JOIN companies c ON c.company_id = cmap.company_id
+    ),
+    combined AS (
+        SELECT parent_company_id AS parent_id, relationship, store,
+               publisher_id, developer, store_app
+        FROM joined WHERE parent_company_id IS NOT NULL
+        UNION ALL
+        SELECT company_id AS parent_id, relationship, store,
+               publisher_id, developer, store_app
+        FROM joined j
+        WHERE parent_company_id IS NULL
+          AND EXISTS (SELECT 1 FROM companies ch
+                      WHERE ch.parent_company_id = j.company_id)
+    )
+    SELECT co.company_domain AS ad_domain_url, cb.relationship, cb.store,
+           count(DISTINCT cb.publisher_id) AS publisher_id_count,
+           count(DISTINCT cb.developer) AS developer_count,
+           count(DISTINCT cb.store_app) AS app_count
+    FROM combined cb
+    LEFT JOIN companies co ON co.company_id = cb.parent_id
+    GROUP BY co.company_domain, cb.relationship, cb.store
+    """,
+)
+def adstxt_parent_overview_q(spark, sf):
+    """Parent-company supply-chain rollup: children roll into parents,
+    parentless companies appear only when they have children (the
+    correlated-EXISTS holding test as a broadcast semi-join)
+    (adstxt_ad_domain_parent_overview__matview.sql:29-60 via
+    plans/frontend.py::adstxt_ad_domain_parent_overview)."""
+    ev = _t(spark, sf, "events")
+    de = ev.select(
+        (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
+        F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
+            "ad_domain_url"
+        ),
+        F.col("event_id").alias("app_ad_entry_id"),
+    )
+    ae = ev.select(
+        F.col("event_id").alias("app_ad_entry_id"),
+        F.when(F.col("event_id") % 2 == 0, "DIRECT")
+        .otherwise("RESELLER")
+        .alias("relationship"),
+        F.concat(F.lit("pub"), (F.col("user_id") % 11).cast("string")).alias(
+            "publisher_id"
+        ),
+    )
+    c = _t(spark, sf, "customer")
+    aum = c.select(
+        (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
+        F.col("c_custkey").alias("store_app"),
+    )
+    appdim = c.select(
+        F.col("c_custkey").alias("store_app"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("dev"), (F.col("c_custkey") % 13).cast("string")).alias(
+            "developer"
+        ),
+    )
+    spark_sess = ev.sparkSession
+    cmap = spark_sess.range(0, 23).select(
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "ad_domain_url"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 9).cast("int"))
+        .alias("company_id"),
+    )
+    companies = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.when(F.col("id") < 3, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 3).cast("int"))
+        .alias("parent_company_id"),
+        F.concat(F.lit("codom"), F.col("id").cast("string")).alias(
+            "company_domain"
+        ),
+    )
+    return fe.adstxt_ad_domain_parent_overview(
+        de, aum, appdim, ae, cmap, companies
+    )

@@ -801,3 +801,64 @@ def combined_domain_tags(
             "app_ads_reseller"
         ),
     )
+
+
+def adstxt_ad_domain_parent_overview(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+) -> DataFrame:
+    """Supply-chain rollup at the PARENT-company level: ad domains
+    resolve to their owning company; companies with a parent roll up
+    into it, companies without a parent appear only if they themselves
+    HAVE children (the reference's correlated EXISTS — a pure holding
+    test), and the same three count-DISTINCTs aggregate per parent
+    domain.  Port of frontend.adstxt_ad_domain_parent_overview
+    (adstxt_ad_domain_parent_overview__matview.sql:29-60: the
+    child_companies / parent_companies_direct branch union).
+
+    ``company_map``: ad_domain_url → company_id; ``companies``:
+    company_id, parent_company_id (nullable), company_domain (the
+    company's own domain, the output key)."""
+    joined = (
+        domain_entries.join(app_urls_map, "pub_domain_id", "left")
+        .join(apps, "store_app", "left")
+        .join(ad_entries, "app_ad_entry_id", "left")
+        .join(F.broadcast(company_map), "ad_domain_url", "left")
+        .join(F.broadcast(companies), "company_id")
+    )
+    child = joined.filter(F.col("parent_company_id").isNotNull()).select(
+        F.col("parent_company_id").alias("parent_id"),
+        "relationship", "store", "publisher_id", "developer", "store_app",
+    )
+    has_children = (
+        companies.filter(F.col("parent_company_id").isNotNull())
+        .select(F.col("parent_company_id").alias("company_id"))
+        .distinct()
+    )
+    direct = (
+        joined.filter(F.col("parent_company_id").isNull())
+        .join(F.broadcast(has_children), "company_id", "left_semi")
+        .select(
+            F.col("company_id").alias("parent_id"),
+            "relationship", "store", "publisher_id", "developer",
+            "store_app",
+        )
+    )
+    combined = child.unionByName(direct)
+    parent_dom = companies.select(
+        F.col("company_id").alias("parent_id"),
+        F.col("company_domain").alias("ad_domain_url"),
+    )
+    return (
+        combined.join(F.broadcast(parent_dom), "parent_id", "left")
+        .groupBy("ad_domain_url", "relationship", "store")
+        .agg(
+            F.countDistinct("publisher_id").alias("publisher_id_count"),
+            F.countDistinct("developer").alias("developer_count"),
+            F.countDistinct("store_app").alias("app_count"),
+        )
+    )
