@@ -862,3 +862,56 @@ def adstxt_ad_domain_parent_overview(
             F.countDistinct("store_app").alias("app_count"),
         )
     )
+
+
+def companies_category_tag_stats(
+    app_companies: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """The company × tag-source × category rollup — category_tag_stats
+    with the company dimension kept in the group key.  Port of
+    frontend.companies_category_tag_stats
+    (companies_category_tag_stats__matview.sql:29-54: lateral-VALUES
+    unpivot of all five tag booleans, COALESCE of company domain over
+    matched ad domain, then count DISTINCT apps + install sums per
+    (store, category, tag, company)).  NB the reference CTE named
+    distinct_apps_group has NO DISTINCT — duplicates are absorbed by
+    the count(DISTINCT) but can double-count the sums; kept
+    bug-for-bug."""
+    stack_expr = "stack({n}, {pairs}) as (tag_source, present)".format(
+        n=len(TAG_SOURCES),
+        pairs=", ".join(f"'{t}', {t}" for t in TAG_SOURCES),
+    )
+    tagged = (
+        app_companies.select(
+            "store_app", "domain_id", "company_id", F.expr(stack_expr)
+        )
+        .filter(F.col("present"))
+        .join(F.broadcast(domains), "domain_id", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .select(
+            "store_app",
+            "tag_source",
+            F.coalesce(F.col("company_domain"), F.col("domain_name")).alias(
+                "company_domain"
+            ),
+            "company_name",
+        )
+    )
+    return (
+        tagged.join(apps, "store_app", "left")
+        .groupBy(
+            "store",
+            F.col("category").alias("app_category"),
+            "tag_source",
+            "company_domain",
+            "company_name",
+        )
+        .agg(
+            F.countDistinct("store_app").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+            F.sum("installs_total").alias("installs_total"),
+        )
+    )
