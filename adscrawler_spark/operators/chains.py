@@ -24,8 +24,15 @@ Redirect chains are short (the reference caps at 5 hops), so the
 default 4 rounds cover chains of 16 hops; raise ``max_hops`` for
 longer path workloads.  Precondition: edges form disjoint simple paths
 (each src has at most one dst and vice versa — true of redirect logs
-keyed per api_call); cycles would keep dist growing and are surfaced
-by the non-convergence check in tests rather than silently looping.
+keyed per api_call).  Cycles (a→b, b→a — real redirect logs contain
+them, which is why the reference caps following at 5 hops) have no
+head to converge onto: such rows, and rows of chains longer than
+``max_hops``, come back with ``converged = false`` so callers can
+route them to quarantine instead of trusting a truncated hop count;
+``chain_final_urls`` excludes them.  Duplicate edge observations (the
+same hop seen by many fetches) are deduplicated up front — without
+that each doubling round would multiply a node's rows by its
+predecessor's duplicate count.
 """
 
 from __future__ import annotations
@@ -48,8 +55,12 @@ def chain_hops(
     ``head`` is the chain's first URL (the clicked URL), ``hop_index``
     the 0-based position — matching the reference's per-hop rows
     (network_parsers.py:555: hop_index increments per followed
-    Location header)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    Location header).  ``converged`` is false for cycle members and
+    beyond-``max_hops`` nodes (their head/hop_index are truncated
+    ancestors, not chain starts)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -93,14 +104,22 @@ def chain_hops(
     ends = nodes.join(
         e.select(F.col("src").alias("node")), "node", "left_anti"
     ).withColumn("_is_end", F.lit(True))
+    # converged iff the final pointer IS a head (a dist-0 self-pointer
+    # exists for it).  Cycle members and >max_hops nodes point at a
+    # mid-chain ancestor instead.
+    head_set = heads.select(F.col("node").alias("ptr")).withColumn(
+        "_ok", F.lit(True)
+    )
     return (
         p.join(ends.select("node", "_is_end"), "node", "left")
+        .join(F.broadcast(head_set), "ptr", "left")
         .select(
             "node",
             F.col("ptr").alias("head"),
             F.col("dist").alias("hop_index"),
             (F.col("dist") == 0).alias("is_chain_start"),
             F.coalesce(F.col("_is_end"), F.lit(False)).alias("is_chain_end"),
+            F.coalesce(F.col("_ok"), F.lit(False)).alias("converged"),
         )
     )
 
@@ -109,7 +128,9 @@ def chain_final_urls(hops: DataFrame) -> DataFrame:
     """Per chain head, the final destination URL and total hop count —
     the `follow_url_redirects` return value (the landing URL a click
     ultimately reaches), computed for every chain at once."""
-    finals = hops.filter(F.col("is_chain_end")).select(
+    finals = hops.filter(
+        F.col("is_chain_end") & F.col("converged")
+    ).select(
         F.col("head"), F.col("node").alias("final_url"),
         F.col("hop_index").alias("n_hops"),
     )

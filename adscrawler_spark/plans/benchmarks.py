@@ -2835,49 +2835,10 @@ def latest_sdk_scanned(spark, sf):
     return fe.latest_sdk_scanned_apps(scans, appdim, "2024-01-30")
 
 
-@query(
-    "adstxt_ad_domain_overview",
-    """
-    WITH de AS (
-        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
-               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
-               event_id AS app_ad_entry_id
-        FROM events
-    ),
-    ae AS (
-        SELECT event_id AS app_ad_entry_id,
-               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
-                    ELSE 'RESELLER' END AS relationship,
-               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
-        FROM events
-    ),
-    aum AS (
-        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
-               c_custkey AS store_app
-        FROM customer
-    ),
-    appdim AS (
-        SELECT c_custkey AS store_app,
-               cast(c_custkey % 2 + 1 AS INT) AS store,
-               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
-        FROM customer
-    )
-    SELECT de.ad_domain_url, ae.relationship, a.store,
-           count(DISTINCT ae.publisher_id) AS publisher_id_count,
-           count(DISTINCT a.developer) AS developer_count,
-           count(DISTINCT aum.store_app) AS app_count
-    FROM de
-    LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
-    LEFT JOIN appdim a ON a.store_app = aum.store_app
-    LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
-    GROUP BY de.ad_domain_url, ae.relationship, a.store
-    """,
-)
-def adstxt_ad_domain_overview_q(spark, sf):
-    """Supply-chain rollup per (ad domain, relationship, store): the
-    four-way LEFT-join chain with three count-DISTINCTs
-    (adstxt_ad_domain_overview__matview.sql:29-42 via
-    plans/frontend.py::adstxt_ad_domain_overview)."""
+def _adstxt_syn(spark, sf):
+    """Shared synthetic adstxt supply-chain inputs (de, aum, appdim,
+    ae) for the three adstxt overview entries — keep the key moduli in
+    ONE place (pub_domain cardinality 997 sets the join fanout)."""
     ev = _t(spark, sf, "events")
     de = ev.select(
         (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
@@ -2907,6 +2868,58 @@ def adstxt_ad_domain_overview_q(spark, sf):
             "developer"
         ),
     )
+    return de, aum, appdim, ae
+
+
+_ADSTXT_SYN_SQL = """
+    de AS (
+        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
+               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
+               event_id AS app_ad_entry_id
+        FROM events
+    ),
+    ae AS (
+        SELECT event_id AS app_ad_entry_id,
+               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
+                    ELSE 'RESELLER' END AS relationship,
+               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
+        FROM events
+    ),
+    aum AS (
+        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
+               c_custkey AS store_app
+        FROM customer
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
+        FROM customer
+    )
+"""
+
+
+@query(
+    "adstxt_ad_domain_overview",
+    f"""
+    WITH {_ADSTXT_SYN_SQL}
+    SELECT de.ad_domain_url, ae.relationship, a.store,
+           count(DISTINCT ae.publisher_id) AS publisher_id_count,
+           count(DISTINCT a.developer) AS developer_count,
+           count(DISTINCT aum.store_app) AS app_count
+    FROM de
+    LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
+    LEFT JOIN appdim a ON a.store_app = aum.store_app
+    LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
+    GROUP BY de.ad_domain_url, ae.relationship, a.store
+    """,
+)
+def adstxt_ad_domain_overview_q(spark, sf):
+    """Supply-chain rollup per (ad domain, relationship, store): the
+    four-way LEFT-join chain with three count-DISTINCTs
+    (adstxt_ad_domain_overview__matview.sql:29-42 via
+    plans/frontend.py::adstxt_ad_domain_overview)."""
+    de, aum, appdim, ae = _adstxt_syn(spark, sf)
     return fe.adstxt_ad_domain_overview(de, aum, appdim, ae)
 
 
@@ -3128,14 +3141,7 @@ def companies_open_source_percent_q(spark, sf):
             "domain_name"
         ),
     )
-    out = fe.companies_open_source_percent(sdks, companies, domains)
-    # portable half-up at 4dp on both sides (see module conventions)
-    return out.withColumn(
-        "percent_open_source",
-        F.floor(
-            F.col("percent_open_source") * 10000 + F.lit(0.5)
-        ) / 10000,
-    )
+    return fe.companies_open_source_percent(sdks, companies, domains)
 
 
 _ACC_SQL = r"""
@@ -3445,31 +3451,8 @@ def company_domain_country_q(spark, sf):
 
 @query(
     "adstxt_publishers_overview",
-    """
-    WITH de AS (
-        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
-               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
-               event_id AS app_ad_entry_id
-        FROM events
-    ),
-    ae AS (
-        SELECT event_id AS app_ad_entry_id,
-               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
-                    ELSE 'RESELLER' END AS relationship,
-               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
-        FROM events
-    ),
-    aum AS (
-        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
-               c_custkey AS store_app
-        FROM customer
-    ),
-    appdim AS (
-        SELECT c_custkey AS store_app,
-               cast(c_custkey % 2 + 1 AS INT) AS store,
-               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
-        FROM customer
-    ),
+    f"""
+    WITH {_ADSTXT_SYN_SQL},
     grouped AS (
         SELECT de.ad_domain_url, ae.relationship, a.store,
                ae.publisher_id,
@@ -3495,35 +3478,7 @@ def adstxt_publishers_overview_q(spark, sf):
     by distinct-app reach — rank over an aggregated relation
     (adstxt_publishers_overview__matview.sql:29-54 via
     plans/frontend.py::adstxt_publishers_overview)."""
-    ev = _t(spark, sf, "events")
-    de = ev.select(
-        (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
-        F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
-            "ad_domain_url"
-        ),
-        F.col("event_id").alias("app_ad_entry_id"),
-    )
-    ae = ev.select(
-        F.col("event_id").alias("app_ad_entry_id"),
-        F.when(F.col("event_id") % 2 == 0, "DIRECT")
-        .otherwise("RESELLER")
-        .alias("relationship"),
-        F.concat(F.lit("pub"), (F.col("user_id") % 11).cast("string")).alias(
-            "publisher_id"
-        ),
-    )
-    c = _t(spark, sf, "customer")
-    aum = c.select(
-        (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
-        F.col("c_custkey").alias("store_app"),
-    )
-    appdim = c.select(
-        F.col("c_custkey").alias("store_app"),
-        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
-        F.concat(F.lit("dev"), (F.col("c_custkey") % 13).cast("string")).alias(
-            "developer"
-        ),
-    )
+    de, aum, appdim, ae = _adstxt_syn(spark, sf)
     return fe.adstxt_publishers_overview(de, aum, appdim, ae)
 
 
@@ -3855,7 +3810,8 @@ def store_apps_in_latest_rankings_q(spark, sf):
     )
     SELECT w.node, w.head, w.hop_index,
            w.hop_index = 0 AS is_chain_start,
-           w.node NOT IN (SELECT src FROM edges) AS is_chain_end
+           w.node NOT IN (SELECT src FROM edges) AS is_chain_end,
+           TRUE AS converged
     FROM walk w
     """,
 )
@@ -4104,31 +4060,8 @@ def trend_companies(spark, sf):
 
 @query(
     "adstxt_parent_overview",
-    """
-    WITH de AS (
-        SELECT cast(user_id % 997 AS INT) AS pub_domain_id,
-               'dom' || cast(user_id % 23 AS VARCHAR) AS ad_domain_url,
-               event_id AS app_ad_entry_id
-        FROM events
-    ),
-    ae AS (
-        SELECT event_id AS app_ad_entry_id,
-               CASE WHEN event_id % 2 = 0 THEN 'DIRECT'
-                    ELSE 'RESELLER' END AS relationship,
-               'pub' || cast(user_id % 11 AS VARCHAR) AS publisher_id
-        FROM events
-    ),
-    aum AS (
-        SELECT cast(c_custkey % 997 AS INT) AS pub_domain_id,
-               c_custkey AS store_app
-        FROM customer
-    ),
-    appdim AS (
-        SELECT c_custkey AS store_app,
-               cast(c_custkey % 2 + 1 AS INT) AS store,
-               'dev' || cast(c_custkey % 13 AS VARCHAR) AS developer
-        FROM customer
-    ),
+    f"""
+    WITH {_ADSTXT_SYN_SQL},
     cmap AS (
         SELECT 'dom' || cast(i AS VARCHAR) AS ad_domain_url,
                CASE WHEN i % 5 = 0 THEN NULL
@@ -4180,36 +4113,8 @@ def adstxt_parent_overview_q(spark, sf):
     correlated-EXISTS holding test as a broadcast semi-join)
     (adstxt_ad_domain_parent_overview__matview.sql:29-60 via
     plans/frontend.py::adstxt_ad_domain_parent_overview)."""
-    ev = _t(spark, sf, "events")
-    de = ev.select(
-        (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
-        F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
-            "ad_domain_url"
-        ),
-        F.col("event_id").alias("app_ad_entry_id"),
-    )
-    ae = ev.select(
-        F.col("event_id").alias("app_ad_entry_id"),
-        F.when(F.col("event_id") % 2 == 0, "DIRECT")
-        .otherwise("RESELLER")
-        .alias("relationship"),
-        F.concat(F.lit("pub"), (F.col("user_id") % 11).cast("string")).alias(
-            "publisher_id"
-        ),
-    )
-    c = _t(spark, sf, "customer")
-    aum = c.select(
-        (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
-        F.col("c_custkey").alias("store_app"),
-    )
-    appdim = c.select(
-        F.col("c_custkey").alias("store_app"),
-        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
-        F.concat(F.lit("dev"), (F.col("c_custkey") % 13).cast("string")).alias(
-            "developer"
-        ),
-    )
-    spark_sess = ev.sparkSession
+    de, aum, appdim, ae = _adstxt_syn(spark, sf)
+    spark_sess = de.sparkSession
     cmap = spark_sess.range(0, 23).select(
         F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
             "ad_domain_url"

@@ -313,10 +313,14 @@ def companies_open_source_percent(
     chained = sdks.join(F.broadcast(companies), "company_id", "left").join(
         F.broadcast(domains), "domain_id", "left"
     )
+    ratio = F.avg(F.when(F.col("is_open_source"), 1).otherwise(0))
+    # portable half-up at 4dp (floor(x*10^4 + 0.5)/10^4) — JVM round()
+    # and SQL-engine round() disagree on boundary doubles (the repo
+    # rounding convention, see operators/estimates.py)
     return chained.groupBy(F.col("domain_name").alias("company_domain")).agg(
-        F.round(
-            F.avg(F.when(F.col("is_open_source"), 1).otherwise(0)), 4
-        ).alias("percent_open_source")
+        (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias(
+            "percent_open_source"
+        )
     )
 
 
@@ -644,10 +648,18 @@ def mediation_adapter_app_counts(
         "string_id",
         "mediation_company_id",
         F.col("value_name").alias("full_sdk"),
+        # PG/DuckDB regexp_replace replaces only the FIRST occurrence;
+        # Spark's replaces ALL.  The prefix join guarantees the
+        # leftmost match is at position 0, so anchoring with '^' makes
+        # Spark's replace-all hit exactly that one occurrence — a
+        # value repeating the pattern ('max.max.adapter...') strips
+        # only the leading copy, as the reference does.
         F.regexp_replace(
             F.regexp_replace(
                 F.col("value_name"),
-                F.concat(F.col("mediation_pattern"), F.lit(".")),
+                F.concat(
+                    F.lit("^"), F.col("mediation_pattern"), F.lit(".")
+                ),
                 F.lit(""),
             ),
             F.lit(r"\..*$"),

@@ -78,3 +78,24 @@ def test_chain_hops_reconstructs_paths(spark):
         for r in chain_final_urls(chain_hops(df, max_hops=32)).collect()
     }
     assert finals == {"a": ("d", 3), "x": ("y", 1), "n0": ("n20", 20)}
+
+
+def test_chain_hops_flags_cycles_and_duplicates(spark):
+    """Cycle members come back converged=false (and are excluded from
+    chain_final_urls); duplicate edge observations do not multiply
+    output rows."""
+    from adscrawler_spark.operators.chains import (
+        chain_final_urls,
+        chain_hops,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("a", "b"), ("a", "b"),  # dups
+             ("p", "q"), ("q", "p")]                           # cycle
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = chain_hops(df).collect()
+    assert len(rows) == 5  # a b c p q — one row each despite dup edges
+    out = {r["node"]: r for r in rows}
+    assert out["c"]["converged"] and out["c"]["head"] == "a"
+    assert not out["p"]["converged"] and not out["q"]["converged"]
+    finals = {r["head"] for r in chain_final_urls(chain_hops(df)).collect()}
+    assert finals == {"a"}  # the cycle never lands a final URL
