@@ -4250,3 +4250,208 @@ def companies_category_tag_stats_q(spark, sf):
         F.col("p_size").cast("long").alias("installs_d30"),
     )
     return fe.companies_category_tag_stats(appco, companies, domains, appdim)
+
+
+_ADSTXT_PARENT_DIMS_SQL = """
+    cmap AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS ad_domain_url,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE cast(i % 9 AS INT) END AS company_id
+        FROM range(0, 23) t(i)
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               CASE WHEN i < 3 THEN NULL
+                    ELSE cast(i % 3 AS INT) END AS parent_company_id,
+               'codom' || cast(i AS VARCHAR) AS company_domain
+        FROM range(0, 9) t(i)
+    ),
+    joined AS (
+        SELECT c.company_id, c.parent_company_id,
+               ae.relationship, a.store, ae.publisher_id, a.developer,
+               aum.store_app
+        FROM de
+        LEFT JOIN aum ON aum.pub_domain_id = de.pub_domain_id
+        LEFT JOIN appdim a ON a.store_app = aum.store_app
+        LEFT JOIN ae ON ae.app_ad_entry_id = de.app_ad_entry_id
+        LEFT JOIN cmap ON cmap.ad_domain_url = de.ad_domain_url
+        JOIN companies c ON c.company_id = cmap.company_id
+    ),
+    combined AS (
+        SELECT co.company_domain AS ad_domain_url, cb.relationship,
+               cb.store, cb.publisher_id, cb.developer, cb.store_app
+        FROM (
+            SELECT parent_company_id AS parent_id, relationship, store,
+                   publisher_id, developer, store_app
+            FROM joined WHERE parent_company_id IS NOT NULL
+            UNION ALL
+            SELECT company_id AS parent_id, relationship, store,
+                   publisher_id, developer, store_app
+            FROM joined j
+            WHERE parent_company_id IS NULL
+              AND EXISTS (SELECT 1 FROM companies ch
+                          WHERE ch.parent_company_id = j.company_id)
+        ) cb
+        LEFT JOIN companies co ON co.company_id = cb.parent_id
+    )
+"""
+
+
+def _adstxt_parent_dims(spark):
+    cmap = spark.range(0, 23).select(
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "ad_domain_url"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 9).cast("int"))
+        .alias("company_id"),
+    )
+    companies = spark.range(0, 9).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.when(F.col("id") < 3, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 3).cast("int"))
+        .alias("parent_company_id"),
+        F.concat(F.lit("codom"), F.col("id").cast("string")).alias(
+            "company_domain"
+        ),
+    )
+    return cmap, companies
+
+
+@query(
+    "adstxt_publishers_parent_overview",
+    f"""
+    WITH {_ADSTXT_SYN_SQL},
+{_ADSTXT_PARENT_DIMS_SQL},
+    grouped AS (
+        SELECT ad_domain_url, relationship, store, publisher_id,
+               count(DISTINCT developer) AS developer_count,
+               count(DISTINCT store_app) AS app_count
+        FROM combined
+        GROUP BY ad_domain_url, relationship, store, publisher_id
+    )
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY ad_domain_url, relationship, store
+            ORDER BY app_count DESC, publisher_id) AS pubrank
+        FROM grouped)
+    WHERE pubrank <= 50
+    """,
+)
+def adstxt_publishers_parent_overview_q(spark, sf):
+    """Top-50 publishers per PARENT-company ad domain — the publishers
+    ranking over the child/direct parent-resolution union
+    (adstxt_publishers_parent_overview__matview.sql via
+    plans/frontend.py::adstxt_publishers_parent_overview)."""
+    de, aum, appdim, ae = _adstxt_syn(spark, sf)
+    cmap, companies = _adstxt_parent_dims(de.sparkSession)
+    return fe.adstxt_publishers_parent_overview(
+        de, aum, appdim, ae, cmap, companies
+    )
+
+
+@query(
+    "companies_parent_category_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_size % 29 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'codom' || cast(i AS VARCHAR) END
+                   AS company_domain,
+               CASE WHEN i % 4 = 0 THEN NULL
+                    ELSE cast(i % 5 AS INT) END AS parent_company_id
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(floor(p_retailprice) AS BIGINT) AS installs,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    ),
+    resolved AS (
+        SELECT ac.store_app, ac.domain_id,
+               coalesce(p.parent_company_id, ac.company_id)
+                   AS company_id
+        FROM appco ac
+        LEFT JOIN companies p ON p.company_id = ac.company_id
+    )
+    SELECT a.store, a.category AS app_category,
+           coalesce(co.company_domain, d.domain_name) AS company_domain,
+           co.company_name,
+           count(DISTINCT ac.store_app) AS app_count,
+           cast(sum(a.installs) AS BIGINT) AS installs_total,
+           cast(sum(a.installs_d30) AS BIGINT) AS installs_d30
+    FROM resolved ac
+    LEFT JOIN domains d ON d.domain_id = ac.domain_id
+    LEFT JOIN companies co ON co.company_id = ac.company_id
+    LEFT JOIN appdim a ON a.store_app = ac.store_app
+    GROUP BY a.store, a.category,
+             coalesce(co.company_domain, d.domain_name), co.company_name
+    """,
+)
+def companies_parent_category_stats_q(spark, sf):
+    """companies_category_stats re-keyed to parent companies: the
+    association table resolved through coalesce(parent, self) first
+    (companies_parent_category_stats__matview.sql:29-48 via
+    plans/frontend.py::resolve_parent_companies +
+    companies_category_stats)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("codom"), F.col("id").cast("string")))
+        .alias("company_domain"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("parent_company_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.floor("p_retailprice").cast("long").alias("installs"),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    resolved = fe.resolve_parent_companies(
+        appco, companies.select("company_id", "parent_company_id")
+    )
+    return fe.companies_category_stats(
+        resolved,
+        companies.select("company_id", "company_name", "company_domain"),
+        domains,
+        appdim,
+    )

@@ -835,6 +835,32 @@ def adstxt_ad_domain_parent_overview(
     ``company_map``: ad_domain_url → company_id; ``companies``:
     company_id, parent_company_id (nullable), company_domain (the
     company's own domain, the output key)."""
+    combined = _parent_combined(
+        domain_entries, app_urls_map, apps, ad_entries, company_map,
+        companies,
+    )
+    return (
+        combined.groupBy("ad_domain_url", "relationship", "store")
+        .agg(
+            F.countDistinct("publisher_id").alias("publisher_id_count"),
+            F.countDistinct("developer").alias("developer_count"),
+            F.countDistinct("store_app").alias("app_count"),
+        )
+    )
+
+
+def _parent_combined(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+) -> DataFrame:
+    """The shared child/direct parent-resolution union of the two
+    parent-level adstxt rollups, with the parent company's domain as
+    ``ad_domain_url`` (adstxt_ad_domain_parent_overview__matview.sql
+    child_companies / parent_companies_direct CTEs)."""
     joined = (
         domain_entries.join(app_urls_map, "pub_domain_id", "left")
         .join(apps, "store_app", "left")
@@ -860,19 +886,68 @@ def adstxt_ad_domain_parent_overview(
             "store_app",
         )
     )
-    combined = child.unionByName(direct)
     parent_dom = companies.select(
         F.col("company_id").alias("parent_id"),
         F.col("company_domain").alias("ad_domain_url"),
     )
     return (
-        combined.join(F.broadcast(parent_dom), "parent_id", "left")
-        .groupBy("ad_domain_url", "relationship", "store")
-        .agg(
-            F.countDistinct("publisher_id").alias("publisher_id_count"),
-            F.countDistinct("developer").alias("developer_count"),
-            F.countDistinct("store_app").alias("app_count"),
+        child.unionByName(direct)
+        .join(F.broadcast(parent_dom), "parent_id", "left")
+    )
+
+
+def adstxt_publishers_parent_overview(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top publisher accounts per PARENT-company ad domain — the
+    publishers ranking over the parent-resolved union
+    (adstxt_publishers_parent_overview__matview.sql: the
+    adstxt_publishers_overview shape keyed by the parent domain)."""
+    combined = _parent_combined(
+        domain_entries, app_urls_map, apps, ad_entries, company_map,
+        companies,
+    )
+    grouped = combined.groupBy(
+        "ad_domain_url", "relationship", "store", "publisher_id"
+    ).agg(
+        F.countDistinct("developer").alias("developer_count"),
+        F.countDistinct("store_app").alias("app_count"),
+    )
+    w = Window.partitionBy("ad_domain_url", "relationship", "store").orderBy(
+        F.desc("app_count"), F.asc("publisher_id")
+    )
+    return grouped.withColumn("pubrank", F.row_number().over(w)).filter(
+        F.col("pubrank") <= top_n
+    )
+
+
+def resolve_parent_companies(
+    app_companies: DataFrame, companies: DataFrame
+) -> DataFrame:
+    """combined_app_companies → combined_app_parent_companies: each
+    association re-keyed to the company's parent when it has one
+    (adtech.combined_app_parent_companies is the parent-coalesced twin
+    the companies_parent_* matviews consume).  ``companies``:
+    company_id, parent_company_id (nullable)."""
+    parent_of = companies.select(
+        "company_id",
+        F.coalesce(F.col("parent_company_id"), F.col("company_id")).alias(
+            "resolved_company_id"
+        ),
+    )
+    return (
+        app_companies.join(F.broadcast(parent_of), "company_id", "left")
+        .withColumn(
+            "company_id",
+            F.coalesce(F.col("resolved_company_id"), F.col("company_id")),
         )
+        .drop("resolved_company_id")
     )
 
 
