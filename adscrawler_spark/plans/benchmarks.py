@@ -4455,3 +4455,251 @@ def companies_parent_category_stats_q(spark, sf):
         domains,
         appdim,
     )
+
+
+@query(
+    "apps_new_monthly",
+    f"""
+    WITH {_APPSNEW_SQL},
+    eligible AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY store, category
+            ORDER BY installs DESC NULLS LAST,
+                     rating_count DESC NULLS LAST, store_app) AS rn
+        FROM appsd
+        WHERE release_date >= DATE '2001-08-01' - INTERVAL 30 DAY
+          AND created_at >= DATE '2001-08-01' - INTERVAL 41 DAY
+          AND crawl_result = 1
+    )
+    SELECT store, category AS app_category, store_app, name, installs,
+           rating_count, release_date, created_at, rn
+    FROM eligible WHERE rn <= 100
+    """,
+)
+def apps_new_monthly(spark, sf):
+    """Monthly new-app leaderboard — the 30/41-day windows
+    (apps_new_monthly__matview.sql:31-61 via
+    plans/frontend.py::apps_new)."""
+    out = fe.apps_new(_appsnew_dim(spark, sf), "2001-08-01", 30, 41)
+    return out.select(
+        "store", "app_category", "store_app", "name", "installs",
+        "rating_count", "release_date", "created_at", "rn",
+    )
+
+
+@query(
+    "companies_secondary_domain_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_size % 29 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id,
+               p_size % 2 = 0 AS sdk,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               cast(i % 29 AS INT) AS primary_domain_id
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(floor(p_retailprice) AS BIGINT) AS installs_total,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    ),
+    tagged AS (
+        SELECT x.store_app, x.tag_source, d.domain_name
+        FROM (
+            SELECT store_app, domain_id, company_id,
+                   'sdk' AS tag_source FROM appco WHERE sdk
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'api_call'
+            FROM appco WHERE api_call
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'publisher'
+            FROM appco WHERE publisher
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'app_ads_direct'
+            FROM appco WHERE app_ads_direct
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'app_ads_reseller'
+            FROM appco WHERE app_ads_reseller
+        ) x
+        LEFT JOIN companies c ON c.company_id = x.company_id
+        LEFT JOIN domains d ON d.domain_id = x.domain_id
+        WHERE x.domain_id <> c.primary_domain_id
+    )
+    SELECT a.store, a.category AS app_category, t.domain_name,
+           t.tag_source,
+           count(DISTINCT t.store_app) AS app_count,
+           cast(sum(a.installs_d30) AS BIGINT) AS installs_d30,
+           cast(sum(a.installs_total) AS BIGINT) AS installs_total
+    FROM tagged t LEFT JOIN appdim a ON a.store_app = t.store_app
+    GROUP BY a.store, a.category, t.domain_name, t.tag_source
+    """,
+)
+def companies_secondary_domain_stats_q(spark, sf):
+    """Secondary-domain company reach: the tag unpivot filtered to
+    ad domains that are NOT the company's primary domain
+    (companies_secondary_domain_category_tag_stats__matview.sql:29-50
+    via plans/frontend.py::companies_secondary_domain_category_tag_stats)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+        (F.col("p_size") % 2 == 0).alias("sdk"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        (F.col("id") % 29).cast("int").alias("primary_domain_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.floor("p_retailprice").cast("long").alias("installs_total"),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    return fe.companies_secondary_domain_category_tag_stats(
+        appco, companies, domains, appdim
+    )
+
+
+@query(
+    "companies_apps_overview",
+    """
+    WITH app_sdks AS (
+        SELECT user_id AS store_app,
+               CASE WHEN event_id % 6 = 0 THEN NULL
+                    ELSE cast(event_id % 9 AS INT) END AS sdk_id
+        FROM events
+    ),
+    sdks AS (
+        SELECT cast(i AS INT) AS sdk_id,
+               CASE WHEN i % 4 = 3 THEN NULL
+                    ELSE cast(i % 5 AS INT) END AS company_id
+        FROM range(0, 9) t(i)
+    ),
+    sdkcats AS (
+        SELECT cast(i AS INT) AS sdk_id, cast(i % 6 AS INT) AS category_id
+        FROM range(0, 9) t(i)
+    ),
+    appdim AS (
+        SELECT c_custkey AS store_app,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id
+        FROM customer
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               cast(i % 29 AS INT) AS domain_id
+        FROM range(0, 5) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    cats AS (
+        SELECT cast(i AS INT) AS category_id,
+               'slug' || cast(i AS VARCHAR) AS url_slug
+        FROM range(0, 6) t(i)
+    ),
+    triples AS (
+        SELECT DISTINCT s.store_app, sd.company_id, sc.category_id
+        FROM app_sdks s
+        LEFT JOIN sdks sd ON sd.sdk_id = s.sdk_id
+        JOIN sdkcats sc ON sc.sdk_id = s.sdk_id
+    )
+    SELECT a.store_id, t.company_id, co.company_name,
+           d.domain_name AS company_domain,
+           ct.url_slug AS category_slug
+    FROM triples t
+    LEFT JOIN appdim a ON a.store_app = t.store_app
+    LEFT JOIN companies co ON co.company_id = t.company_id
+    LEFT JOIN domains d ON d.domain_id = co.domain_id
+    LEFT JOIN cats ct ON ct.category_id = t.category_id
+    WHERE t.company_id IS NOT NULL
+    """,
+)
+def companies_apps_overview_q(spark, sf):
+    """Per-app company/category detail from SDK evidence — distinct
+    triples flattened through the dims
+    (companies_apps_overview__matview.sql:29-49 via
+    plans/frontend.py::companies_apps_overview)."""
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    app_sdks = ev.select(
+        F.col("user_id").alias("store_app"),
+        F.when(F.col("event_id") % 6 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("event_id") % 9).cast("int"))
+        .alias("sdk_id"),
+    )
+    sdks = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("sdk_id"),
+        F.when(F.col("id") % 4 == 3, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("company_id"),
+    )
+    sdkcats = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("sdk_id"),
+        (F.col("id") % 6).cast("int").alias("category_id"),
+    )
+    c = _t(spark, sf, "customer")
+    appdim = c.select(
+        F.col("c_custkey").alias("store_app"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+    )
+    companies = spark_sess.range(0, 5).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        (F.col("id") % 29).cast("int").alias("domain_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    cats = spark_sess.range(0, 6).select(
+        F.col("id").cast("int").alias("category_id"),
+        F.concat(F.lit("slug"), F.col("id").cast("string")).alias(
+            "url_slug"
+        ),
+    )
+    return fe.companies_apps_overview(
+        app_sdks, sdks, sdkcats, appdim, companies, domains, cats
+    )

@@ -1002,3 +1002,83 @@ def companies_category_tag_stats(
             F.sum("installs_total").alias("installs_total"),
         )
     )
+
+
+def companies_secondary_domain_category_tag_stats(
+    app_companies: DataFrame, companies: DataFrame, domains: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """Reach attributed to companies' SECONDARY domains: the tag
+    unpivot restricted to associations whose matched ad domain is NOT
+    the company's primary domain, keyed by that ad domain.  Port of
+    frontend.companies_secondary_domain_category_tag_stats
+    (companies_secondary_domain_category_tag_stats__matview.sql:29-50:
+    the `csac.domain_id <> c.domain_id` predicate — NULL company drops
+    rows, inner semantics kept bug-for-bug).
+
+    ``companies``: company_id, primary_domain_id."""
+    stack_expr = "stack({n}, {pairs}) as (tag_source, present)".format(
+        n=len(TAG_SOURCES),
+        pairs=", ".join(f"'{t}', {t}" for t in TAG_SOURCES),
+    )
+    tagged = (
+        app_companies.select(
+            "store_app", "domain_id", "company_id", F.expr(stack_expr)
+        )
+        .filter(F.col("present"))
+        .join(F.broadcast(companies), "company_id", "left")
+        .filter(F.col("domain_id") != F.col("primary_domain_id"))
+        .join(F.broadcast(domains), "domain_id", "left")
+        .select("store_app", "tag_source", "domain_name")
+    )
+    return (
+        tagged.join(apps, "store_app", "left")
+        .groupBy(
+            "store",
+            F.col("category").alias("app_category"),
+            "domain_name",
+            "tag_source",
+        )
+        .agg(
+            F.countDistinct("store_app").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+            F.sum("installs_total").alias("installs_total"),
+        )
+    )
+
+
+def companies_apps_overview(
+    app_sdks: DataFrame,
+    sdks: DataFrame,
+    sdk_categories: DataFrame,
+    apps: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    categories: DataFrame,
+) -> DataFrame:
+    """Per-app company/category detail rows from SDK evidence: the
+    distinct (app, company, sdk-category) triples flattened through the
+    dims.  Port of frontend.companies_apps_overview
+    (companies_apps_overview__matview.sql:29-49: DISTINCT over the
+    app_sdks→sdks→sdk_categories chain, WHERE company_id IS NOT
+    NULL)."""
+    triples = (
+        app_sdks.join(F.broadcast(sdks), "sdk_id", "left")
+        .join(F.broadcast(sdk_categories), "sdk_id")
+        .select("store_app", "company_id", "category_id")
+        .distinct()
+        .filter(F.col("company_id").isNotNull())
+    )
+    return (
+        triples.join(apps, "store_app", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .join(F.broadcast(domains), "domain_id", "left")
+        .join(F.broadcast(categories), "category_id", "left")
+        .select(
+            "store_id",
+            "company_id",
+            "company_name",
+            F.col("domain_name").alias("company_domain"),
+            F.col("url_slug").alias("category_slug"),
+        )
+    )
