@@ -4703,3 +4703,142 @@ def companies_apps_overview_q(spark, sf):
     return fe.companies_apps_overview(
         app_sdks, sdks, sdkcats, appdim, companies, domains, cats
     )
+
+
+@query(
+    "companies_parent_category_tag_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_size % 29 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id,
+               p_size % 2 = 0 AS sdk,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'codom' || cast(i AS VARCHAR) END
+                   AS company_domain,
+               CASE WHEN i % 4 = 0 THEN NULL
+                    ELSE cast(i % 5 AS INT) END AS parent_company_id
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(floor(p_retailprice) AS BIGINT) AS installs_total,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part
+    ),
+    resolved AS (
+        SELECT ac.store_app, ac.domain_id,
+               coalesce(p.parent_company_id, ac.company_id)
+                   AS company_id,
+               ac.sdk, ac.api_call, ac.publisher, ac.app_ads_direct,
+               ac.app_ads_reseller
+        FROM appco ac
+        LEFT JOIN companies p ON p.company_id = ac.company_id
+    ),
+    tagged AS (
+        SELECT x.store_app, x.tag_source,
+               coalesce(co.company_domain, d.domain_name)
+                   AS company_domain,
+               co.company_name
+        FROM (
+            SELECT store_app, domain_id, company_id,
+                   'sdk' AS tag_source FROM resolved WHERE sdk
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'api_call'
+            FROM resolved WHERE api_call
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'publisher'
+            FROM resolved WHERE publisher
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'app_ads_direct'
+            FROM resolved WHERE app_ads_direct
+            UNION ALL
+            SELECT store_app, domain_id, company_id, 'app_ads_reseller'
+            FROM resolved WHERE app_ads_reseller
+        ) x
+        LEFT JOIN domains d ON d.domain_id = x.domain_id
+        LEFT JOIN companies co ON co.company_id = x.company_id
+    )
+    SELECT a.store, a.category AS app_category, t.tag_source,
+           t.company_domain, t.company_name,
+           count(DISTINCT t.store_app) AS app_count,
+           cast(sum(a.installs_d30) AS BIGINT) AS installs_d30,
+           cast(sum(a.installs_total) AS BIGINT) AS installs_total
+    FROM tagged t LEFT JOIN appdim a ON a.store_app = t.store_app
+    GROUP BY a.store, a.category, t.tag_source, t.company_domain,
+             t.company_name
+    """,
+)
+def companies_parent_category_tag_stats_q(spark, sf):
+    """Parent-company tag × category rollup: the association table
+    resolved through coalesce(parent, self), then the company-tag
+    rollup (companies_parent_category_tag_stats__matview.sql via
+    plans/frontend.py::resolve_parent_companies +
+    companies_category_tag_stats — a two-function composition)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+        (F.col("p_size") % 2 == 0).alias("sdk"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("codom"), F.col("id").cast("string")))
+        .alias("company_domain"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("parent_company_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    appdim = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.floor("p_retailprice").cast("long").alias("installs_total"),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    resolved = fe.resolve_parent_companies(
+        appco, companies.select("company_id", "parent_company_id")
+    )
+    return fe.companies_category_tag_stats(
+        resolved,
+        companies.select("company_id", "company_name", "company_domain"),
+        domains,
+        appdim,
+    )
