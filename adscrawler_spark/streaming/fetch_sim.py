@@ -69,7 +69,9 @@ _ATTEMPTS = np.array([a for _, _, a, _ in synth.OUTCOMES])
 _OK = np.array([ok for _, _, _, ok in synth.OUTCOMES])
 
 
-def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _fetch_batches(
+    batches: Iterator[pd.DataFrame], fetch_cpu_us: int = 0
+) -> Iterator[pd.DataFrame]:
     """Vectorized fetch: outcome classes resolve with numpy over the
     whole Arrow batch; Python strings are built only for the rows whose
     simulated fetch succeeds (where real IO would happen)."""
@@ -97,9 +99,10 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # scaling bench uses it to measure generation throughput in the
         # regime where fetch work dominates fixed scheduling latency —
         # the production regime (real fetches are 0.1-4 s of IO+parse).
-        import os
-
-        fetch_cpu_us = int(os.environ.get("ADSCRAWLER_FETCH_CPU_US", "0"))
+        # The knob is captured DRIVER-side in fetch() — an executor-
+        # side env read is unreliable under Python worker reuse (a
+        # worker forked before the env change never sees it; measured
+        # as a silently-unburned "amortized" sample).
         if fetch_cpu_us > 0:
             import hashlib
 
@@ -171,10 +174,17 @@ def fetch(claimed: DataFrame) -> DataFrame:
     work — bytes are the wrong sizing signal for this stage).  Each
     (host, lane) group still lands wholly inside one partition, so the
     per-lane politeness order stays physical at any count."""
+    import os
+
+    fetch_cpu_us = int(os.environ.get("ADSCRAWLER_FETCH_CPU_US", "0"))
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _fetch_batches(batches, fetch_cpu_us)
+
     par = claimed.sparkSession.sparkContext.defaultParallelism
     return (
         claimed.select(*_IN_COLS)
         .repartition(2 * par, F.col("host"), F.col("lane"))
         .sortWithinPartitions("host", "lane", "doc_kind", "lane_rank")
-        .mapInPandas(_fetch_batches, FETCH_SCHEMA)
+        .mapInPandas(_batches, FETCH_SCHEMA)
     )
