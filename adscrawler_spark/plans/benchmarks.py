@@ -4842,3 +4842,380 @@ def companies_parent_category_tag_stats_q(spark, sf):
         domains,
         appdim,
     )
+
+
+@query(
+    "companies_overview",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_size % 29 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 0 THEN NULL
+                    ELSE cast(p_partkey % 17 AS INT) END AS company_id,
+               p_size % 2 = 0 AS sdk,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               cast(i % 29 AS INT) AS domain_id,
+               CASE WHEN i % 4 = 0 THEN NULL
+                    ELSE cast(i % 5 AS INT) END AS parent_company_id
+        FROM range(0, 17) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    creatives AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               cast(i * 3 + 1 AS BIGINT) AS creatives_app_count
+        FROM range(0, 29) t(i) WHERE i % 2 = 0
+    ),
+    trends AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain
+        FROM range(0, 29) t(i) WHERE i % 3 = 0
+    ),
+    changes AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               cast(i AS BIGINT) AS apps_sdk_added_count,
+               cast(i % 4 AS BIGINT) AS apps_sdk_lost_count,
+               cast(i % 5 AS BIGINT) AS apps_adstxt_direct_added_count,
+               cast(i % 6 AS BIGINT) AS apps_adstxt_direct_lost_count
+        FROM range(0, 29) t(i) WHERE i % 2 = 1
+    ),
+    sdkc AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               cast(i % 7 + 1 AS BIGINT) AS sdk_count
+        FROM range(0, 29) t(i) WHERE i % 4 != 2
+    ),
+    med AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               cast(i % 3 + 1 AS BIGINT) AS mediation_adapter_count
+        FROM range(0, 29) t(i) WHERE i % 5 = 1
+    ),
+    adstxt_d AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS ad_domain_url,
+               cast(i * 2 AS BIGINT) AS adstxt_direct_app_count
+        FROM range(0, 29) t(i) WHERE i % 3 = 1
+    ),
+    adstxt_p AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS ad_domain_url,
+               cast(i * 5 AS BIGINT) AS adstxt_parent_app_count
+        FROM range(0, 29) t(i) WHERE i % 4 = 1
+    ),
+    evidence AS (
+        SELECT event_id AS evidence_id,
+               cast(user_id % 17 AS INT) AS company_id,
+               CASE WHEN event_id % 9 = 0 THEN NULL
+                    ELSE cast(event_id % 6 AS INT) END AS country_id,
+               CASE cast(event_id % 5 AS INT)
+                    WHEN 0 THEN 'manual' WHEN 1 THEN 'linkedin'
+                    WHEN 2 THEN 'domain_tld' WHEN 3 THEN 'app_store'
+                    ELSE 'guess' END AS source,
+               ts AS updated_at
+        FROM events
+    ),
+    countries AS (
+        SELECT cast(i AS INT) AS country_id,
+               'c' || cast(i AS VARCHAR) AS alpha2
+        FROM range(0, 6) t(i)
+    ),
+    ipc AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               'ip' || cast(i % 4 AS VARCHAR) AS api_ip_resolved_country
+        FROM range(0, 29) t(i) WHERE i % 2 = 0
+    ),
+    oss AS (
+        SELECT 'dom' || cast(i AS VARCHAR) AS company_domain,
+               cast(i % 10 AS DOUBLE) / 10 AS percent_open_source
+        FROM range(0, 29) t(i) WHERE i % 3 != 1
+    ),
+    parents AS (
+        SELECT DISTINCT parent_company_id AS company_id FROM companies
+        WHERE parent_company_id IS NOT NULL
+    ),
+    domain_base AS (
+        SELECT b.domain_id, d.domain_name AS company_domain,
+               b.company_id, c.company_name, c.parent_company_id,
+               pd.domain_name AS parent_domain,
+               b.has_sdk_signal, b.has_api_signal,
+               b.has_publisher_signal, b.has_app_ads_direct,
+               b.has_app_ads_reseller,
+               (b.company_id IS NOT NULL
+                AND b.company_id IN (SELECT company_id FROM parents))
+                   AS is_parent
+        FROM (
+            SELECT domain_id, company_id,
+                   bool_or(sdk) AS has_sdk_signal,
+                   bool_or(api_call) AS has_api_signal,
+                   bool_or(publisher) AS has_publisher_signal,
+                   bool_or(app_ads_direct) AS has_app_ads_direct,
+                   bool_or(app_ads_reseller) AS has_app_ads_reseller
+            FROM appco GROUP BY domain_id, company_id
+        ) b
+        JOIN domains d ON d.domain_id = b.domain_id
+        LEFT JOIN companies c ON c.company_id = b.company_id
+        LEFT JOIN companies pc ON pc.company_id = c.parent_company_id
+        LEFT JOIN domains pd ON pd.domain_id = pc.domain_id
+    ),
+    resolved AS (
+        SELECT e.company_id, co.alpha2 AS country
+        FROM (SELECT *, row_number() OVER (PARTITION BY company_id
+                  ORDER BY CASE source WHEN 'manual' THEN 1
+                           WHEN 'linkedin' THEN 2
+                           WHEN 'domain_tld' THEN 3
+                           WHEN 'app_store' THEN 4 ELSE 5 END,
+                       updated_at DESC, evidence_id DESC) AS rn
+              FROM evidence WHERE country_id IS NOT NULL) e
+        JOIN countries co ON co.country_id = e.country_id
+        WHERE e.rn = 1
+    ),
+    p_cr AS (
+        SELECT db.parent_domain,
+               cast(sum(c.creatives_app_count) AS BIGINT) AS p_creatives
+        FROM domain_base db
+        JOIN creatives c ON c.company_domain = db.company_domain
+        WHERE db.parent_domain IS NOT NULL GROUP BY db.parent_domain
+    ),
+    p_ch AS (
+        SELECT db.parent_domain,
+               cast(sum(a.apps_sdk_added_count) AS BIGINT) AS p_sdk_added,
+               cast(sum(a.apps_sdk_lost_count) AS BIGINT) AS p_sdk_lost,
+               cast(sum(a.apps_adstxt_direct_added_count) AS BIGINT)
+                   AS p_ad_added,
+               cast(sum(a.apps_adstxt_direct_lost_count) AS BIGINT)
+                   AS p_ad_lost
+        FROM domain_base db
+        JOIN changes a ON a.company_domain = db.company_domain
+        WHERE db.parent_domain IS NOT NULL GROUP BY db.parent_domain
+    ),
+    p_sd AS (
+        SELECT db.parent_domain, max(s.sdk_count) AS p_sdk_max
+        FROM domain_base db
+        JOIN sdkc s ON s.company_domain = db.company_domain
+        WHERE db.parent_domain IS NOT NULL GROUP BY db.parent_domain
+    ),
+    p_me AS (
+        SELECT db.parent_domain,
+               cast(sum(m.mediation_adapter_count) AS BIGINT)
+                   AS p_mediation
+        FROM domain_base db
+        JOIN med m ON m.company_domain = db.company_domain
+        WHERE db.parent_domain IS NOT NULL GROUP BY db.parent_domain
+    )
+    SELECT dom.company_domain, dom.domain_id, dom.company_id,
+           dom.company_name, dom.parent_company_id, dom.parent_domain,
+           dom.has_sdk_signal, dom.has_api_signal,
+           dom.has_publisher_signal, dom.has_app_ads_direct,
+           dom.has_app_ads_reseller,
+           coalesce(co.country, pco.country) AS country,
+           co.country AS country_direct,
+           coalesce(ipco.api_ip_resolved_country,
+                    pipco.api_ip_resolved_country)
+               AS api_ip_resolved_country,
+           ipco.api_ip_resolved_country
+               AS api_ip_resolved_country_direct,
+           coalesce(po.percent_open_source, ppo.percent_open_source)
+               AS percent_open_source,
+           po.percent_open_source AS percent_open_source_direct,
+           CASE WHEN dom.is_parent
+                THEN coalesce(c.creatives_app_count, 0)
+                     + coalesce(p_cr.p_creatives, 0)
+                ELSE coalesce(c.creatives_app_count, 0) END
+               AS creatives_app_count,
+           CASE WHEN t.company_domain IS NOT NULL THEN 1
+                WHEN pt.company_domain IS NOT NULL THEN 1
+                ELSE 0 END AS has_trends,
+           CASE WHEN dom.is_parent
+                THEN coalesce(a.apps_sdk_added_count, 0)
+                     + coalesce(p_ch.p_sdk_added, 0)
+                ELSE coalesce(a.apps_sdk_added_count, 0) END
+               AS apps_sdk_added_count,
+           CASE WHEN dom.is_parent
+                THEN coalesce(a.apps_sdk_lost_count, 0)
+                     + coalesce(p_ch.p_sdk_lost, 0)
+                ELSE coalesce(a.apps_sdk_lost_count, 0) END
+               AS apps_sdk_lost_count,
+           CASE WHEN dom.is_parent
+                THEN coalesce(a.apps_adstxt_direct_added_count, 0)
+                     + coalesce(p_ch.p_ad_added, 0)
+                ELSE coalesce(a.apps_adstxt_direct_added_count, 0) END
+               AS apps_adstxt_direct_added_count,
+           CASE WHEN dom.is_parent
+                THEN coalesce(a.apps_adstxt_direct_lost_count, 0)
+                     + coalesce(p_ch.p_ad_lost, 0)
+                ELSE coalesce(a.apps_adstxt_direct_lost_count, 0) END
+               AS apps_adstxt_direct_lost_count,
+           CASE WHEN dom.is_parent
+                THEN greatest(coalesce(s.sdk_count, 0),
+                              coalesce(p_sd.p_sdk_max, 0))
+                ELSE coalesce(s.sdk_count, 0) END AS sdk_count,
+           CASE WHEN dom.is_parent
+                THEN coalesce(m.mediation_adapter_count, 0)
+                     + coalesce(p_me.p_mediation, 0)
+                ELSE coalesce(m.mediation_adapter_count, 0) END
+               AS mediation_adapter_count,
+           coalesce(c.creatives_app_count, 0)
+               AS creatives_app_count_direct,
+           CASE WHEN t.company_domain IS NOT NULL THEN 1 ELSE 0 END
+               AS has_trends_direct,
+           coalesce(a.apps_sdk_added_count, 0)
+               AS apps_sdk_added_count_direct,
+           coalesce(a.apps_sdk_lost_count, 0)
+               AS apps_sdk_lost_count_direct,
+           coalesce(a.apps_adstxt_direct_added_count, 0)
+               AS apps_adstxt_direct_added_count_direct,
+           coalesce(a.apps_adstxt_direct_lost_count, 0)
+               AS apps_adstxt_direct_lost_count_direct,
+           coalesce(s.sdk_count, 0) AS sdk_count_direct,
+           coalesce(m.mediation_adapter_count, 0)
+               AS mediation_adapter_count_direct,
+           coalesce(aa.adstxt_direct_app_count, 0)
+               AS adstxt_direct_app_count,
+           coalesce(paa.adstxt_parent_app_count, 0)
+               AS adstxt_parent_app_count,
+           cast(dom.is_parent AS INT) AS is_parent_domain
+    FROM domain_base dom
+    LEFT JOIN creatives c ON c.company_domain = dom.company_domain
+    LEFT JOIN trends t ON t.company_domain = dom.company_domain
+    LEFT JOIN trends pt ON pt.company_domain = dom.parent_domain
+    LEFT JOIN changes a ON a.company_domain = dom.company_domain
+    LEFT JOIN sdkc s ON s.company_domain = dom.company_domain
+    LEFT JOIN med m ON m.company_domain = dom.company_domain
+    LEFT JOIN adstxt_d aa ON aa.ad_domain_url = dom.company_domain
+    LEFT JOIN adstxt_p paa ON paa.ad_domain_url = dom.company_domain
+    LEFT JOIN p_cr ON p_cr.parent_domain = dom.company_domain
+    LEFT JOIN p_ch ON p_ch.parent_domain = dom.company_domain
+    LEFT JOIN p_sd ON p_sd.parent_domain = dom.company_domain
+    LEFT JOIN p_me ON p_me.parent_domain = dom.company_domain
+    LEFT JOIN resolved co ON co.company_id = dom.company_id
+    LEFT JOIN resolved pco ON pco.company_id = dom.parent_company_id
+    LEFT JOIN ipc ipco ON ipco.company_domain = dom.company_domain
+    LEFT JOIN ipc pipco ON pipco.company_domain = dom.parent_domain
+    LEFT JOIN oss po ON po.company_domain = dom.company_domain
+    LEFT JOIN oss ppo ON ppo.company_domain = dom.parent_domain
+    """,
+)
+def companies_overview_q(spark, sf):
+    """The company-profile mega-view: signal rollup per matched ad
+    domain, evidence-priority country resolution, nine side
+    aggregations LEFT-joined twice (direct + parent-coalesced), parent
+    companies absorbing children's rollups (sums / GREATEST)
+    (companies_overview__matview.sql via
+    plans/frontend.py::companies_overview +
+    resolve_country_evidence)."""
+    p = _t(spark, sf, "part")
+    ev = _t(spark, sf, "events")
+    spark_sess = p.sparkSession
+
+    def rng(n, cond, *cols):
+        df = spark_sess.range(0, n).filter(cond(F.col("id")))
+        return df.select(*[c(F.col("id")) for c in cols])
+
+    dom_name = lambda i: F.concat(F.lit("dom"), i.cast("string"))
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_size") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 17).cast("int"))
+        .alias("company_id"),
+        (F.col("p_size") % 2 == 0).alias("sdk"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    companies = spark_sess.range(0, 17).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        (F.col("id") % 29).cast("int").alias("domain_id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 5).cast("int"))
+        .alias("parent_company_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        dom_name(F.col("id")).alias("domain_name"),
+    )
+    creatives = rng(
+        29, lambda i: i % 2 == 0,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: (i * 3 + 1).alias("creatives_app_count"),
+    )
+    trends = rng(
+        29, lambda i: i % 3 == 0,
+        lambda i: dom_name(i).alias("company_domain"),
+    )
+    changes = rng(
+        29, lambda i: i % 2 == 1,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: i.alias("apps_sdk_added_count"),
+        lambda i: (i % 4).alias("apps_sdk_lost_count"),
+        lambda i: (i % 5).alias("apps_adstxt_direct_added_count"),
+        lambda i: (i % 6).alias("apps_adstxt_direct_lost_count"),
+    )
+    sdkc = rng(
+        29, lambda i: i % 4 != 2,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: (i % 7 + 1).alias("sdk_count"),
+    )
+    med = rng(
+        29, lambda i: i % 5 == 1,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: (i % 3 + 1).alias("mediation_adapter_count"),
+    )
+    adstxt_d = rng(
+        29, lambda i: i % 3 == 1,
+        lambda i: dom_name(i).alias("ad_domain_url"),
+        lambda i: (i * 2).alias("adstxt_direct_app_count"),
+    )
+    adstxt_p = rng(
+        29, lambda i: i % 4 == 1,
+        lambda i: dom_name(i).alias("ad_domain_url"),
+        lambda i: (i * 5).alias("adstxt_parent_app_count"),
+    )
+    evidence = ev.select(
+        F.col("event_id").alias("evidence_id"),
+        (F.col("user_id") % 17).cast("int").alias("company_id"),
+        F.when(F.col("event_id") % 9 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("event_id") % 6).cast("int"))
+        .alias("country_id"),
+        F.element_at(
+            F.array(
+                F.lit("manual"), F.lit("linkedin"), F.lit("domain_tld"),
+                F.lit("app_store"), F.lit("guess"),
+            ),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ).alias("source"),
+        F.col("ts").alias("updated_at"),
+    )
+    countries = spark_sess.range(0, 6).select(
+        F.col("id").cast("int").alias("country_id"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("alpha2"),
+    )
+    ipc = rng(
+        29, lambda i: i % 2 == 0,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: F.concat(F.lit("ip"), (i % 4).cast("string")).alias(
+            "api_ip_resolved_country"
+        ),
+    )
+    oss = rng(
+        29, lambda i: i % 3 != 1,
+        lambda i: dom_name(i).alias("company_domain"),
+        lambda i: ((i % 10).cast("double") / 10).alias(
+            "percent_open_source"
+        ),
+    )
+    return fe.companies_overview(
+        appco, companies, domains, creatives, trends, changes, sdkc,
+        med, adstxt_d, adstxt_p, evidence, countries, ipc, oss,
+    )

@@ -1082,3 +1082,302 @@ def companies_apps_overview(
             F.col("url_slug").alias("category_slug"),
         )
     )
+
+
+def resolve_country_evidence(
+    evidence: DataFrame, countries: DataFrame
+) -> DataFrame:
+    """Company country from prioritized evidence: manual > linkedin >
+    domain_tld > app_store > anything, latest update wins within a
+    source (companies_overview__matview.sql country_resolved CTE —
+    the company-level analog of the crawl job's per-app country
+    evidence order).  ``evidence_id`` DESC tie-breaks equal
+    timestamps."""
+    priority = (
+        F.when(F.col("source") == "manual", 1)
+        .when(F.col("source") == "linkedin", 2)
+        .when(F.col("source") == "domain_tld", 3)
+        .when(F.col("source") == "app_store", 4)
+        .otherwise(5)
+    )
+    w = Window.partitionBy("company_id").orderBy(
+        priority.asc(), F.desc("updated_at"), F.desc("evidence_id")
+    )
+    return (
+        evidence.filter(F.col("country_id").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .join(F.broadcast(countries), "country_id")
+        .select("company_id", F.col("alpha2").alias("country"))
+    )
+
+
+def companies_overview(
+    app_companies: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    creatives: DataFrame,
+    trends: DataFrame,
+    changes: DataFrame,
+    sdk_counts: DataFrame,
+    mediation: DataFrame,
+    adstxt_direct: DataFrame,
+    adstxt_parent: DataFrame,
+    country_evidence: DataFrame,
+    countries: DataFrame,
+    ip_country: DataFrame,
+    open_source: DataFrame,
+) -> DataFrame:
+    """The company profile page: one row per matched ad domain carrying
+    the five evidence signals plus every side aggregation, with parent
+    companies absorbing their children's rollups (sums, and GREATEST
+    for sdk_count) and dual direct/parent-coalesced columns.  Port of
+    frontend.companies_overview (companies_overview__matview.sql:
+    domain_base + 9 side CTEs + 4 parent rollups + the 19-way LEFT
+    join; cosmetic columns logo/linkedin/github omitted).
+
+    Side inputs are the OUTPUTS of the other ported views (the
+    reference joins frontend.* views the same way): ``creatives``
+    (company_domain, creatives_app_count), ``trends``
+    (company_domain), ``changes`` (company_domain + 4 counts),
+    ``sdk_counts`` (company_domain, sdk_count), ``mediation``
+    (company_domain, mediation_adapter_count), ``adstxt_direct`` /
+    ``adstxt_parent`` (ad_domain_url, *_app_count),
+    ``country_evidence`` (company_id, country_id, source, updated_at,
+    evidence_id), ``ip_country`` (company_domain,
+    api_ip_resolved_country), ``open_source`` (company_domain,
+    percent_open_source)."""
+    parents = companies.select(
+        F.col("company_id").alias("parent_company_id"),
+        F.col("domain_id").alias("_p_domain_id"),
+    )
+    base = (
+        app_companies.groupBy("domain_id", "company_id")
+        .agg(
+            F.max("sdk").alias("has_sdk_signal"),
+            F.max("api_call").alias("has_api_signal"),
+            F.max("publisher").alias("has_publisher_signal"),
+            F.max("app_ads_direct").alias("has_app_ads_direct"),
+            F.max("app_ads_reseller").alias("has_app_ads_reseller"),
+        )
+        .join(F.broadcast(domains), "domain_id")
+        .withColumnRenamed("domain_name", "company_domain")
+        .join(
+            F.broadcast(
+                companies.select(
+                    "company_id", "company_name", "parent_company_id"
+                )
+            ),
+            "company_id",
+            "left",
+        )
+        .join(F.broadcast(parents), "parent_company_id", "left")
+        .join(
+            F.broadcast(
+                domains.select(
+                    F.col("domain_id").alias("_p_domain_id"),
+                    F.col("domain_name").alias("parent_domain"),
+                )
+            ),
+            "_p_domain_id",
+            "left",
+        )
+        .drop("_p_domain_id")
+    )
+    parent_ids = (
+        companies.filter(F.col("parent_company_id").isNotNull())
+        .select(F.col("parent_company_id").alias("company_id"))
+        .distinct()
+        .withColumn("_isp", F.lit(True))
+    )
+    base = base.join(F.broadcast(parent_ids), "company_id", "left").withColumn(
+        "is_parent",
+        F.col("company_id").isNotNull() & F.coalesce("_isp", F.lit(False)),
+    ).drop("_isp")
+
+    def parent_roll(side: DataFrame, aggs: list) -> DataFrame:
+        return (
+            base.select("company_domain", "parent_domain")
+            .filter(F.col("parent_domain").isNotNull())
+            .join(side, "company_domain")
+            .groupBy("parent_domain")
+            .agg(*aggs)
+        )
+
+    p_cr = parent_roll(
+        creatives, [F.sum("creatives_app_count").alias("p_creatives")]
+    )
+    p_ch = parent_roll(
+        changes,
+        [
+            F.sum("apps_sdk_added_count").alias("p_sdk_added"),
+            F.sum("apps_sdk_lost_count").alias("p_sdk_lost"),
+            F.sum("apps_adstxt_direct_added_count").alias("p_ad_added"),
+            F.sum("apps_adstxt_direct_lost_count").alias("p_ad_lost"),
+        ],
+    )
+    p_sd = parent_roll(sdk_counts, [F.max("sdk_count").alias("p_sdk_max")])
+    p_me = parent_roll(
+        mediation, [F.sum("mediation_adapter_count").alias("p_mediation")]
+    )
+    resolved = resolve_country_evidence(country_evidence, countries)
+    trends_m = trends.select("company_domain").distinct().withColumn(
+        "has_trends_v", F.lit(1)
+    )
+
+    out = (
+        base.join(creatives, "company_domain", "left")
+        .join(trends_m, "company_domain", "left")
+        .join(
+            trends_m.select(
+                F.col("company_domain").alias("parent_domain"),
+                F.col("has_trends_v").alias("p_has_trends"),
+            ),
+            "parent_domain",
+            "left",
+        )
+        .join(changes, "company_domain", "left")
+        .join(sdk_counts, "company_domain", "left")
+        .join(mediation, "company_domain", "left")
+        .join(
+            adstxt_direct.withColumnRenamed(
+                "ad_domain_url", "company_domain"
+            ),
+            "company_domain",
+            "left",
+        )
+        .join(
+            adstxt_parent.withColumnRenamed(
+                "ad_domain_url", "company_domain"
+            ),
+            "company_domain",
+            "left",
+        )
+        .join(
+            p_cr.withColumnRenamed("parent_domain", "company_domain"),
+            "company_domain",
+            "left",
+        )
+        .join(
+            p_ch.withColumnRenamed("parent_domain", "company_domain"),
+            "company_domain",
+            "left",
+        )
+        .join(
+            p_sd.withColumnRenamed("parent_domain", "company_domain"),
+            "company_domain",
+            "left",
+        )
+        .join(
+            p_me.withColumnRenamed("parent_domain", "company_domain"),
+            "company_domain",
+            "left",
+        )
+        .join(resolved, "company_id", "left")
+        .join(
+            resolved.select(
+                F.col("company_id").alias("parent_company_id"),
+                F.col("country").alias("p_country"),
+            ),
+            "parent_company_id",
+            "left",
+        )
+        .join(ip_country, "company_domain", "left")
+        .join(
+            ip_country.select(
+                F.col("company_domain").alias("parent_domain"),
+                F.col("api_ip_resolved_country").alias("p_ip_country"),
+            ),
+            "parent_domain",
+            "left",
+        )
+        .join(open_source, "company_domain", "left")
+        .join(
+            open_source.select(
+                F.col("company_domain").alias("parent_domain"),
+                F.col("percent_open_source").alias("p_open_source"),
+            ),
+            "parent_domain",
+            "left",
+        )
+    )
+
+    def z(c):
+        return F.coalesce(F.col(c), F.lit(0)).cast("long")
+
+    def plus_parent(direct_col, parent_col):
+        return F.when(
+            F.col("is_parent"), z(direct_col) + z(parent_col)
+        ).otherwise(z(direct_col))
+
+    return out.select(
+        "company_domain",
+        "domain_id",
+        "company_id",
+        "company_name",
+        "parent_company_id",
+        "parent_domain",
+        "has_sdk_signal",
+        "has_api_signal",
+        "has_publisher_signal",
+        "has_app_ads_direct",
+        "has_app_ads_reseller",
+        F.coalesce(F.col("country"), F.col("p_country")).alias("country"),
+        F.col("country").alias("country_direct"),
+        F.coalesce(
+            F.col("api_ip_resolved_country"), F.col("p_ip_country")
+        ).alias("api_ip_resolved_country"),
+        F.col("api_ip_resolved_country").alias(
+            "api_ip_resolved_country_direct"
+        ),
+        F.coalesce(
+            F.col("percent_open_source"), F.col("p_open_source")
+        ).alias("percent_open_source"),
+        F.col("percent_open_source").alias("percent_open_source_direct"),
+        plus_parent("creatives_app_count", "p_creatives").alias(
+            "creatives_app_count"
+        ),
+        F.coalesce(
+            F.col("has_trends_v"), F.col("p_has_trends"), F.lit(0)
+        ).alias("has_trends"),
+        plus_parent("apps_sdk_added_count", "p_sdk_added").alias(
+            "apps_sdk_added_count"
+        ),
+        plus_parent("apps_sdk_lost_count", "p_sdk_lost").alias(
+            "apps_sdk_lost_count"
+        ),
+        plus_parent("apps_adstxt_direct_added_count", "p_ad_added").alias(
+            "apps_adstxt_direct_added_count"
+        ),
+        plus_parent("apps_adstxt_direct_lost_count", "p_ad_lost").alias(
+            "apps_adstxt_direct_lost_count"
+        ),
+        F.when(
+            F.col("is_parent"),
+            F.greatest(z("sdk_count"), z("p_sdk_max")),
+        )
+        .otherwise(z("sdk_count"))
+        .alias("sdk_count"),
+        plus_parent("mediation_adapter_count", "p_mediation").alias(
+            "mediation_adapter_count"
+        ),
+        z("creatives_app_count").alias("creatives_app_count_direct"),
+        F.coalesce(F.col("has_trends_v"), F.lit(0)).alias(
+            "has_trends_direct"
+        ),
+        z("apps_sdk_added_count").alias("apps_sdk_added_count_direct"),
+        z("apps_sdk_lost_count").alias("apps_sdk_lost_count_direct"),
+        z("apps_adstxt_direct_added_count").alias(
+            "apps_adstxt_direct_added_count_direct"
+        ),
+        z("apps_adstxt_direct_lost_count").alias(
+            "apps_adstxt_direct_lost_count_direct"
+        ),
+        z("sdk_count").alias("sdk_count_direct"),
+        z("mediation_adapter_count").alias(
+            "mediation_adapter_count_direct"
+        ),
+        z("adstxt_direct_app_count").alias("adstxt_direct_app_count"),
+        z("adstxt_parent_app_count").alias("adstxt_parent_app_count"),
+        F.col("is_parent").cast("int").alias("is_parent_domain"),
+    )
