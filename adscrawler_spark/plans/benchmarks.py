@@ -5219,3 +5219,189 @@ def companies_overview_q(spark, sf):
         appco, companies, domains, creatives, trends, changes, sdkc,
         med, adstxt_d, adstxt_p, evidence, countries, ipc, oss,
     )
+
+
+@query(
+    "companies_creative_rankings",
+    """
+    WITH creative_records AS (
+        SELECT event_id AS record_id,
+               cast(event_id % 500 AS INT) AS creative_asset_id,
+               cast(event_id % 300 AS INT) AS api_call_id,
+               user_id AS advertiser_store_app_id,
+               cast(user_id % 19 AS INT) AS advertiser_domain_id,
+               cast(event_id % 23 AS INT) AS creative_initial_domain_id,
+               cast(event_id % 29 AS INT) AS creative_host_domain_id,
+               [cast(event_id % 7 AS INT), cast(event_id % 11 AS INT)]
+                   AS additional_ad_domain_ids
+        FROM events
+    ),
+    creative_assets AS (
+        SELECT cast(i AS INT) AS creative_asset_id,
+               'm' || cast(i AS VARCHAR) AS md5_hash,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'p' || cast(i % 40 AS VARCHAR) END AS phash,
+               CASE cast(i % 3 AS INT) WHEN 0 THEN 'jpg'
+                    WHEN 1 THEN 'png' ELSE 'mp4' END AS file_extension
+        FROM range(0, 500) t(i)
+    ),
+    api_calls AS (
+        SELECT cast(i AS INT) AS api_call_id,
+               cast(i % 80 + 1 AS BIGINT) AS store_app,
+               DATE '2024-01-01' + to_days(cast(i % 60 AS INT))
+                   AS run_at
+        FROM range(0, 300) t(i)
+    ),
+    company_map AS (
+        SELECT cast(i AS INT) AS domain_id,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE cast(i % 7 AS INT) END AS company_id
+        FROM range(0, 29) t(i)
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS company_id,
+               cast(i + 1 AS INT) AS domain_id
+        FROM range(0, 7) t(i)
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appsd AS (
+        SELECT c_custkey AS store_app, c_name AS name,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               cast(floor(c_acctbal) AS BIGINT) AS installs,
+               cast(c_nationkey AS BIGINT) AS rating_count
+        FROM customer
+    ),
+    cr AS (
+        SELECT r.*, a.md5_hash, a.phash, a.file_extension,
+               ac.store_app AS pub_app, ac.run_at,
+               coalesce(a.phash, a.md5_hash) AS vhash
+        FROM creative_records r
+        LEFT JOIN creative_assets a
+          ON a.creative_asset_id = r.creative_asset_id
+        LEFT JOIN api_calls ac ON ac.api_call_id = r.api_call_id
+    ),
+    combined AS (
+        SELECT api_call_id, vhash, md5_hash, file_extension,
+               advertiser_store_app_id, advertiser_domain_id, run_at,
+               creative_initial_domain_id AS domain_id
+        FROM cr
+        UNION
+        SELECT api_call_id, vhash, md5_hash, file_extension,
+               advertiser_store_app_id, advertiser_domain_id, run_at,
+               creative_host_domain_id
+        FROM cr
+        UNION
+        SELECT cr.api_call_id, cr.vhash, cr.md5_hash,
+               cr.file_extension, cr.advertiser_store_app_id,
+               cr.advertiser_domain_id, cr.run_at, u.domain_id
+        FROM cr, unnest(cr.additional_ad_domain_ids) AS u(domain_id)
+    ),
+    vd AS (
+        SELECT cm.company_id, cd.file_extension,
+               cd.advertiser_store_app_id, cd.advertiser_domain_id,
+               cd.vhash,
+               min(cd.md5_hash) AS md5_hash,
+               max(cd.api_call_id) AS last_api_call_id,
+               max(cd.run_at) AS last_seen
+        FROM combined cd
+        LEFT JOIN company_map cm ON cm.domain_id = cd.domain_id
+        GROUP BY cm.company_id, cd.file_extension,
+                 cd.advertiser_store_app_id, cd.advertiser_domain_id,
+                 cd.vhash
+    )
+    SELECT vd.company_id, vd.md5_hash, vd.file_extension,
+           ad.domain_name AS company_domain,
+           saa.name AS advertiser_name, saa.store,
+           saa.store_id AS advertiser_store_id,
+           adv.domain_name AS advertiser_domain_name,
+           sap.store_id AS publisher_store_id,
+           sap.name AS publisher_name,
+           saa.installs, saa.rating_count, vd.last_seen
+    FROM vd
+    LEFT JOIN api_calls ac ON ac.api_call_id = vd.last_api_call_id
+    JOIN companies c ON c.company_id = vd.company_id
+    LEFT JOIN domains ad ON ad.domain_id = c.domain_id
+    LEFT JOIN domains adv ON adv.domain_id = vd.advertiser_domain_id
+    LEFT JOIN appsd saa ON saa.store_app = vd.advertiser_store_app_id
+    LEFT JOIN appsd sap ON sap.store_app = ac.store_app
+    """,
+)
+def companies_creative_rankings_q(spark, sf):
+    """Ad-creative catalogue per company: multi-domain attribution
+    (initial + host + exploded additional array, UNION-deduped),
+    visual dedup by coalesce(phash, md5), dim flattening
+    (companies_creative_rankings__matview.sql:29-95 via
+    plans/frontend.py::companies_creative_rankings)."""
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    creative_records = ev.select(
+        F.col("event_id").alias("record_id"),
+        (F.col("event_id") % 500).cast("int").alias("creative_asset_id"),
+        (F.col("event_id") % 300).cast("int").alias("api_call_id"),
+        F.col("user_id").alias("advertiser_store_app_id"),
+        (F.col("user_id") % 19).cast("int").alias("advertiser_domain_id"),
+        (F.col("event_id") % 23).cast("int").alias(
+            "creative_initial_domain_id"
+        ),
+        (F.col("event_id") % 29).cast("int").alias(
+            "creative_host_domain_id"
+        ),
+        F.array(
+            (F.col("event_id") % 7).cast("int"),
+            (F.col("event_id") % 11).cast("int"),
+        ).alias("additional_ad_domain_ids"),
+    )
+    creative_assets = spark_sess.range(0, 500).select(
+        F.col("id").cast("int").alias("creative_asset_id"),
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("md5_hash"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p"), (F.col("id") % 40).cast("string")))
+        .alias("phash"),
+        F.element_at(
+            F.array(F.lit("jpg"), F.lit("png"), F.lit("mp4")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("file_extension"),
+    )
+    api_calls = spark_sess.range(0, 300).select(
+        F.col("id").cast("int").alias("api_call_id"),
+        (F.col("id") % 80 + 1).alias("store_app"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 60).cast("int")
+        ).alias("run_at"),
+    )
+    company_map = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 7).cast("int"))
+        .alias("company_id"),
+    )
+    companies = spark_sess.range(0, 7).select(
+        F.col("id").cast("int").alias("company_id"),
+        (F.col("id") + 1).cast("int").alias("domain_id"),
+    )
+    domains = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    c = _t(spark, sf, "customer")
+    apps = c.select(
+        F.col("c_custkey").alias("store_app"),
+        F.col("c_name").alias("name"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.floor("c_acctbal").cast("long").alias("installs"),
+        F.col("c_nationkey").cast("long").alias("rating_count"),
+    )
+    return fe.companies_creative_rankings(
+        creative_records, creative_assets, api_calls, company_map,
+        companies, domains, apps,
+    )

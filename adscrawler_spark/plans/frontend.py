@@ -1381,3 +1381,131 @@ def companies_overview(
         z("adstxt_parent_app_count").alias("adstxt_parent_app_count"),
         F.col("is_parent").cast("int").alias("is_parent_domain"),
     )
+
+
+def companies_creative_rankings(
+    creative_records: DataFrame,
+    creative_assets: DataFrame,
+    api_calls: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """Ad-creative catalogue per company: every creative attributed to
+    ALL the domains it touched (initial + host + the additional-domains
+    array, exploded, UNION-deduped), visually deduplicated by
+    vhash = COALESCE(phash, md5) — perceptually identical variants
+    collapse, keeping min(md5) / the latest sighting — then flattened
+    through company/advertiser/publisher dims.  Port of
+    frontend.companies_creative_rankings
+    (companies_creative_rankings__matview.sql:29-95; icon-URL
+    cosmetics omitted).  The creative DATA comes from the reference's
+    mitm capture (out-of-scope surface); the engine's multimodal
+    operators (operators/multimodal.py phash) produce the same asset
+    shape.
+
+    ``creative_records``: record_id, creative_asset_id, api_call_id,
+    advertiser_store_app_id, advertiser_domain_id,
+    creative_initial_domain_id, creative_host_domain_id,
+    additional_ad_domain_ids (array<int>); ``creative_assets``:
+    creative_asset_id, md5_hash, phash, file_extension; ``api_calls``:
+    api_call_id, store_app, run_at; ``company_map``: domain_id,
+    company_id; ``apps``: store_app, name, store, store_id, installs,
+    rating_count."""
+    cr = (
+        creative_records.join(
+            F.broadcast(creative_assets), "creative_asset_id", "left"
+        )
+        .join(F.broadcast(api_calls), "api_call_id", "left")
+        .withColumn("vhash", F.coalesce(F.col("phash"), F.col("md5_hash")))
+    )
+    proj = [
+        "api_call_id", "vhash", "md5_hash", "file_extension",
+        "advertiser_store_app_id", "advertiser_domain_id", "run_at",
+    ]
+    combined = (
+        cr.select(
+            *proj,
+            F.col("creative_initial_domain_id").alias("domain_id"),
+        )
+        .union(
+            cr.select(
+                *proj,
+                F.col("creative_host_domain_id").alias("domain_id"),
+            )
+        )
+        .union(
+            cr.select(
+                *proj,
+                F.explode("additional_ad_domain_ids").alias("domain_id"),
+            )
+        )
+        .distinct()
+    )
+    vd = (
+        combined.join(F.broadcast(company_map), "domain_id", "left")
+        .groupBy(
+            "company_id", "file_extension", "advertiser_store_app_id",
+            "advertiser_domain_id", "vhash",
+        )
+        .agg(
+            F.min("md5_hash").alias("md5_hash"),
+            F.max("api_call_id").alias("last_api_call_id"),
+            F.max("run_at").alias("last_seen"),
+        )
+    )
+    adv_apps = apps.select(
+        F.col("store_app").alias("advertiser_store_app_id"),
+        F.col("name").alias("advertiser_name"),
+        "store",
+        F.col("store_id").alias("advertiser_store_id"),
+        F.col("installs"),
+        F.col("rating_count"),
+    )
+    pub_apps = apps.select(
+        F.col("store_app").alias("_pub_app"),
+        F.col("store_id").alias("publisher_store_id"),
+        F.col("name").alias("publisher_name"),
+    )
+    return (
+        vd.join(
+            F.broadcast(
+                api_calls.select(
+                    F.col("api_call_id").alias("last_api_call_id"),
+                    F.col("store_app").alias("_pub_app"),
+                )
+            ),
+            "last_api_call_id",
+            "left",
+        )
+        .join(F.broadcast(companies), "company_id")  # c.id IS NOT NULL
+        .join(
+            F.broadcast(
+                domains.select(
+                    F.col("domain_id").alias("_c_dom"),
+                    F.col("domain_name").alias("company_domain"),
+                )
+            ),
+            F.col("domain_id") == F.col("_c_dom"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                domains.select(
+                    F.col("domain_id").alias("advertiser_domain_id"),
+                    F.col("domain_name").alias("advertiser_domain_name"),
+                )
+            ),
+            "advertiser_domain_id",
+            "left",
+        )
+        .join(adv_apps, "advertiser_store_app_id", "left")
+        .join(F.broadcast(pub_apps), "_pub_app", "left")
+        .select(
+            "company_id", "md5_hash", "file_extension", "company_domain",
+            "advertiser_name", "store", "advertiser_store_id",
+            "advertiser_domain_name", "publisher_store_id",
+            "publisher_name", "installs", "rating_count", "last_seen",
+        )
+    )
