@@ -28,9 +28,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return benchmarks.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _rotation_order() -> list[str]:
+    """Order the registry so the driver's 50-entry CORRECTNESS window
+    sweeps the whole battery across rounds.
+
+    The driver snapshot caps at 50 entries taken in dict order; with an
+    append-only registry the newest entries would never receive a
+    driver-issued correctness row. Emit least-recently-driver-verified
+    first: names never seen in any ``CORRECTNESS_r*.json`` lead (in
+    registry insertion order), then everything else by ascending
+    last-verified round. Every entry still appears — only the order
+    changes — so pytest's full-battery oracle re-check is unaffected.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_verified: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            for name in json.load(open(path)):
+                last_verified[name] = max(last_verified.get(name, 0), rnd)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+    names = list(benchmarks.QUERIES)
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_verified.get(n, -1), order[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(benchmarks.QUERIES)
+    return {n: benchmarks.QUERIES[n] for n in _rotation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(benchmarks.ORACLE)
+    order = _rotation_order()
+    ranked = [n for n in order if n in benchmarks.ORACLE]
+    return {n: benchmarks.ORACLE[n] for n in ranked}
