@@ -106,13 +106,18 @@ def chain_hops(
     ).withColumn("_is_end", F.lit(True))
     # converged iff the final pointer IS a head (a dist-0 self-pointer
     # exists for it).  Cycle members and >max_hops nodes point at a
-    # mid-chain ancestor instead.
+    # mid-chain ancestor instead.  Deliberately NOT hint-broadcast: the
+    # head set is one row per chain, which at crawl scale is O(clicked
+    # URLs) — millions to billions of rows that must never be shipped
+    # to every executor.  A plain equi-join on ptr shuffles both sides
+    # on the key they already carry; AQE still chooses a runtime
+    # broadcast when the head set is actually small.
     head_set = heads.select(F.col("node").alias("ptr")).withColumn(
         "_ok", F.lit(True)
     )
     return (
         p.join(ends.select("node", "_is_end"), "node", "left")
-        .join(F.broadcast(head_set), "ptr", "left")
+        .join(head_set, "ptr", "left")
         .select(
             "node",
             F.col("ptr").alias("head"),

@@ -263,16 +263,20 @@ class CuckooFilter:
         self.table = np.zeros((nbuckets, self.SLOTS), dtype=np.uint16)
 
     def _fp(self, h: int) -> int:
-        fp = (np.uint64(h) * _MIX) >> np.uint64(48)
+        # uint64 wraparound is the intended mod-2^64 mixing; errstate
+        # keeps numpy's scalar-overflow RuntimeWarning from drowning
+        # out real warnings on every insert.
+        with np.errstate(over="ignore"):
+            fp = (np.uint64(h) * _MIX) >> np.uint64(48)
         return int(fp) or 1  # 0 marks empty
 
     def _i1(self, h: int) -> int:
         return int(np.uint64(h) % np.uint64(self.nbuckets))
 
     def _i2(self, i1: int, fp: int) -> int:
-        return int(
-            (np.uint64(i1) ^ (np.uint64(fp) * _MIX)) % np.uint64(self.nbuckets)
-        )
+        with np.errstate(over="ignore"):
+            mixed = np.uint64(i1) ^ (np.uint64(fp) * _MIX)
+        return int(mixed % np.uint64(self.nbuckets))
 
     def _try_put(self, i: int, fp: int) -> bool:
         row = self.table[i]

@@ -281,6 +281,17 @@ def run_generation(
     rank_keys = ["store", "crawled_date", "country", "collection", "category"]
     existing_ranks = cat.table("rankings").read(spark)
     if existing_ranks is not None:
+        # crawled_date is in the anti-join key and every rank_rows row
+        # carries today's date, so only the current crawled_date
+        # partition can ever match — filter it FIRST so the probe is a
+        # partition-pruned metadata-cheap scan (the table is hive-
+        # partitioned on (store, crawled_date); without the filter the
+        # probe scans all history, growing without bound).  Identical
+        # result by construction; test_rankings_t9_probe_partition_
+        # pruned asserts the PartitionFilters actually reach the scan.
+        existing_ranks = existing_ranks.filter(
+            F.col("crawled_date") == F.to_date(F.to_timestamp(F.lit(now)))
+        )
         rank_rows = rank_rows.join(
             existing_ranks.select(*rank_keys).dropDuplicates(),
             rank_keys,

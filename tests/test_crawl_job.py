@@ -181,6 +181,24 @@ def test_rankings_match_oracle_and_dedup(spark, run_dir, sim_state):
     assert best.count() == ranks.select(*key_cols, "store_id").distinct().count()
 
 
+def test_rankings_t9_probe_partition_pruned(spark, run_dir):
+    """The T9 existence probe filters the rankings table to the current
+    crawled_date BEFORE the anti-join (streaming/job.py).  Assert the
+    date predicate actually reaches the scan as a PartitionFilter —
+    i.e. the probe reads one partition's metadata, not all history."""
+    cat = Catalog(run_dir)
+    ranks = cat.table("rankings").read(spark)
+    assert ranks is not None
+    probe = ranks.filter(
+        F.col("crawled_date") == F.to_date(F.lit("2026-08-02"))
+    ).select("store", "crawled_date", "country", "collection", "category")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    pf = scan_lines[0].split("PartitionFilters:")[1].split("]")[0]
+    assert "crawled_date" in pf, plan
+
+
 def test_politeness_budget_enforced(spark, run_dir):
     cat = Catalog(run_dir)
     log = cat.table("crawl_log").read(spark).filter("fetched")

@@ -116,6 +116,25 @@ def test_tfidf_vocabulary_join_not_hint_broadcast(docs):
             raise AssertionError(f"hinted equi-join in tfidf plan: {ln}")
 
 
+def test_chain_hops_convergence_join_not_hint_broadcast(spark):
+    """chain_hops' converged test joins the pointer table against the
+    head set — one row per chain, which grows with the crawl.  Assert
+    no user broadcast hint anywhere in the analyzed plan (AQE may still
+    choose a runtime broadcast when the head set is genuinely small;
+    we pin the HINT absent, mirroring the tfidf vocabulary test)."""
+    from adscrawler_spark.operators.chains import chain_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    out = chain_hops(edges, max_hops=4)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    rows = {(r["node"], r["head"], r["hop_index"]) for r in out.collect()}
+    assert rows == {("a", "a", 0), ("b", "a", 1), ("c", "a", 2),
+                    ("x", "x", 0), ("y", "x", 1)}
+
+
 def test_claim_path_has_no_global_sort(spark):
     """ranked_top_n must not compile to a single-partition global sort
     or a global-order window (rangepartitioning with numPartitions=1 /
