@@ -5405,3 +5405,202 @@ def companies_creative_rankings_q(spark, sf):
         creative_records, creative_assets, api_calls, company_map,
         companies, domains, apps,
     )
+
+
+# =====================================================================
+# mitm ad-payload URL harvesting + attribution (network_parsers.py)
+# =====================================================================
+
+@query(
+    "ad_payload_urls",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               ascii(upper(substr(md5(cast(doc_id AS VARCHAR)), 1, 1))) % 5 AS v,
+               substr(md5(cast(doc_id AS VARCHAR)), 2, 4) AS a,
+               substr(md5(cast(doc_id AS VARCHAR)), 6, 4) AS b,
+               substr(md5(cast(doc_id AS VARCHAR)), 10, 4) AS c
+        FROM documents
+    )
+    SELECT doc_id, unnest(
+        CASE v
+        WHEN 0 THEN ['https://ca' || a || '.com/t?cb=' || b]
+        WHEN 1 THEN ['http://t' || b || '.net/p/' || c,
+                     'https://r' || a || '.org/redir?u=http://t' || b
+                         || '.net/p/' || c]
+        WHEN 2 THEN ['intent://details?id=com.g' || a || '.app',
+                     'market://details?id=com.h' || b || '.x']
+        WHEN 3 THEN ['https://m' || b || '.net/f' || a || '.mp4',
+                     'https://v' || a || '.com/imp?c=' || b]
+        ELSE []::VARCHAR[] END) AS url
+    FROM t
+    """,
+)
+def ad_payload_urls_q(spark, sf):
+    """Depth-bounded URL harvest from synthetic ad payloads — plain
+    URLs, percent-encoded URLs nested in query values (emitted in
+    decoded form), intent://market:// links, and VAST XML trackers
+    (network_parsers.py:259-301 extract_and_decode_urls via
+    operators/adpayload.py).  The oracle states the EXPECTED url set
+    from the payload generator's parameters — first principles, not a
+    restated algorithm — so the Spark side runs the real extraction
+    pipeline against an independent answer."""
+    from adscrawler_spark.operators import adpayload as ap
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.md5(F.col("doc_id").cast("string"))
+    v = (F.ascii(F.upper(F.substring(m, 1, 1))) % 5).cast("int")
+    a, b, c = (F.substring(m, 2, 4), F.substring(m, 6, 4),
+               F.substring(m, 10, 4))
+    payload = (
+        F.when(v == 0, F.concat(
+            F.lit("imp https://ca"), a, F.lit(".com/t?cb="), b,
+            F.lit(" end")))
+        .when(v == 1, F.concat(
+            F.lit("click https://r"), a,
+            F.lit(".org/redir?u=http%3A%2F%2Ft"), b, F.lit(".net%2Fp%2F"),
+            c, F.lit(" end")))
+        .when(v == 2, F.concat(
+            F.lit("open intent://details?id=com.g"), a,
+            F.lit(".app end market://details?id=com.h"), b, F.lit(".x")))
+        .when(v == 3, F.concat(
+            F.lit('<?xml version="1.0"?><VAST version="3.0"><Ad><InLine>'
+                  "<Impression>https://v"), a, F.lit(".com/imp?c="), b,
+            F.lit("</Impression><Creatives><MediaFile>https://m"), b,
+            F.lit(".net/f"), a,
+            F.lit(".mp4</MediaFile></Creatives></InLine></Ad></VAST>")))
+        .otherwise(F.concat(F.lit("plain text "), a,
+                            F.lit(" without links")))
+    )
+    payloads = d.select("doc_id", payload.alias("payload"))
+    return ap.payload_urls(payloads, "payload").select("doc_id", "url")
+
+
+@query(
+    "ad_payload_known_parts",
+    """
+    WITH rows AS (
+        SELECT cast(event_id % 400 AS INT) AS api_call_id,
+               'com.pkg' || cast(event_id % 400 % 40 AS VARCHAR) || '.app'
+                   AS pub_store_id,
+               cast(event_id % 12 AS INT) AS w,
+               user_id AS u
+        FROM events
+    ),
+    cls AS (
+        SELECT api_call_id, pub_store_id,
+               CASE
+                 WHEN w = 0 THEN 'https://app.appsflyer.com/com.adv'
+                     || cast(u % 50 AS VARCHAR) || '.game?pid=af_int'
+                 WHEN w = 1 THEN 'https://websdk.appsflyer.com/sdk?x='
+                     || cast(u AS VARCHAR)
+                 WHEN w = 3 THEN 'https://s.adjust.com/click?adid='
+                     || cast(u AS VARCHAR)
+               END AS mmp_url,
+               CASE
+                 WHEN w = 0 THEN 'com.adv' || cast(u % 50 AS VARCHAR)
+                     || '.game'
+                 WHEN w = 4 THEN 'com.pkg' || cast(u % 40 AS VARCHAR)
+                     || '.app'
+                 WHEN w = 6 THEN 'com.lnch' || cast(u % 30 AS VARCHAR)
+                     || '.go'
+                 WHEN w = 7 AND u % 25 <> 13 THEN 'com.mkt'
+                     || cast(u % 25 AS VARCHAR) || '.free'
+                 WHEN w = 8 THEN 'com.play' || cast(u % 20 AS VARCHAR)
+                     || '.x'
+               END AS adv_id,
+               CASE
+                 WHEN w = 5 THEN 'bidease.com'
+                 WHEN w = 9 THEN 'adnet' || cast(u % 15 AS VARCHAR)
+                     || '.com'
+               END AS ad_tld
+        FROM rows
+    )
+    SELECT api_call_id,
+        CASE WHEN count(DISTINCT adv_id) FILTER (
+                 WHERE adv_id IS NOT NULL AND adv_id <> 'com.android.vending'
+                   AND adv_id <> pub_store_id) = 1
+             THEN min(adv_id) FILTER (
+                 WHERE adv_id IS NOT NULL AND adv_id <> 'com.android.vending'
+                   AND adv_id <> pub_store_id)
+        END AS adv_store_id,
+        CASE WHEN count(DISTINCT adv_id) FILTER (
+                 WHERE adv_id IS NOT NULL AND adv_id <> 'com.android.vending'
+                   AND adv_id <> pub_store_id) > 1
+             THEN array_to_string(list_sort(list(DISTINCT adv_id) FILTER (
+                 WHERE adv_id IS NOT NULL AND adv_id <> 'com.android.vending'
+                   AND adv_id <> pub_store_id)), ',')
+        END AS advertiser_store_app_ids,
+        coalesce(array_to_string(list_sort(list(DISTINCT mmp_url) FILTER (
+            WHERE mmp_url IS NOT NULL)), ','), '') AS mmp_urls,
+        coalesce(array_to_string(list_sort(list(DISTINCT ad_tld) FILTER (
+            WHERE ad_tld IS NOT NULL)), ','), '') AS ad_network_tlds
+    FROM cls GROUP BY api_call_id, pub_store_id
+    """,
+)
+def ad_payload_known_parts_q(spark, sf):
+    """parse_urls_for_known_parts over synthetic extracted-URL rows:
+    MMP-tld classification with privacy skips, the appsflyer
+    advertiser-id regex, the intent/market/play elif ladder with the
+    bidease special case, ad-network tld harvesting, and the
+    exactly-one advertiser rule (network_parsers.py:563-647 via
+    operators/adpayload.py::known_parts).  The oracle derives expected
+    classifications from the URL generator's parameters; the Spark side
+    classifies the actual URL strings with the ported regex ladder and
+    real PSL tld extraction."""
+    from adscrawler_spark.operators import adpayload as ap
+
+    ev = _t(spark, sf, "events")
+    s = lambda col: col.cast("string")  # noqa: E731
+    u = F.col("user_id")
+    w = (F.col("event_id") % 12).cast("int")
+    api = (F.col("event_id") % 400).cast("int")
+    url = (
+        F.when(w == 0, F.concat(
+            F.lit("https://app.appsflyer.com/com.adv"), s(u % 50),
+            F.lit(".game?pid=af_int")))
+        .when(w == 1, F.concat(
+            F.lit("https://websdk.appsflyer.com/sdk?x="), s(u)))
+        .when(w == 2, F.concat(
+            F.lit("https://support.appsflyer.com/hc/articles/"), s(u)))
+        .when(w == 3, F.concat(
+            F.lit("https://s.adjust.com/click?adid="), s(u)))
+        .when(w == 4, F.concat(
+            F.lit("intent://details?id=com.pkg"), s(u % 40), F.lit(".app")))
+        .when(w == 5, F.concat(
+            F.lit("intent://details?id=bidease.com_"), s(u)))
+        .when(w == 6, F.concat(
+            F.lit("intent://launch?package=com.lnch"), s(u % 30),
+            F.lit(".go")))
+        .when(w == 7, F.when(
+            u % 25 == 13, F.lit("market://details?id=com.android.vending")
+        ).otherwise(F.concat(
+            F.lit("market://details?id=com.mkt"), s(u % 25),
+            F.lit(".free"))))
+        .when(w == 8, F.concat(
+            F.lit("https://play.google.com/store/apps/details?id=com.play"),
+            s(u % 20), F.lit(".x&hl=en")))
+        .when(w == 9, F.concat(
+            F.lit("https://cdn.adnet"), s(u % 15), F.lit(".com/creative.js")))
+        .when(w == 10, F.concat(
+            F.lit("https://adnet"), s(u % 15), F.lit(".com/privacy-policy")))
+        .otherwise(F.concat(
+            F.lit("https://example"), s(u % 99), F.lit(".org/page")))
+    )
+    urls = ev.select(
+        api.alias("api_call_id"),
+        F.concat(F.lit("com.pkg"), s(api % 40), F.lit(".app")).alias(
+            "pub_store_id"
+        ),
+        url.alias("url"),
+    )
+    spark_sess = ev.sparkSession
+    mmps = spark_sess.createDataFrame(
+        [("appsflyer.com",), ("adjust.com",), ("singular.net",)],
+        ["tld_url"],
+    )
+    ad_domains = spark_sess.range(0, 15).select(
+        F.concat(F.lit("adnet"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("domain_name")
+    ).union(spark_sess.createDataFrame([("bidease.com",)], ["domain_name"]))
+    return ap.known_parts(urls, mmps, ad_domains)
