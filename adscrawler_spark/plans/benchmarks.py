@@ -5604,3 +5604,606 @@ def ad_payload_known_parts_q(spark, sf):
                  F.lit(".com")).alias("domain_name")
     ).union(spark_sess.createDataFrame([("bidease.com",)], ["domain_name"]))
     return ap.known_parts(urls, mmps, ad_domains)
+
+
+@query(
+    "companies_category_tag_type_stats",
+    """
+    WITH appco AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 13 AS INT) AS domain_id,
+               CASE WHEN p_partkey % 4 = 3 THEN NULL
+                    ELSE cast(p_partkey % 11 AS INT) END AS company_id,
+               p_size % 3 = 0 AS api_call,
+               p_retailprice > 1500 AS publisher,
+               contains(p_type, 'BRASS') AS app_ads_direct,
+               p_size % 5 = 0 AS app_ads_reseller
+        FROM part
+    ),
+    doms AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 13) t(i)
+    ),
+    cos AS (
+        SELECT cast(i AS INT) AS company_id,
+               'co' || cast(i AS VARCHAR) AS company_name,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE 'cd' || cast(i AS VARCHAR) END AS company_domain
+        FROM range(0, 11) t(i)
+    ),
+    appdim AS (
+        SELECT p_partkey AS store_app,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               'cat' || cast(p_partkey % 7 AS VARCHAR) AS category,
+               cast(p_size AS BIGINT) AS installs_d30
+        FROM part WHERE p_partkey % 17 <> 0
+    ),
+    coca AS (
+        SELECT cast(i % 9 AS INT) AS company_id,
+               cast(i % 6 AS INT) AS category_id
+        FROM range(0, 18) t(i)
+    ),
+    cats AS (
+        SELECT cast(i AS INT) AS category_id,
+               'slug' || cast(i AS VARCHAR) AS url_slug
+        FROM range(0, 6) t(i)
+    ),
+    mcc AS (
+        SELECT company_id, min(category_id) AS category_id
+        FROM coca GROUP BY company_id
+    ),
+    app_sdks AS (
+        SELECT p_partkey AS store_app,
+               CASE WHEN p_partkey % 6 = 0 THEN NULL
+                    ELSE cast(p_partkey % 9 AS INT) END AS sdk_id,
+               DATE '2024-01-01' + to_days(cast(p_partkey % 3 AS INT))
+                   AS version_code_created_at
+        FROM part
+        UNION ALL
+        SELECT p_partkey,
+               cast((p_partkey + 4) % 9 AS INT),
+               DATE '2024-01-01' + to_days(cast((p_partkey + 1) % 3 AS INT))
+        FROM part
+    ),
+    sdks AS (
+        SELECT cast(i AS INT) AS sdk_id,
+               cast(i % 11 AS INT) AS company_id
+        FROM range(0, 9) t(i)
+    ),
+    sdkcats AS (
+        SELECT cast(i % 9 AS INT) AS sdk_id,
+               cast(i % 6 AS INT) AS category_id
+        FROM range(0, 12) t(i)
+    ),
+    unp AS (
+        SELECT store_app, domain_id, company_id, 'api_call' AS tag_source
+        FROM appco WHERE api_call
+        UNION ALL
+        SELECT store_app, domain_id, company_id, 'publisher' FROM appco
+        WHERE publisher
+        UNION ALL
+        SELECT store_app, domain_id, company_id, 'app_ads_direct'
+        FROM appco WHERE app_ads_direct
+        UNION ALL
+        SELECT store_app, domain_id, company_id, 'app_ads_reseller'
+        FROM appco WHERE app_ads_reseller
+    ),
+    b1 AS (
+        SELECT a.store, a.category AS app_category, u.tag_source,
+               coalesce(c.company_domain, d.domain_name) AS company_domain,
+               c.company_name,
+               CASE WHEN u.tag_source LIKE 'app_ads%'
+                    THEN 'ad-networks'
+                    WHEN u.tag_source = 'publisher'
+                    THEN 'app-publishers'
+                    ELSE ct.url_slug END AS type_url_slug,
+               count(DISTINCT u.store_app) AS app_count,
+               cast(sum(a.installs_d30) AS BIGINT) AS installs_d30
+        FROM unp u
+        LEFT JOIN doms d ON d.domain_id = u.domain_id
+        LEFT JOIN cos c ON c.company_id = u.company_id
+        LEFT JOIN appdim a ON a.store_app = u.store_app
+        LEFT JOIN mcc ON mcc.company_id = u.company_id
+        LEFT JOIN cats ct ON ct.category_id = mcc.category_id
+        GROUP BY a.store, a.category, u.tag_source,
+                 coalesce(c.company_domain, d.domain_name), c.company_name,
+                 CASE WHEN u.tag_source LIKE 'app_ads%' THEN 'ad-networks'
+                      WHEN u.tag_source = 'publisher' THEN 'app-publishers'
+                      ELSE ct.url_slug END
+    ),
+    latest AS (
+        SELECT store_app, max(version_code_created_at) AS version_code_created_at
+        FROM app_sdks GROUP BY store_app
+    ),
+    sas AS (
+        SELECT DISTINCT s.store_app, s.sdk_id
+        FROM app_sdks s
+        JOIN latest l ON l.store_app = s.store_app
+         AND l.version_code_created_at = s.version_code_created_at
+    ),
+    b2 AS (
+        SELECT a.store, a.category AS app_category,
+               'sdk' AS tag_source,
+               c.company_domain, c.company_name,
+               ct.url_slug AS type_url_slug,
+               count(DISTINCT sas.store_app) AS app_count,
+               cast(sum(a.installs_d30) AS BIGINT) AS installs_d30
+        FROM sas
+        LEFT JOIN sdks sd ON sd.sdk_id = sas.sdk_id
+        LEFT JOIN cos c ON c.company_id = sd.company_id
+        LEFT JOIN appdim a ON a.store_app = sas.store_app
+        LEFT JOIN sdkcats sc ON sc.sdk_id = sas.sdk_id
+        LEFT JOIN cats ct ON ct.category_id = sc.category_id
+        GROUP BY a.store, a.category, c.company_domain, c.company_name,
+                 ct.url_slug
+    )
+    SELECT store, app_category, tag_source, company_domain, company_name,
+           type_url_slug, app_count, installs_d30
+    FROM b1
+    UNION ALL
+    SELECT store, app_category, tag_source, company_domain, company_name,
+           type_url_slug, app_count, installs_d30
+    FROM b2
+    """,
+)
+def companies_category_tag_type_stats_q(spark, sf):
+    """Company-dimension variant of the tag-type rollup, with the sdk
+    branch restricted to each app's latest version code
+    (companies_category_tag_type_stats__matview.sql:31-115 via
+    plans/frontend.py::companies_category_tag_type_stats)."""
+    p = _t(spark, sf, "part")
+    spark_sess = p.sparkSession
+    appco = p.select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 13).cast("int").alias("domain_id"),
+        F.when(F.col("p_partkey") % 4 == 3, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 11).cast("int"))
+        .alias("company_id"),
+        (F.col("p_size") % 3 == 0).alias("api_call"),
+        (F.col("p_retailprice") > 1500).alias("publisher"),
+        F.col("p_type").contains("BRASS").alias("app_ads_direct"),
+        (F.col("p_size") % 5 == 0).alias("app_ads_reseller"),
+    )
+    doms = spark_sess.range(0, 13).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    cos = spark_sess.range(0, 11).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("co"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("cd"), F.col("id").cast("string")))
+        .alias("company_domain"),
+    )
+    appdim = p.filter(F.col("p_partkey") % 17 != 0).select(
+        F.col("p_partkey").alias("store_app"),
+        (F.col("p_partkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("cat"), (F.col("p_partkey") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.col("p_size").cast("long").alias("installs_d30"),
+    )
+    coca = spark_sess.range(0, 18).select(
+        (F.col("id") % 9).cast("int").alias("company_id"),
+        (F.col("id") % 6).cast("int").alias("category_id"),
+    )
+    cats = spark_sess.range(0, 6).select(
+        F.col("id").cast("int").alias("category_id"),
+        F.concat(F.lit("slug"), F.col("id").cast("string")).alias("url_slug"),
+    )
+    leg1 = p.select(
+        F.col("p_partkey").alias("store_app"),
+        F.when(F.col("p_partkey") % 6 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("p_partkey") % 9).cast("int"))
+        .alias("sdk_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("p_partkey") % 3).cast("int"),
+        ).alias("version_code_created_at"),
+    )
+    leg2 = p.select(
+        F.col("p_partkey").alias("store_app"),
+        ((F.col("p_partkey") + 4) % 9).cast("int").alias("sdk_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            ((F.col("p_partkey") + 1) % 3).cast("int"),
+        ).alias("version_code_created_at"),
+    )
+    app_sdks = leg1.unionByName(leg2)
+    sdks = spark_sess.range(0, 9).select(
+        F.col("id").cast("int").alias("sdk_id"),
+        (F.col("id") % 11).cast("int").alias("company_id"),
+    )
+    sdkcats = spark_sess.range(0, 12).select(
+        (F.col("id") % 9).cast("int").alias("sdk_id"),
+        (F.col("id") % 6).cast("int").alias("category_id"),
+    )
+    return fe.companies_category_tag_type_stats(
+        appco, cos, doms, appdim, coca, cats, app_sdks, sdks, sdkcats
+    )
+
+
+_CREATIVE_SYNTH_SQL = """
+    recs AS (
+        SELECT event_id AS record_id,
+               cast(event_id % 500 AS INT) AS creative_asset_id,
+               cast(event_id % 300 AS INT) AS api_call_id,
+               CASE WHEN event_id % 9 = 0 THEN NULL
+                    ELSE user_id END AS advertiser_store_app_id,
+               cast(event_id % 23 AS INT) AS creative_initial_domain_id,
+               cast(event_id % 29 AS INT) AS creative_host_domain_id,
+               CASE WHEN event_id % 4 = 0 THEN cast(event_id % 19 AS INT)
+                    ELSE NULL END AS mmp_domain_id,
+               'mmp' || cast(event_id % 5 AS VARCHAR) AS mmp_urls,
+               [cast(event_id % 7 AS INT), cast(event_id % 11 AS INT)]
+                   AS additional_ad_domain_ids
+        FROM events
+    ),
+    assets AS (
+        SELECT cast(i AS INT) AS creative_asset_id,
+               'm' || cast(i AS VARCHAR) AS md5_hash,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE 'p' || cast(i % 40 AS VARCHAR) END AS phash,
+               CASE cast(i % 3 AS INT) WHEN 0 THEN 'jpg'
+                    WHEN 1 THEN 'png' ELSE 'mp4' END AS file_extension
+        FROM range(0, 500) t(i)
+    ),
+    calls AS (
+        SELECT cast(i AS INT) AS api_call_id,
+               cast(i % 80 + 1 AS BIGINT) AS store_app,
+               cast(i % 120 AS INT) AS run_id
+        FROM range(0, 300) t(i)
+    ),
+    runs AS (
+        SELECT cast(i AS INT) AS run_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + to_hours(cast(i * 12 AS INT)) AS run_at
+        FROM range(0, 120) t(i)
+    ),
+    cmap AS (
+        SELECT cast(i AS INT) AS domain_id,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE cast(i % 7 AS INT) END AS company_id
+        FROM range(0, 29) t(i)
+    ),
+    cos AS (
+        SELECT cast(i AS INT) AS company_id,
+               'con' || cast(i AS VARCHAR) AS company_name,
+               cast(i + 1 AS INT) AS domain_id,
+               CASE WHEN i % 3 = 0 AND i > 0 THEN cast(i - 1 AS INT)
+                    ELSE NULL END AS parent_company_id
+        FROM range(0, 7) t(i)
+    ),
+    doms AS (
+        SELECT cast(i AS INT) AS domain_id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 29) t(i)
+    ),
+    appsd AS (
+        SELECT c_custkey AS store_app, c_name AS name,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               'i1_' || cast(c_custkey AS VARCHAR) AS icon_128,
+               'i5_' || cast(c_custkey AS VARCHAR) AS icon_url_512,
+               c_mktsegment AS category,
+               cast(floor(c_acctbal) AS BIGINT) AS installs,
+               round(cast(c_custkey % 50 AS DOUBLE) / 10, 1) AS rating,
+               cast(c_nationkey AS BIGINT) AS rating_count,
+               cast(c_custkey % 1000 AS BIGINT) AS installs_sum_1w,
+               cast(c_custkey % 5000 AS BIGINT) AS installs_sum_4w
+        FROM customer
+    )
+"""
+
+
+def _creative_synth_spark(spark, sf):
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    recs = ev.select(
+        F.col("event_id").alias("record_id"),
+        (F.col("event_id") % 500).cast("int").alias("creative_asset_id"),
+        (F.col("event_id") % 300).cast("int").alias("api_call_id"),
+        F.when(F.col("event_id") % 9 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")).alias("advertiser_store_app_id"),
+        (F.col("event_id") % 23).cast("int").alias(
+            "creative_initial_domain_id"
+        ),
+        (F.col("event_id") % 29).cast("int").alias(
+            "creative_host_domain_id"
+        ),
+        F.when(
+            F.col("event_id") % 4 == 0, (F.col("event_id") % 19).cast("int")
+        ).alias("mmp_domain_id"),
+        F.concat(F.lit("mmp"), (F.col("event_id") % 5).cast("string")).alias(
+            "mmp_urls"
+        ),
+        F.array(
+            (F.col("event_id") % 7).cast("int"),
+            (F.col("event_id") % 11).cast("int"),
+        ).alias("additional_ad_domain_ids"),
+    )
+    assets = spark_sess.range(0, 500).select(
+        F.col("id").cast("int").alias("creative_asset_id"),
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("md5_hash"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p"), (F.col("id") % 40).cast("string")))
+        .alias("phash"),
+        F.element_at(
+            F.array(F.lit("jpg"), F.lit("png"), F.lit("mp4")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("file_extension"),
+    )
+    calls = spark_sess.range(0, 300).select(
+        F.col("id").cast("int").alias("api_call_id"),
+        (F.col("id") % 80 + 1).alias("store_app"),
+        (F.col("id") % 120).cast("int").alias("run_id"),
+    )
+    runs = spark_sess.range(0, 120).select(
+        F.col("id").cast("int").alias("run_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(id * 12 as int), 0, 0)"
+        ).alias("run_at"),
+    )
+    cmap = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("id") % 7).cast("int")).alias("company_id"),
+    )
+    cos = spark_sess.range(0, 7).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("con"), F.col("id").cast("string")).alias(
+            "company_name"
+        ),
+        (F.col("id") + 1).cast("int").alias("domain_id"),
+        F.when(
+            (F.col("id") % 3 == 0) & (F.col("id") > 0),
+            (F.col("id") - 1).cast("int"),
+        ).alias("parent_company_id"),
+    )
+    doms = spark_sess.range(0, 29).select(
+        F.col("id").cast("int").alias("domain_id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    c = _t(spark, sf, "customer")
+    apps = c.select(
+        F.col("c_custkey").alias("store_app"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.concat(F.lit("i1_"), F.col("c_custkey").cast("string")).alias(
+            "icon_128"
+        ),
+        F.concat(F.lit("i5_"), F.col("c_custkey").cast("string")).alias(
+            "icon_url_512"
+        ),
+        F.col("c_mktsegment").alias("category"),
+        F.floor("c_acctbal").cast("long").alias("installs"),
+        F.round((F.col("c_custkey") % 50).cast("double") / 10, 1).alias(
+            "rating"
+        ),
+        F.col("c_nationkey").cast("long").alias("rating_count"),
+        (F.col("c_custkey") % 1000).cast("long").alias("installs_sum_1w"),
+        (F.col("c_custkey") % 5000).cast("long").alias("installs_sum_4w"),
+    )
+    return recs, assets, calls, runs, cmap, cos, doms, apps
+
+
+@query(
+    "advertiser_creatives",
+    "WITH " + _CREATIVE_SYNTH_SQL + """,
+    extra AS (
+        SELECT record_id, list_sort(list(d.domain_name)) AS urls
+        FROM (SELECT record_id, unnest(additional_ad_domain_ids) AS domain_id
+              FROM recs) u
+        JOIN doms d USING (domain_id)
+        GROUP BY record_id
+    )
+    SELECT r.record_id,
+           saa.store_id AS advertiser_store_id,
+           ac.run_id,
+           strftime(ru.run_at, '%Y-%m-%d %H:%M:%S') AS run_at,
+           sap.name AS pub_name, saa.name AS adv_name,
+           sap.store_id AS pub_store_id, saa.store_id AS adv_store_id,
+           hd.domain_name AS host_domain,
+           hc.company_name AS host_domain_company_name,
+           ad.domain_name AS ad_domain,
+           acm.company_name AS ad_domain_company_name,
+           a.md5_hash, a.file_extension,
+           sap.icon_128 AS pub_icon_url_100,
+           saa.icon_128 AS adv_icon_url_100,
+           sap.icon_url_512 AS pub_icon_url_512,
+           saa.icon_url_512 AS adv_icon_url_512,
+           mc.company_name AS mmp_name,
+           md.domain_name AS mmp_domain,
+           r.mmp_urls,
+           coalesce(hcd.domain_name, hd.domain_name)
+               AS host_domain_company_domain,
+           coalesce(acd.domain_name, ad.domain_name)
+               AS ad_domain_company_domain,
+           coalesce(a.phash, a.md5_hash) AS vhash,
+           coalesce(array_to_string(e.urls, ','), '')
+               AS additional_ad_domain_urls
+    FROM recs r
+    LEFT JOIN assets a ON a.creative_asset_id = r.creative_asset_id
+    LEFT JOIN calls ac ON ac.api_call_id = r.api_call_id
+    LEFT JOIN runs ru ON ru.run_id = ac.run_id
+    LEFT JOIN doms hd ON hd.domain_id = r.creative_host_domain_id
+    LEFT JOIN doms ad ON ad.domain_id = r.creative_initial_domain_id
+    LEFT JOIN cmap hcm ON hcm.domain_id = r.creative_host_domain_id
+    LEFT JOIN cmap acmm ON acmm.domain_id = r.creative_initial_domain_id
+    LEFT JOIN cos hc ON hc.company_id = hcm.company_id
+    LEFT JOIN cos acm ON acm.company_id = acmm.company_id
+    LEFT JOIN doms hcd ON hcd.domain_id = hc.domain_id
+    LEFT JOIN doms acd ON acd.domain_id = acm.domain_id
+    LEFT JOIN cmap mcm ON mcm.domain_id = r.mmp_domain_id
+    LEFT JOIN cos mc ON mc.company_id = mcm.company_id
+    LEFT JOIN doms md ON md.domain_id = r.mmp_domain_id
+    LEFT JOIN appsd sap ON sap.store_app = ac.store_app
+    LEFT JOIN appsd saa ON saa.store_app = r.advertiser_store_app_id
+    LEFT JOIN extra e ON e.record_id = r.record_id
+    """,
+)
+def advertiser_creatives_q(spark, sf):
+    """Flat per-record creative catalogue with full dim flattening and
+    the additional-domain array resolved to sorted names
+    (advertiser_creatives__matview.sql:31-77 via
+    plans/frontend.py::advertiser_creatives)."""
+    recs, assets, calls, runs, cmap, cos, doms, apps = (
+        _creative_synth_spark(spark, sf)
+    )
+    out = fe.advertiser_creatives(
+        recs, assets, calls, runs, cmap,
+        cos.select("company_id", "company_name", "domain_id"),
+        doms, apps,
+    )
+    return out.withColumn(
+        "run_at", F.date_format("run_at", "yyyy-MM-dd HH:mm:ss")
+    ).withColumn(
+        "additional_ad_domain_urls",
+        F.array_join("additional_ad_domain_urls", ","),
+    )
+
+
+@query(
+    "advertiser_creative_rankings_recent_month",
+    "WITH " + _CREATIVE_SYNTH_SQL + """,
+    cr AS (
+        SELECT r.*, ac.store_app, ac.run_id AS c_run_id, ru.run_at
+        FROM recs r
+        LEFT JOIN calls ac ON ac.api_call_id = r.api_call_id
+        LEFT JOIN runs ru ON ru.run_id = ac.run_id
+    ),
+    recent AS (
+        SELECT * FROM cr
+        WHERE run_at >= TIMESTAMP '2024-02-15 00:00:00' - INTERVAL 1 MONTH
+    ),
+    adv_mmp AS (
+        SELECT DISTINCT r.advertiser_store_app_id,
+               CASE WHEN r.advertiser_store_app_id IS NOT NULL
+                    THEN d.domain_name END AS mmp_domain
+        FROM recs r
+        LEFT JOIN doms d ON d.domain_id = r.mmp_domain_id
+        WHERE r.mmp_domain_id IS NOT NULL
+    ),
+    pdom AS (
+        SELECT m.domain_id,
+               coalesce(pc.domain_id, c.domain_id) AS resolved_domain_id
+        FROM cmap m
+        LEFT JOIN cos c ON c.company_id = m.company_id
+        LEFT JOIN cos pc ON pc.company_id = c.parent_company_id
+    ),
+    net AS (
+        SELECT DISTINCT advertiser_store_app_id, resolved_domain_id
+        FROM (
+            SELECT r.advertiser_store_app_id, p.resolved_domain_id
+            FROM recent r
+            JOIN pdom p ON p.domain_id = r.creative_initial_domain_id
+            UNION
+            SELECT r.advertiser_store_app_id, p.resolved_domain_id
+            FROM recent r
+            JOIN pdom p ON p.domain_id = r.creative_host_domain_id
+        )
+    ),
+    netd AS (
+        SELECT n.advertiser_store_app_id, d.domain_name AS ad_network_domain
+        FROM net n
+        LEFT JOIN doms d ON d.domain_id = n.resolved_domain_id
+    ),
+    top5 AS (
+        SELECT advertiser_store_app_id,
+               (list(a.md5_hash ORDER BY r.run_at DESC, a.md5_hash))[1:5]
+                   AS top_md5_hashes
+        FROM recent r
+        LEFT JOIN assets a ON a.creative_asset_id = r.creative_asset_id
+        GROUP BY advertiser_store_app_id
+    ),
+    base AS (
+        SELECT r.advertiser_store_app_id, a.md5_hash, a.file_extension,
+               r.store_app, r.run_at, sap.installs AS pub_installs,
+               am.mmp_domain, nd.ad_network_domain
+        FROM recent r
+        LEFT JOIN assets a ON a.creative_asset_id = r.creative_asset_id
+        LEFT JOIN appsd sap ON sap.store_app = r.store_app
+        LEFT JOIN adv_mmp am
+          ON am.advertiser_store_app_id = r.advertiser_store_app_id
+        LEFT JOIN netd nd
+          ON nd.advertiser_store_app_id = r.advertiser_store_app_id
+        WHERE r.advertiser_store_app_id IS NOT NULL
+    ),
+    agg AS (
+        SELECT advertiser_store_app_id,
+               count(DISTINCT md5_hash) AS unique_creatives,
+               count(DISTINCT store_app) AS unique_publishers,
+               strftime(min(run_at), '%Y-%m-%d %H:%M:%S') AS first_seen,
+               strftime(max(run_at), '%Y-%m-%d %H:%M:%S') AS last_seen,
+               array_to_string(list_sort(list(DISTINCT file_extension)
+                   FILTER (WHERE file_extension IS NOT NULL)), ',')
+                   AS file_types,
+               coalesce(array_to_string(list_sort(
+                   list(DISTINCT ad_network_domain)
+                   FILTER (WHERE ad_network_domain IS NOT NULL)), ','), '')
+                   AS ad_network_domains,
+               round(avg(pub_installs), 4) AS avg_publisher_installs,
+               nullif(coalesce(array_to_string(list_sort(
+                   list(DISTINCT mmp_domain)
+                   FILTER (WHERE mmp_domain IS NOT NULL)), ','), ''), '')
+                   AS mmp_domains
+        FROM base GROUP BY advertiser_store_app_id
+    )
+    SELECT saa.name AS advertiser_name,
+           saa.store_id AS advertiser_store_id,
+           saa.icon_128 AS advertiser_icon_url_100,
+           saa.icon_url_512 AS advertiser_icon_url_512,
+           saa.category AS advertiser_category,
+           saa.installs AS advertiser_installs,
+           saa.rating, saa.rating_count,
+           saa.installs_sum_1w, saa.installs_sum_4w,
+           g.unique_creatives, g.unique_publishers,
+           g.first_seen, g.last_seen, g.file_types, g.ad_network_domains,
+           g.avg_publisher_installs, g.mmp_domains,
+           coalesce(array_to_string(t.top_md5_hashes, ','), '')
+               AS top_md5_hashes
+    FROM agg g
+    LEFT JOIN appsd saa ON saa.store_app = g.advertiser_store_app_id
+    LEFT JOIN top5 t
+      ON t.advertiser_store_app_id = g.advertiser_store_app_id
+    """,
+)
+def advertiser_creative_rankings_recent_month_q(spark, sf):
+    """Trailing-month advertiser creative rollup: recent-window
+    predicate, parent-resolved ad-network domains, MMP domains,
+    count-distinct creatives/publishers, fanout-weighted publisher
+    installs, and the 5 most recent creative md5s in recency order
+    (advertiser_creative_rankings_recent_month__matview.sql:31-116 via
+    plans/frontend.py::advertiser_creative_rankings_recent_month)."""
+    recs, assets, calls, runs, cmap, cos, doms, apps = (
+        _creative_synth_spark(spark, sf)
+    )
+    out = fe.advertiser_creative_rankings_recent_month(
+        recs, assets, calls, runs, cmap, cos, doms, apps,
+        as_of="2024-02-15 00:00:00",
+    )
+    return out.select(
+        "advertiser_name", "advertiser_store_id",
+        "advertiser_icon_url_100", "advertiser_icon_url_512",
+        "advertiser_category", "advertiser_installs",
+        "rating", "rating_count", "installs_sum_1w", "installs_sum_4w",
+        "unique_creatives", "unique_publishers",
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias(
+            "first_seen"
+        ),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.array_join("file_types", ",").alias("file_types"),
+        F.array_join("ad_network_domains", ",").alias("ad_network_domains"),
+        F.round("avg_publisher_installs", 4).alias("avg_publisher_installs"),
+        F.array_join("mmp_domains", ",").alias("mmp_domains"),
+        F.array_join("top_md5_hashes", ",").alias("top_md5_hashes"),
+    )

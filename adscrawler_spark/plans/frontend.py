@@ -1509,3 +1509,421 @@ def companies_creative_rankings(
             "publisher_name", "installs", "rating_count", "last_seen",
         )
     )
+
+
+def companies_category_tag_type_stats(
+    app_companies: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+    company_categories: DataFrame,
+    categories: DataFrame,
+    app_sdks: DataFrame,
+    sdks: DataFrame,
+    sdk_categories: DataFrame,
+) -> DataFrame:
+    """Company × category × tag-source × company-type rollup — the
+    company-dimension variant of category_tag_type_stats.  Port of
+    frontend.companies_category_tag_type_stats
+    (companies_category_tag_type_stats__matview.sql:31-115): the four
+    non-sdk tag booleans lateral-unpivoted and classified through each
+    company's minimum category (slug overrides for app-ads/publisher
+    kinds), UNION ALL an sdk branch restricted to each app's LATEST
+    version code (max version_code_created_at per store_app) and
+    classified through SDK categories.  All joins LEFT per the
+    reference — rows without an app overview keep NULL store/category;
+    ``companies`` arrives pre-flattened with its own registered
+    ``company_domain`` (the reference's c→cd hop).  installs are
+    summed without row dedup while apps are count-DISTINCT — kept
+    bug-for-bug with the matview."""
+    mcc = company_categories.groupBy("company_id").agg(
+        F.min("category_id").alias("category_id")
+    )
+    tag_sources = ["api_call", "publisher", "app_ads_direct",
+                   "app_ads_reseller"]
+    stack_expr = "stack({n}, {pairs}) as (tag_source, present)".format(
+        n=len(tag_sources),
+        pairs=", ".join(f"'{t}', {t}" for t in tag_sources),
+    )
+    slug = (
+        F.when(F.col("tag_source").startswith("app_ads"),
+               F.lit("ad-networks"))
+        .when(F.col("tag_source") == "publisher", F.lit("app-publishers"))
+        .otherwise(F.col("url_slug"))
+    )
+    out_cols = [
+        "store", "app_category", "tag_source", "company_domain",
+        "company_name", "type_url_slug", "app_count", "installs_d30",
+    ]
+    branch_tags = (
+        app_companies.select(
+            "store_app", "domain_id", "company_id", F.expr(stack_expr)
+        )
+        .filter(F.col("present"))
+        .join(F.broadcast(domains), "domain_id", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .join(apps, "store_app", "left")
+        .join(F.broadcast(mcc), "company_id", "left")
+        .join(F.broadcast(categories), "category_id", "left")
+        .groupBy(
+            "store",
+            F.col("category").alias("app_category"),
+            "tag_source",
+            F.coalesce(F.col("company_domain"), F.col("domain_name")).alias(
+                "company_domain"
+            ),
+            "company_name",
+            slug.alias("type_url_slug"),
+        )
+        .agg(
+            F.countDistinct("store_app").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+        )
+    )
+    latest = app_sdks.groupBy("store_app").agg(
+        F.max("version_code_created_at").alias("version_code_created_at")
+    )
+    store_app_sdks = (
+        app_sdks.join(latest, ["store_app", "version_code_created_at"])
+        .select("store_app", "sdk_id")
+        .distinct()
+    )
+    branch_sdk = (
+        store_app_sdks
+        .join(F.broadcast(sdks), "sdk_id", "left")
+        .join(F.broadcast(companies), "company_id", "left")
+        .join(apps, "store_app", "left")
+        .join(F.broadcast(sdk_categories), "sdk_id", "left")
+        .join(F.broadcast(categories), "category_id", "left")
+        .groupBy(
+            "store",
+            F.col("category").alias("app_category"),
+            F.col("company_domain"),
+            "company_name",
+            F.col("url_slug").alias("type_url_slug"),
+        )
+        .agg(
+            F.countDistinct("store_app").alias("app_count"),
+            F.sum("installs_d30").alias("installs_d30"),
+        )
+        .withColumn("tag_source", F.lit("sdk"))
+    )
+    return branch_tags.select(*out_cols).unionByName(
+        branch_sdk.select(*out_cols)
+    )
+
+
+def advertiser_creatives(
+    creative_records: DataFrame,
+    creative_assets: DataFrame,
+    api_calls: DataFrame,
+    scan_runs: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+) -> DataFrame:
+    """Flat creative catalogue row per creative record — every dim
+    (publisher app, advertiser app, host/initial-domain companies, MMP
+    company, asset hashes) flattened onto the record.  Port of
+    frontend.advertiser_creatives (advertiser_creatives__matview.sql:
+    31-77).  The correlated additional-domain array subselect becomes
+    an explode → broadcast dim join → re-aggregate keyed on record_id;
+    the re-collected array is SORTED (the reference's array_agg order
+    is planner-dependent — sorting pins a deterministic refinement).
+
+    ``creative_records``: record_id, creative_asset_id, api_call_id,
+    advertiser_store_app_id, creative_host_domain_id,
+    creative_initial_domain_id, mmp_domain_id, mmp_urls,
+    additional_ad_domain_ids (array<int>); ``api_calls``: api_call_id,
+    store_app, run_id; ``scan_runs``: run_id, run_at; ``company_map``:
+    domain_id, company_id; ``companies``: company_id, company_name,
+    domain_id; ``apps``: store_app, name, store_id, icon_128,
+    icon_url_512."""
+    def dom(alias_id: str, alias_name: str) -> DataFrame:
+        return F.broadcast(domains.select(
+            F.col("domain_id").alias(alias_id),
+            F.col("domain_name").alias(alias_name),
+        ))
+
+    def co(alias_id: str, pfx: str) -> DataFrame:
+        return F.broadcast(
+            company_map.select(
+                F.col("domain_id").alias(alias_id),
+                F.col("company_id").alias(f"{pfx}_company_id"),
+            ).join(
+                companies.select(
+                    F.col("company_id").alias(f"{pfx}_company_id"),
+                    F.col("company_name").alias(f"{pfx}_company_name"),
+                    F.col("domain_id").alias(f"{pfx}_co_domain_id"),
+                ),
+                f"{pfx}_company_id", "left",
+            )
+        )
+
+    extra = (
+        creative_records.select(
+            "record_id", F.explode("additional_ad_domain_ids").alias(
+                "domain_id"
+            )
+        )
+        .join(F.broadcast(domains), "domain_id")
+        .groupBy("record_id")
+        .agg(F.array_sort(F.collect_list("domain_name")).alias(
+            "additional_ad_domain_urls"
+        ))
+    )
+    out = (
+        creative_records
+        .join(F.broadcast(creative_assets), "creative_asset_id", "left")
+        .join(F.broadcast(api_calls), "api_call_id", "left")
+        .join(F.broadcast(scan_runs), "run_id", "left")
+        .join(dom("creative_host_domain_id", "host_domain"),
+              "creative_host_domain_id", "left")
+        .join(dom("creative_initial_domain_id", "ad_domain"),
+              "creative_initial_domain_id", "left")
+        .join(co("creative_host_domain_id", "host"),
+              "creative_host_domain_id", "left")
+        .join(co("creative_initial_domain_id", "ad"),
+              "creative_initial_domain_id", "left")
+        .join(dom("host_co_domain_id", "host_co_domain"),
+              "host_co_domain_id", "left")
+        .join(dom("ad_co_domain_id", "ad_co_domain"),
+              "ad_co_domain_id", "left")
+        .join(
+            F.broadcast(company_map.select(
+                F.col("domain_id").alias("mmp_domain_id"),
+                F.col("company_id").alias("mmp_company_id"),
+            ).join(
+                companies.select(
+                    F.col("company_id").alias("mmp_company_id"),
+                    F.col("company_name").alias("mmp_name"),
+                ),
+                "mmp_company_id", "left",
+            )),
+            "mmp_domain_id", "left",
+        )
+        .join(dom("mmp_domain_id", "mmp_domain"), "mmp_domain_id", "left")
+        .join(
+            F.broadcast(apps.select(
+                F.col("store_app"),
+                F.col("name").alias("pub_name"),
+                F.col("store_id").alias("pub_store_id"),
+                F.col("icon_128").alias("pub_icon_url_100"),
+                F.col("icon_url_512").alias("pub_icon_url_512"),
+            )),
+            "store_app", "left",
+        )
+        .join(
+            F.broadcast(apps.select(
+                F.col("store_app").alias("advertiser_store_app_id"),
+                F.col("name").alias("adv_name"),
+                F.col("store_id").alias("adv_store_id"),
+                F.col("icon_128").alias("adv_icon_url_100"),
+                F.col("icon_url_512").alias("adv_icon_url_512"),
+            )),
+            "advertiser_store_app_id", "left",
+        )
+        .join(extra, "record_id", "left")
+    )
+    return out.select(
+        "record_id",
+        F.col("adv_store_id").alias("advertiser_store_id"),
+        "run_id", "run_at", "pub_name", "adv_name", "pub_store_id",
+        "adv_store_id", "host_domain",
+        F.col("host_company_name").alias("host_domain_company_name"),
+        "ad_domain",
+        F.col("ad_company_name").alias("ad_domain_company_name"),
+        "md5_hash", "file_extension",
+        "pub_icon_url_100", "adv_icon_url_100",
+        "pub_icon_url_512", "adv_icon_url_512",
+        "mmp_name", "mmp_domain", "mmp_urls",
+        F.coalesce(F.col("host_co_domain"), F.col("host_domain")).alias(
+            "host_domain_company_domain"
+        ),
+        F.coalesce(F.col("ad_co_domain"), F.col("ad_domain")).alias(
+            "ad_domain_company_domain"
+        ),
+        F.coalesce(F.col("phash"), F.col("md5_hash")).alias("vhash"),
+        F.coalesce(
+            F.col("additional_ad_domain_urls"),
+            F.array().cast("array<string>"),
+        ).alias("additional_ad_domain_urls"),
+    )
+
+
+def advertiser_creative_rankings_recent_month(
+    creative_records: DataFrame,
+    creative_assets: DataFrame,
+    api_calls: DataFrame,
+    scan_runs: DataFrame,
+    company_map: DataFrame,
+    companies: DataFrame,
+    domains: DataFrame,
+    apps: DataFrame,
+    as_of: str,
+) -> DataFrame:
+    """Per-advertiser creative-activity rollup over the trailing month
+    (records whose scan ``run_at`` ≥ ``as_of`` − 1 month).  Port of
+    frontend.advertiser_creative_rankings_recent_month
+    (advertiser_creative_rankings_recent_month__matview.sql:31-116):
+    MMP domains per advertiser, parent-resolved ad-network domains from
+    the initial+host legs (UNION-deduped), count-distinct creatives /
+    publishers, first/last sighting, and the 5 most recent creative
+    md5s in recency order.  Two determinism pins over the reference:
+    the top-5 window adds md5_hash as a tie-break under equal run_at
+    (the matview's bare ``ORDER BY run_at DESC`` row_number is
+    planner-order under ties), and collected arrays are emitted
+    sorted-distinct without SQL NULL elements (Postgres array_agg
+    DISTINCT would keep a NULL; invisible through array_to_string,
+    which skips NULLs).  avg_publisher_installs keeps the matview's
+    join-fanout weighting bug-for-bug.
+
+    ``companies`` here carries (company_id, company_name, domain_id,
+    parent_company_id); other inputs as in ``advertiser_creatives``.
+    ``apps`` carries store_app, name, store_id, icon_128, icon_url_512,
+    category, installs, rating, rating_count, installs_sum_1w,
+    installs_sum_4w."""
+    cutoff = F.to_timestamp(F.lit(as_of)) - F.expr("INTERVAL 1 MONTH")
+    runs = F.broadcast(scan_runs)
+    cr = (
+        creative_records
+        .join(F.broadcast(api_calls), "api_call_id", "left")
+        .join(runs, "run_id", "left")
+    )
+    recent = cr.filter(F.col("run_at") >= cutoff)
+    # the matview's LEFT JOIN carries `AND advertiser IS NOT NULL` in
+    # the join condition — a null advertiser keeps its row but loses
+    # the domain name; expressed as a post-join null-out.
+    adv_mmp = (
+        creative_records.filter(F.col("mmp_domain_id").isNotNull())
+        .join(
+            F.broadcast(domains.select(
+                F.col("domain_id").alias("mmp_domain_id"),
+                F.col("domain_name").alias("_mmp_domain"),
+            )),
+            "mmp_domain_id", "left",
+        )
+        .select(
+            "advertiser_store_app_id",
+            F.when(
+                F.col("advertiser_store_app_id").isNotNull(),
+                F.col("_mmp_domain"),
+            ).alias("mmp_domain"),
+        )
+        .distinct()
+    )
+    parent_dom = F.broadcast(
+        company_map.join(
+            companies.select("company_id", "domain_id", "parent_company_id")
+            .withColumnRenamed("domain_id", "own_domain_id"),
+            "company_id", "left",
+        )
+        .join(
+            companies.select(
+                F.col("company_id").alias("parent_company_id"),
+                F.col("domain_id").alias("parent_domain_id"),
+            ),
+            "parent_company_id", "left",
+        )
+        .select(
+            "domain_id",
+            F.coalesce(
+                F.col("parent_domain_id"), F.col("own_domain_id")
+            ).alias("resolved_domain_id"),
+        )
+    )
+    def network_leg(id_col: str) -> DataFrame:
+        return (
+            recent.join(
+                parent_dom.withColumnRenamed("domain_id", id_col),
+                id_col,
+            )
+            .select("advertiser_store_app_id", "resolved_domain_id")
+        )
+
+    ad_network_domains = (
+        network_leg("creative_initial_domain_id")
+        .union(network_leg("creative_host_domain_id"))
+        .distinct()
+        .join(
+            F.broadcast(domains.select(
+                F.col("domain_id").alias("resolved_domain_id"),
+                F.col("domain_name").alias("ad_network_domain"),
+            )),
+            "resolved_domain_id", "left",
+        )
+        .select("advertiser_store_app_id", "ad_network_domain")
+    )
+    w = Window.partitionBy("advertiser_store_app_id").orderBy(
+        F.col("run_at").desc(), F.col("md5_hash")
+    )
+    top5 = (
+        recent.join(F.broadcast(creative_assets), "creative_asset_id", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("advertiser_store_app_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "md5_hash"))),
+                lambda x: x["md5_hash"],
+            ).alias("top_md5_hashes")
+        )
+    )
+    base = (
+        recent.filter(F.col("advertiser_store_app_id").isNotNull())
+        .join(F.broadcast(creative_assets), "creative_asset_id", "left")
+        .join(
+            F.broadcast(apps.select(
+                F.col("store_app"),
+                F.col("installs").alias("pub_installs"),
+            )),
+            "store_app", "left",
+        )
+        .join(adv_mmp, "advertiser_store_app_id", "left")
+        .join(ad_network_domains, "advertiser_store_app_id", "left")
+    )
+    agg = base.groupBy("advertiser_store_app_id").agg(
+        F.countDistinct("md5_hash").alias("unique_creatives"),
+        F.countDistinct("store_app").alias("unique_publishers"),
+        F.min("run_at").alias("first_seen"),
+        F.max("run_at").alias("last_seen"),
+        F.array_sort(F.collect_set("file_extension")).alias("file_types"),
+        F.array_sort(F.collect_set("ad_network_domain")).alias(
+            "ad_network_domains"
+        ),
+        F.avg("pub_installs").alias("avg_publisher_installs"),
+        F.array_sort(F.collect_set("mmp_domain")).alias("mmp_domains"),
+    )
+    return (
+        agg.join(
+            F.broadcast(apps.select(
+                F.col("store_app").alias("advertiser_store_app_id"),
+                F.col("name").alias("advertiser_name"),
+                F.col("store_id").alias("advertiser_store_id"),
+                F.col("icon_128").alias("advertiser_icon_url_100"),
+                F.col("icon_url_512").alias("advertiser_icon_url_512"),
+                F.col("category").alias("advertiser_category"),
+                F.col("installs").alias("advertiser_installs"),
+                "rating", "rating_count",
+                "installs_sum_1w", "installs_sum_4w",
+            )),
+            "advertiser_store_app_id", "left",
+        )
+        .join(top5, "advertiser_store_app_id", "left")
+        .select(
+            "advertiser_name", "advertiser_store_id",
+            "advertiser_icon_url_100", "advertiser_icon_url_512",
+            "advertiser_category", "advertiser_installs",
+            "rating", "rating_count", "installs_sum_1w", "installs_sum_4w",
+            "unique_creatives", "unique_publishers",
+            "first_seen", "last_seen", "file_types", "ad_network_domains",
+            "avg_publisher_installs",
+            F.when(F.size("mmp_domains") > 0, F.col("mmp_domains")).alias(
+                "mmp_domains"
+            ),
+            F.coalesce(
+                F.col("top_md5_hashes"), F.array().cast("array<string>")
+            ).alias("top_md5_hashes"),
+        )
+    )
