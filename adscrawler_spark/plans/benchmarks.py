@@ -6207,3 +6207,686 @@ def advertiser_creative_rankings_recent_month_q(spark, sf):
         F.array_join("mmp_domains", ",").alias("mmp_domains"),
         F.array_join("top_md5_hashes", ",").alias("top_md5_hashes"),
     )
+
+
+# =====================================================================
+# Secondary frontier-selection queries (dbcon/sql/query_apps_to_*.sql)
+# =====================================================================
+
+_SCANAPP_SYNTH_SQL = """
+    sapps AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE cast(c_custkey % 4 AS INT) END AS crawl_result,
+               TIMESTAMP '2023-01-01'
+                   + to_days(cast(c_custkey % 500 AS INT))
+                   AS store_last_updated,
+               TIMESTAMP '2024-01-05'
+                   + to_days(cast(c_custkey % 60 AS INT)) AS updated_at,
+               'i1_' || cast(c_custkey AS VARCHAR) AS icon_url_100,
+               c_name AS name
+        FROM customer
+    ),
+    agm AS (
+        SELECT c_custkey AS store_app,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS total_installs,
+               cast(c_custkey % 1000 AS BIGINT) AS total_ratings
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    overview AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               c_name AS name,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS installs,
+               cast(c_custkey % 1000 AS BIGINT) AS rating_count
+        FROM customer
+    )
+"""
+
+
+def _scanapp_synth_spark(spark, sf):
+    c = _t(spark, sf, "customer")
+    sapps = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("c_custkey") % 4).cast("int"))
+        .alias("crawl_result"),
+        F.expr(
+            "timestamp'2023-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 500 as int), 0, 0, 0)"
+        ).alias("store_last_updated"),
+        F.expr(
+            "timestamp'2024-01-05 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 60 as int), 0, 0, 0)"
+        ).alias("updated_at"),
+        F.concat(F.lit("i1_"), F.col("c_custkey").cast("string")).alias(
+            "icon_url_100"
+        ),
+        F.col("c_name").alias("name"),
+    )
+    agm = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("store_app"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias(
+            "total_installs"
+        ),
+        (F.col("c_custkey") % 1000).cast("long").alias("total_ratings"),
+    )
+    overview = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.col("c_name").alias("name"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias("installs"),
+        (F.col("c_custkey") % 1000).cast("long").alias("rating_count"),
+    )
+    return sapps, agm, overview
+
+
+@query(
+    "frontier_secondary_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + """,
+    ranked AS (
+        SELECT c_custkey AS store_app FROM customer WHERE c_custkey % 11 = 0
+    ),
+    ccfg AS (
+        SELECT cast(i AS INT) AS country_id,
+               cast(i % 2 + 1 AS INT) AS priority,
+               CASE WHEN i % 5 = 4 THEN 2 ELSE 1 END AS scenario_id
+        FROM range(0, 10) t(i)
+    ),
+    ctry AS (
+        SELECT cast(i AS INT) AS id, 'C' || cast(i AS VARCHAR) AS alpha2
+        FROM range(0, 10) t(i)
+    ),
+    acc AS (
+        SELECT event_id AS crawl_id, user_id AS store_app,
+               cast(event_id % 10 AS INT) AS country_id,
+               ts AS crawled_at, cast(event_id % 5 AS INT) AS crawl_result
+        FROM events
+    ),
+    target AS (
+        SELECT sa.store, sa.id AS store_app, sa.store_id, sa.icon_url_100,
+               sa.updated_at, sa.store_last_updated,
+               agm.total_installs AS installs,
+               agm.total_ratings AS rating_count
+        FROM sapps sa LEFT JOIN agm ON sa.id = agm.store_app
+        WHERE sa.store = 1
+          AND (sa.crawl_result = 1
+               OR sa.id IN (SELECT store_app FROM ranked)
+               OR sa.store_last_updated > TIMESTAMP '2023-06-01')
+    ),
+    myc AS (
+        SELECT DISTINCT ct.alpha2 AS country_code, cc.country_id
+        FROM ccfg cc LEFT JOIN ctry ct ON cc.country_id = ct.id
+        WHERE cc.priority = 2 AND cc.scenario_id = 1
+    ),
+    lc AS (
+        SELECT store_app, crawled_at, crawl_result FROM (
+            SELECT a.store_app, a.crawled_at, a.crawl_result,
+                   row_number() OVER (
+                       PARTITION BY a.store_app
+                       ORDER BY a.crawled_at DESC, a.crawl_id DESC) AS rn
+            FROM acc a JOIN myc ON a.country_id = myc.country_id
+            WHERE a.crawled_at > TIMESTAMP '2024-01-10'
+        ) WHERE rn = 1
+    ),
+    tocrawl AS (
+        SELECT sa.store, sa.store_app, sa.store_id, sa.icon_url_100,
+               sa.updated_at AS app_updated_at,
+               lc.crawled_at AS last_crawled_at
+        FROM target sa LEFT JOIN lc ON sa.store_app = lc.store_app
+        WHERE (lc.crawled_at <= TIMESTAMP '2024-01-20'
+               AND sa.store_last_updated >= TIMESTAMP '2023-06-01')
+           OR (lc.crawled_at <= TIMESTAMP '2024-01-10'
+               OR lc.crawl_result IS NULL)
+        ORDER BY CASE WHEN lc.crawl_result IS NULL THEN 0 ELSE 1 END,
+                 CASE WHEN lc.crawled_at < TIMESTAMP '2024-01-10'
+                      THEN 0 ELSE 1 END,
+                 greatest(coalesce(sa.installs, 0),
+                          coalesce(cast(sa.rating_count AS BIGINT), 0))
+                     DESC,
+                 sa.store_app
+        LIMIT 200
+    )
+    SELECT store, store_app, store_id, icon_url_100,
+           strftime(app_updated_at, '%Y-%m-%d %H:%M:%S.%f') AS app_updated_at,
+           strftime(last_crawled_at, '%Y-%m-%d %H:%M:%S.%f') AS last_crawled_at,
+           c.country_code
+    FROM tocrawl CROSS JOIN myc c
+    """,
+)
+def frontier_secondary_priority_q(spark, sf):
+    """Secondary country-tier recrawl frontier: target-app OR filter,
+    tier-2 country config, latest-crawl watermark, long-update/annual
+    conditions, 3-key claim order + LIMIT, country fan-out
+    (query_apps_to_update_secondary.sql:1-127 via
+    plans/scan_frontier.py::apps_to_update_secondary)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, agm, _overview = _scanapp_synth_spark(spark, sf)
+    c = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    spark_sess = c.sparkSession
+    ranked = c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.col("c_custkey").alias("store_app")
+    )
+    ccfg = spark_sess.range(0, 10).select(
+        F.col("id").cast("int").alias("country_id"),
+        (F.col("id") % 2 + 1).cast("int").alias("priority"),
+        F.when(F.col("id") % 5 == 4, F.lit(2)).otherwise(F.lit(1)).alias(
+            "scenario_id"
+        ),
+    )
+    ctry = spark_sess.range(0, 10).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("C"), F.col("id").cast("string")).alias("alpha2"),
+    )
+    acc = ev.select(
+        F.col("event_id").alias("crawl_id"),
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 10).cast("int").alias("country_id"),
+        F.col("ts").alias("crawled_at"),
+        (F.col("event_id") % 5).cast("int").alias("crawl_result"),
+    )
+    out = sfr.apps_to_update_secondary(
+        sapps, agm, ranked, ccfg, ctry, acc,
+        store=1, country_crawl_priority=2,
+        year_ago_ts="2023-06-01 00:00:00",
+        max_recrawl_ts="2024-01-10 00:00:00",
+        long_update_ts="2024-01-20 00:00:00",
+        limit=200,
+    )
+    return out.select(
+        "store", "store_app", "store_id", "icon_url_100",
+        F.date_format("app_updated_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("app_updated_at"),
+        F.date_format("last_crawled_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_crawled_at"),
+        "country_code",
+    )
+
+
+@query(
+    "frontier_any_new",
+    "WITH " + _SCANAPP_SYNTH_SQL + """
+    SELECT store, id AS store_app, store_id, 'US' AS country_code,
+           icon_url_100, strftime(updated_at, '%Y-%m-%d %H:%M:%S.%f') AS app_updated_at
+    FROM sapps
+    WHERE store = 1 AND crawl_result IS NULL
+    ORDER BY id LIMIT 100
+    """,
+)
+def frontier_any_new_q(spark, sf):
+    """Never-crawled app frontier (query_apps_to_update_any_new.sql via
+    plans/scan_frontier.py::apps_to_update_any_new)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, _agm, _overview = _scanapp_synth_spark(spark, sf)
+    out = sfr.apps_to_update_any_new(sapps, store=1, limit=100)
+    return out.select(
+        "store", "store_app", "store_id", "country_code", "icon_url_100",
+        F.date_format("app_updated_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("app_updated_at"),
+    )
+
+
+_VC_SYNTH_SQL = """
+    vcs AS (
+        SELECT event_id AS id, user_id AS store_app,
+               'v' || cast(event_id % 90 AS VARCHAR) AS version_code,
+               ts AS created_at
+        FROM events
+    ),
+    s3k AS (
+        SELECT event_id AS version_code_id,
+               'r' || cast(event_id % 2 AS VARCHAR) AS myregion,
+               'k' || cast(event_id AS VARCHAR) AS file_key
+        FROM events WHERE event_id % 3 <> 0
+    ),
+    allvc AS (
+        SELECT vc.id, vc.store_app, vc.version_code, s.myregion,
+               s.file_key, vc.created_at AS downloaded_at
+        FROM vcs vc JOIN s3k s ON vc.id = s.version_code_id
+    ),
+    lvc AS (
+        SELECT id, store_app, version_code, myregion, file_key,
+               downloaded_at
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY store_app
+                ORDER BY downloaded_at DESC, id DESC) AS rn
+            FROM allvc
+        ) WHERE rn = 1
+    ),
+    urs AS (
+        SELECT 'sid' || cast(c_custkey % 150 AS VARCHAR) AS store_id,
+               TIMESTAMP '2024-01-15'
+                   + to_days(cast(c_custkey % 30 AS INT)) AS created_at,
+               c_custkey AS request_id
+        FROM customer WHERE c_custkey % 41 = 0
+    )
+"""
+
+
+def _vc_synth_spark(spark, sf):
+    ev = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    vcs = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("store_app"),
+        F.concat(F.lit("v"), (F.col("event_id") % 90).cast("string")).alias(
+            "version_code"
+        ),
+        F.col("ts").alias("created_at"),
+    )
+    s3k = ev.filter(F.col("event_id") % 3 != 0).select(
+        F.col("event_id").alias("version_code_id"),
+        F.concat(F.lit("r"), (F.col("event_id") % 2).cast("string")).alias(
+            "myregion"
+        ),
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias(
+            "file_key"
+        ),
+    )
+    urs = c.filter(F.col("c_custkey") % 41 == 0).select(
+        F.concat(F.lit("sid"), (F.col("c_custkey") % 150).cast("string"))
+        .alias("store_id"),
+        F.expr(
+            "timestamp'2024-01-15 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 30 as int), 0, 0, 0)"
+        ).alias("created_at"),
+        F.col("c_custkey").alias("request_id"),
+    )
+    return vcs, s3k, urs
+
+
+@query(
+    "sdk_scan_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + "," + _VC_SYNTH_SQL + """,
+    sscans AS (
+        SELECT event_id AS scan_id,
+               cast(event_id - (event_id % 10) AS BIGINT)
+                   AS version_code_id,
+               ts + to_days(cast(event_id % 40 AS INT)) AS scanned_at,
+               cast(event_id % 5 AS INT) AS scan_result
+        FROM events WHERE event_id % 2 = 0
+    ),
+    vcids AS (SELECT DISTINCT id FROM allvc),
+    ls AS (
+        SELECT version_code_id, scanned_at, scan_result FROM (
+            SELECT sc.*, row_number() OVER (
+                PARTITION BY sc.version_code_id
+                ORDER BY sc.scanned_at DESC, sc.scan_id DESC) AS rn
+            FROM sscans sc JOIN vcids v ON sc.version_code_id = v.id
+        ) WHERE rn = 1
+    ),
+    lsvc AS (
+        SELECT version_code_id, scanned_at, scan_result FROM (
+            SELECT sc.*, row_number() OVER (
+                PARTITION BY sc.version_code_id
+                ORDER BY sc.scanned_at DESC, sc.scan_id DESC) AS rn
+            FROM sscans sc JOIN vcids v ON sc.version_code_id = v.id
+            WHERE sc.scan_result = 1
+        ) WHERE rn = 1
+    ),
+    sched AS (
+        SELECT vc.store_app, vc.id AS version_code_db_id,
+               vc.version_code AS version_code_str,
+               sa.store_id, sa.name, sa.installs, sa.rating_count,
+               'regular' AS mysource,
+               ls.scan_result AS last_analyzed_result,
+               ls.scanned_at AS last_scanned_at,
+               lsvc.scanned_at AS last_scuccess_scanned_at
+        FROM allvc vc
+        LEFT JOIN overview sa ON vc.store_app = sa.id
+        LEFT JOIN ls ON vc.id = ls.version_code_id
+        LEFT JOIN lsvc ON vc.id = lsvc.version_code_id
+        WHERE sa.store = 1 AND (
+            ls.scanned_at IS NULL
+            OR ((lsvc.scan_result = 1
+                 AND lsvc.scanned_at < DATE '2024-08-01' - INTERVAL 180 DAY
+                 AND ls.scanned_at < DATE '2024-08-01' - INTERVAL 5 DAY)
+                OR (ls.scan_result IN (2, 3, 4)
+                    AND ((lsvc.scanned_at
+                              < DATE '2024-08-01' - INTERVAL 90 DAY
+                          OR lsvc.scanned_at IS NULL)
+                         AND ls.scanned_at
+                             < DATE '2024-08-01' - INTERVAL 5 DAY)))
+        )
+    ),
+    user_b AS (
+        SELECT store_app, version_code_db_id, version_code_str, store_id,
+               name, installs, rating_count, mysource,
+               last_analyzed_result, last_scanned_at,
+               last_scuccess_scanned_at
+        FROM (
+            SELECT sa.id AS store_app, lvc.id AS version_code_db_id,
+                   lvc.version_code AS version_code_str,
+                   sa.store_id, sa.name,
+                   agm.total_installs AS installs,
+                   agm.total_ratings AS rating_count,
+                   'user' AS mysource,
+                   ls.scan_result AS last_analyzed_result,
+                   ls.scanned_at AS last_scanned_at,
+                   lsvc.scanned_at AS last_scuccess_scanned_at,
+                   row_number() OVER (
+                       PARTITION BY sa.id
+                       ORDER BY urs.created_at DESC,
+                                urs.request_id DESC) AS rn
+            FROM urs
+            LEFT JOIN sapps sa ON urs.store_id = sa.store_id
+            LEFT JOIN agm ON sa.id = agm.store_app
+            JOIN lvc ON sa.id = lvc.store_app
+            LEFT JOIN ls ON lvc.id = ls.version_code_id
+            LEFT JOIN lsvc ON lvc.id = lsvc.version_code_id
+            WHERE (lsvc.scanned_at < urs.created_at
+                   OR lsvc.scanned_at IS NULL
+                   OR lvc.downloaded_at > ls.scanned_at)
+              AND sa.store = 1
+        ) WHERE rn = 1
+    )
+    SELECT store_app, version_code_db_id, version_code_str, store_id,
+           name, installs, rating_count, mysource, last_analyzed_result,
+           strftime(last_scanned_at, '%Y-%m-%d %H:%M:%S.%f') AS last_scanned_at,
+           strftime(last_scuccess_scanned_at, '%Y-%m-%d %H:%M:%S.%f') AS last_scuccess_scanned_at
+    FROM user_b
+    UNION ALL
+    SELECT store_app, version_code_db_id, version_code_str, store_id,
+           name, installs, rating_count, mysource, last_analyzed_result,
+           strftime(last_scanned_at, '%Y-%m-%d %H:%M:%S.%f') AS last_scanned_at,
+           strftime(last_scuccess_scanned_at, '%Y-%m-%d %H:%M:%S.%f') AS last_scuccess_scanned_at
+    FROM sched
+    """,
+)
+def sdk_scan_priority_q(spark, sf):
+    """SDK-scan frontier: stored-binary version codes, 180/90/5-day
+    rescan ladders, user-requested retriggers
+    (query_apps_to_sdk_scan.sql:1-231 via
+    plans/scan_frontier.py::apps_to_sdk_scan)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, agm, overview = _scanapp_synth_spark(spark, sf)
+    vcs, s3k, urs = _vc_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    sscans = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("scan_id"),
+        (F.col("event_id") - (F.col("event_id") % 10)).cast("long").alias(
+            "version_code_id"
+        ),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 40 as int), 0, 0, 0)"
+        ).alias("scanned_at"),
+        (F.col("event_id") % 5).cast("int").alias("scan_result"),
+    )
+    out = sfr.apps_to_sdk_scan(
+        vcs, s3k, sscans, overview, sapps, agm, urs,
+        store=1, as_of="2024-08-01",
+    )
+    return out.select(
+        "store_app", "version_code_db_id", "version_code_str", "store_id",
+        "name", "installs", "rating_count", "mysource",
+        "last_analyzed_result",
+        F.date_format("last_scanned_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_scanned_at"),
+        F.date_format("last_scuccess_scanned_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_scuccess_scanned_at"
+        ),
+    )
+
+
+@query(
+    "api_scan_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + "," + _VC_SYNTH_SQL + """,
+    ascans AS (
+        SELECT event_id AS run_seq,
+               cast(event_id - (event_id % 7) AS BIGINT) AS version_code_id,
+               ts + to_days(cast(event_id % 50 AS INT)) AS run_at,
+               cast(event_id % 4 AS INT) AS run_result
+        FROM events WHERE event_id % 31 = 1
+    ),
+    alog AS (
+        SELECT user_id AS store_app, cast(event_id % 3 AS INT)
+                   AS crawl_result,
+               ts + to_days(cast(event_id % 150 AS INT)) AS updated_at
+        FROM events WHERE event_id % 4 = 2
+    ),
+    lsA AS (
+        SELECT version_code_id, store_app, run_at, run_result FROM (
+            SELECT a.version_code_id, vc.store_app, a.run_at, a.run_result,
+                   row_number() OVER (
+                       PARTITION BY vc.store_app
+                       ORDER BY a.run_at DESC, a.run_seq DESC) AS rn
+            FROM ascans a LEFT JOIN vcs vc ON a.version_code_id = vc.id
+        ) WHERE rn = 1
+    ),
+    lssA AS (
+        SELECT version_code_id, run_at FROM (
+            SELECT a.version_code_id, vc.store_app, a.run_at,
+                   row_number() OVER (
+                       PARTITION BY vc.store_app
+                       ORDER BY a.run_at DESC, a.run_seq DESC) AS rn
+            FROM ascans a LEFT JOIN vcs vc ON a.version_code_id = vc.id
+            WHERE a.run_result = 1
+        ) WHERE rn = 1
+    ),
+    failed AS (
+        SELECT store_app, count(*) AS failed_attempts
+        FROM alog
+        WHERE crawl_result <> 1
+          AND updated_at >= DATE '2024-06-01' - INTERVAL 10 DAY
+        GROUP BY store_app
+    ),
+    schedA AS (
+        SELECT lvc.store_app, sa.store_id, sa.name,
+               lvc.version_code AS version_string,
+               lvc.id AS version_code_id,
+               agm.total_installs AS installs,
+               ls.run_at AS last_run_at, fr.failed_attempts,
+               ls.run_result AS last_run_result,
+               lss.run_at AS last_succesful_run_at,
+               CAST(NULL AS TIMESTAMP) AS user_requested_at,
+               'scheduled' AS mysource
+        FROM lvc
+        LEFT JOIN lsA ls ON lvc.store_app = ls.store_app
+        LEFT JOIN lssA lss ON lvc.id = lss.version_code_id
+        LEFT JOIN sapps sa ON lvc.store_app = sa.id
+        LEFT JOIN agm ON sa.id = agm.store_app
+        LEFT JOIN failed fr ON sa.id = fr.store_app
+        WHERE (ls.run_at <= DATE '2024-06-01' - INTERVAL 120 DAY
+               OR ls.run_at IS NULL)
+          AND sa.store = 1
+          AND (fr.failed_attempts < 1 OR fr.failed_attempts IS NULL)
+    ),
+    userA AS (
+        SELECT store_app, store_id, name, version_string,
+               version_code_id, installs, last_run_at, failed_attempts,
+               last_run_result, last_succesful_run_at, user_requested_at,
+               mysource
+        FROM (
+            SELECT sa.id AS store_app, sa.store_id, sa.name,
+                   lvc.version_code AS version_string,
+                   lvc.id AS version_code_id,
+                   agm.total_installs AS installs,
+                   ls.run_at AS last_run_at, fr.failed_attempts,
+                   ls.run_result AS last_run_result,
+                   lss.run_at AS last_succesful_run_at,
+                   urs.created_at AS user_requested_at,
+                   'user' AS mysource,
+                   row_number() OVER (
+                       PARTITION BY sa.id
+                       ORDER BY urs.created_at DESC,
+                                urs.request_id DESC) AS rn
+            FROM urs
+            LEFT JOIN sapps sa ON urs.store_id = sa.store_id
+            LEFT JOIN agm ON sa.id = agm.store_app
+            JOIN lvc ON sa.id = lvc.store_app
+            LEFT JOIN lsA ls ON lvc.id = ls.version_code_id
+            LEFT JOIN lssA lss ON lvc.id = lss.version_code_id
+            LEFT JOIN failed fr ON sa.id = fr.store_app
+            WHERE (ls.run_at < urs.created_at OR ls.run_at IS NULL)
+              AND sa.store = 1
+              AND (fr.failed_attempts < 1 OR fr.failed_attempts IS NULL)
+        ) WHERE rn = 1
+    )
+    SELECT store_app, store_id, name, version_string, version_code_id,
+           installs, strftime(last_run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_run_at,
+           failed_attempts, last_run_result,
+           strftime(last_succesful_run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_succesful_run_at,
+           strftime(user_requested_at, '%Y-%m-%d %H:%M:%S.%f') AS user_requested_at, mysource
+    FROM userA
+    UNION ALL
+    SELECT store_app, store_id, name, version_string, version_code_id,
+           installs, strftime(last_run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_run_at,
+           failed_attempts, last_run_result,
+           strftime(last_succesful_run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_succesful_run_at,
+           strftime(user_requested_at, '%Y-%m-%d %H:%M:%S.%f') AS user_requested_at, mysource
+    FROM schedA
+    """,
+)
+def api_scan_priority_q(spark, sf):
+    """API-scan frontier: 120-day recrawl over latest stored version
+    codes, 10-day failed-attempt throttle, user-requested retriggers
+    (query_apps_to_api_scan.sql:1-149 via
+    plans/scan_frontier.py::apps_to_api_scan)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, agm, _overview = _scanapp_synth_spark(spark, sf)
+    vcs, s3k, urs = _vc_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    ascans = ev.filter(F.col("event_id") % 31 == 1).select(
+        F.col("event_id").alias("run_seq"),
+        (F.col("event_id") - (F.col("event_id") % 7)).cast("long").alias(
+            "version_code_id"
+        ),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 50 as int), 0, 0, 0)"
+        ).alias("run_at"),
+        (F.col("event_id") % 4).cast("int").alias("run_result"),
+    )
+    alog = ev.filter(F.col("event_id") % 4 == 2).select(
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 3).cast("int").alias("crawl_result"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 150 as int), 0, 0, 0)"
+        ).alias("updated_at"),
+    )
+    out = sfr.apps_to_api_scan(
+        vcs, s3k, ascans, alog, sapps, agm, urs,
+        store=1, as_of="2024-06-01",
+    )
+    return out.select(
+        "store_app", "store_id", "name", "version_string",
+        "version_code_id", "installs",
+        F.date_format("last_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_run_at"),
+        "failed_attempts", "last_run_result",
+        F.date_format("last_succesful_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_succesful_run_at"
+        ),
+        F.date_format("user_requested_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("user_requested_at"),
+        "mysource",
+    )
+
+
+@query(
+    "creative_scan_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + """,
+    acalls AS (
+        SELECT event_id AS api_call_id, user_id AS store_app,
+               cast(event_id % 240 AS INT) AS run_id,
+               CASE cast(event_id % 6 AS INT)
+                   WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'Video/MP4'
+                   WHEN 2 THEN 'text/html' WHEN 3 THEN 'image/svg'
+                   WHEN 4 THEN NULL ELSE 'application/json'
+               END AS request_mime_type,
+               CASE cast(event_id % 7 AS INT)
+                   WHEN 0 THEN 'VIDEO/quicktime' WHEN 1 THEN 'image/webp'
+                   ELSE 'text/plain'
+               END AS response_mime_type,
+               CASE WHEN event_id % 11 = 0 THEN 404 ELSE 200 END
+                   AS status_code,
+               cast(event_id % 3 AS BIGINT) * 60000 + 20000
+                   AS response_size_bytes,
+               ts AS called_at
+        FROM events
+    ),
+    cslog AS (
+        SELECT cast(event_id % 240 AS INT) AS run_id,
+               ts + to_days(cast(event_id % 15 AS INT)) AS inserted_at
+        FROM events WHERE event_id % 5 = 0
+    ),
+    my_runs AS (
+        SELECT DISTINCT ac.run_id, sa.store_id
+        FROM acalls ac
+        LEFT JOIN sapps sa ON ac.store_app = sa.id
+        WHERE (regexp_matches(ac.request_mime_type,
+                   '(image|video)/(jpeg|jpg|png|gif|webp|webm|mp4|avi|quicktime)',
+                   'i')
+               OR regexp_matches(ac.response_mime_type,
+                   '(image|video)/(jpeg|jpg|png|gif|webp|webm|mp4|avi|quicktime)',
+                   'i'))
+          AND ac.status_code = 200
+          AND ac.response_size_bytes > 80000
+          AND ac.called_at >= TIMESTAMP '2024-01-05'
+          AND ac.called_at
+              <= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 1 HOUR
+    ),
+    last_runs AS (
+        SELECT run_id, max(inserted_at) AS last_run_at
+        FROM cslog
+        WHERE run_id IN (SELECT run_id FROM my_runs)
+        GROUP BY run_id
+    )
+    SELECT mr.run_id, mr.store_id,
+           strftime(lr.last_run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_run_at
+    FROM my_runs mr LEFT JOIN last_runs lr ON mr.run_id = lr.run_id
+    """,
+)
+def creative_scan_priority_q(spark, sf):
+    """Creative-scan frontier: media-mime runs over 80 kB settled for
+    an hour, stalest-first by last scan
+    (query_apps_to_creative_scan.sql:1-54 via
+    plans/scan_frontier.py::apps_to_creative_scan)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, _agm, _overview = _scanapp_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    acalls = ev.select(
+        F.col("event_id").alias("api_call_id"),
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 240).cast("int").alias("run_id"),
+        F.element_at(
+            F.array(
+                F.lit("image/jpeg"), F.lit("Video/MP4"), F.lit("text/html"),
+                F.lit("image/svg"), F.lit(None).cast("string"),
+                F.lit("application/json"),
+            ),
+            ((F.col("event_id") % 6) + 1).cast("int"),
+        ).alias("request_mime_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("VIDEO/quicktime"))
+        .when(F.col("event_id") % 7 == 1, F.lit("image/webp"))
+        .otherwise(F.lit("text/plain")).alias("response_mime_type"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(404))
+        .otherwise(F.lit(200)).alias("status_code"),
+        ((F.col("event_id") % 3) * 60000 + 20000).cast("long").alias(
+            "response_size_bytes"
+        ),
+        F.col("ts").alias("called_at"),
+    )
+    cslog = ev.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id") % 240).cast("int").alias("run_id"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 15 as int), 0, 0, 0)"
+        ).alias("inserted_at"),
+    )
+    out = sfr.apps_to_creative_scan(
+        acalls, sapps, cslog,
+        earliest_date="2024-01-05 00:00:00",
+        as_of="2024-01-25 00:00:00",
+    )
+    return out.select(
+        "run_id", "store_id",
+        F.date_format("last_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_run_at"),
+    )
