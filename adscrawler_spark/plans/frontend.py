@@ -1791,7 +1791,15 @@ def advertiser_creative_rankings_recent_month(
         .join(F.broadcast(api_calls), "api_call_id", "left")
         .join(runs, "run_id", "left")
     )
-    recent = cr.filter(F.col("run_at") >= cutoff)
+    # `recent` feeds four independent plan branches (both ad-network
+    # legs, the top-5 window, and the base aggregation); without
+    # truncation each branch re-reads and re-joins the records table.
+    # localCheckpoint materializes the month window once — bounded
+    # state (one month of creative records) — and the ContextCleaner
+    # reclaims the blocks (same pattern as operators/chains.py).
+    recent = cr.filter(F.col("run_at") >= cutoff).localCheckpoint(
+        eager=False
+    )
     # the matview's LEFT JOIN carries `AND advertiser IS NOT NULL` in
     # the join condition — a null advertiser keeps its row but loses
     # the domain name; expressed as a post-join null-out.
@@ -1870,6 +1878,19 @@ def advertiser_creative_rankings_recent_month(
             ).alias("top_md5_hashes")
         )
     )
+    # The matview LEFT-joins adv_mmp and ad_network_domains onto every
+    # record row, fanning each advertiser's rows by n_mmp × n_domains
+    # before aggregating (a ~100×+ row blowup).  Both fan-outs are
+    # keyed on the advertiser ALONE, so the multiplier is uniform
+    # within every group — which makes every aggregate here provably
+    # fanout-invariant: count(DISTINCT …), min/max and collect_set
+    # trivially, and avg(pub_installs) because repeating every row of
+    # a group k times leaves its mean unchanged.  The decomposition
+    # below (aggregate the record rows, collect the mmp/domain arrays
+    # separately, join per advertiser) is therefore semantically
+    # identical to the matview INCLUDING its weighting — not a pin —
+    # while shuffling |records| + |domains| rows instead of their
+    # product.
     base = (
         recent.filter(F.col("advertiser_store_app_id").isNotNull())
         .join(F.broadcast(creative_assets), "creative_asset_id", "left")
@@ -1880,8 +1901,6 @@ def advertiser_creative_rankings_recent_month(
             )),
             "store_app", "left",
         )
-        .join(adv_mmp, "advertiser_store_app_id", "left")
-        .join(ad_network_domains, "advertiser_store_app_id", "left")
     )
     agg = base.groupBy("advertiser_store_app_id").agg(
         F.countDistinct("md5_hash").alias("unique_creatives"),
@@ -1889,11 +1908,29 @@ def advertiser_creative_rankings_recent_month(
         F.min("run_at").alias("first_seen"),
         F.max("run_at").alias("last_seen"),
         F.array_sort(F.collect_set("file_extension")).alias("file_types"),
+        F.avg("pub_installs").alias("avg_publisher_installs"),
+    )
+    mmp_arrays = adv_mmp.groupBy("advertiser_store_app_id").agg(
+        F.array_sort(F.collect_set("mmp_domain")).alias("mmp_domains")
+    )
+    net_arrays = ad_network_domains.groupBy("advertiser_store_app_id").agg(
         F.array_sort(F.collect_set("ad_network_domain")).alias(
             "ad_network_domains"
-        ),
-        F.avg("pub_installs").alias("avg_publisher_installs"),
-        F.array_sort(F.collect_set("mmp_domain")).alias("mmp_domains"),
+        )
+    )
+    agg = (
+        agg.join(mmp_arrays, "advertiser_store_app_id", "left")
+        .join(net_arrays, "advertiser_store_app_id", "left")
+        .withColumn(
+            "mmp_domains",
+            F.coalesce(F.col("mmp_domains"), F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "ad_network_domains",
+            F.coalesce(
+                F.col("ad_network_domains"), F.array().cast("array<string>")
+            ),
+        )
     )
     return (
         agg.join(
