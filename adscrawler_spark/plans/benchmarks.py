@@ -6651,7 +6651,7 @@ def sdk_scan_priority_q(spark, sf):
         SELECT user_id AS store_app, cast(event_id % 3 AS INT)
                    AS crawl_result,
                ts + to_days(cast(event_id % 150 AS INT)) AS updated_at
-        FROM events WHERE event_id % 4 = 2
+        FROM events WHERE event_id % 83 = 2
     ),
     lsA AS (
         SELECT version_code_id, store_app, run_at, run_result FROM (
@@ -6766,7 +6766,7 @@ def api_scan_priority_q(spark, sf):
         ).alias("run_at"),
         (F.col("event_id") % 4).cast("int").alias("run_result"),
     )
-    alog = ev.filter(F.col("event_id") % 4 == 2).select(
+    alog = ev.filter(F.col("event_id") % 83 == 2).select(
         F.col("user_id").alias("store_app"),
         (F.col("event_id") % 3).cast("int").alias("crawl_result"),
         F.expr(
@@ -6889,4 +6889,372 @@ def creative_scan_priority_q(spark, sf):
     return out.select(
         "run_id", "store_id",
         F.date_format("last_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_run_at"),
+    )
+
+
+@query(
+    "apps_missing_icon_variants",
+    """
+    WITH icons AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE cast(c_custkey % 3 AS INT) END AS crawl_result,
+               TIMESTAMP '2024-01-05'
+                   + to_days(cast(c_custkey % 60 AS INT)) AS updated_at,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE 'u512_' || cast(c_custkey AS VARCHAR)
+               END AS icon_url_512,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL
+                    ELSE 'i128_' || cast(c_custkey AS VARCHAR)
+               END AS icon_128,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE 'i64_' || cast(c_custkey AS VARCHAR)
+               END AS icon_64
+        FROM customer
+    ),
+    ilog AS (
+        SELECT c_custkey AS store_app,
+               TIMESTAMP '2024-01-01'
+                   + to_days(cast(c_custkey % 10 AS INT)) AS crawled_at
+        FROM customer WHERE c_custkey % 6 = 0
+    )
+    SELECT sa.id, sa.store_id, sa.store, sa.icon_url_512, sa.icon_128,
+           sa.icon_64
+    FROM icons sa
+    LEFT JOIN ilog ON sa.id = ilog.store_app
+    WHERE (sa.icon_128 IS NULL OR sa.icon_64 IS NULL)
+      AND sa.icon_url_512 IS NOT NULL
+      AND sa.crawl_result = 1
+      AND sa.store = 1
+      AND (ilog.store_app IS NULL
+           OR ilog.crawled_at < DATE '2024-01-08' - INTERVAL 3 DAY)
+    ORDER BY CASE
+        WHEN sa.icon_128 IS NULL AND sa.icon_64 IS NULL THEN 0
+        WHEN sa.icon_128 IS NULL OR sa.icon_64 IS NULL THEN 1
+        ELSE 2 END ASC,
+        sa.updated_at DESC, sa.id
+    LIMIT 150
+    """,
+)
+def apps_missing_icon_variants_q(spark, sf):
+    """Icon-variant repair frontier: 512px source present, 128/64
+    variant missing, 3-day recrawl cooldown, both-missing first
+    (query_apps_missing_icon_variants.sql:1-30 via
+    plans/scan_frontier.py::apps_missing_icon_variants)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    c = _t(spark, sf, "customer")
+    icons = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("c_custkey") % 3).cast("int"))
+        .alias("crawl_result"),
+        F.expr(
+            "timestamp'2024-01-05 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 60 as int), 0, 0, 0)"
+        ).alias("updated_at"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("u512_"), F.col("c_custkey").cast("string")))
+        .alias("icon_url_512"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("i128_"), F.col("c_custkey").cast("string")))
+        .alias("icon_128"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("i64_"), F.col("c_custkey").cast("string")))
+        .alias("icon_64"),
+    )
+    ilog = c.filter(F.col("c_custkey") % 6 == 0).select(
+        F.col("c_custkey").alias("store_app"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 10 as int), 0, 0, 0)"
+        ).alias("crawled_at"),
+    )
+    return sfr.apps_missing_icon_variants(
+        icons, ilog, store_filter=1, as_of="2024-01-08", limit=150
+    )
+
+
+@query(
+    "apps_mitm_in_s3",
+    "WITH " + _SCANAPP_SYNTH_SQL + """,
+    vcs AS (
+        SELECT event_id AS id, user_id AS store_app,
+               'v' || cast(event_id % 90 AS VARCHAR) AS version_code,
+               ts AS created_at
+        FROM events
+    ),
+    ascans AS (
+        SELECT event_id AS run_seq,
+               cast(event_id - (event_id % 7) AS BIGINT) AS version_code_id,
+               ts + to_days(cast(event_id % 50 AS INT)) AS run_at,
+               cast(event_id % 4 AS INT) AS run_result
+        FROM events WHERE event_id % 31 = 1
+    )
+    SELECT a.run_seq AS run_id, sa.store_id, vc.store_app,
+           vc.version_code AS version_str
+    FROM ascans a
+    LEFT JOIN vcs vc ON a.version_code_id = vc.id
+    LEFT JOIN sapps sa ON vc.store_app = sa.id
+    WHERE a.run_result = 1 AND sa.store = 1
+    """,
+)
+def apps_mitm_in_s3_q(spark, sf):
+    """Successful API-scan runs flattened to (run, app, version)
+    (query_apps_mitm_in_s3.sql:1-19 via
+    plans/scan_frontier.py::apps_mitm_in_s3)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, _agm, _o = _scanapp_synth_spark(spark, sf)
+    vcs, _s3k, _urs = _vc_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    ascans = ev.filter(F.col("event_id") % 31 == 1).select(
+        F.col("event_id").alias("run_seq"),
+        (F.col("event_id") - (F.col("event_id") % 7)).cast("long").alias(
+            "version_code_id"
+        ),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 50 as int), 0, 0, 0)"
+        ).alias("run_at"),
+        (F.col("event_id") % 4).cast("int").alias("run_result"),
+    )
+    return sfr.apps_mitm_in_s3(ascans, vcs, sapps, store=1)
+
+
+@query(
+    "sdk_scan_fix_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + """,
+    vcs2 AS (
+        SELECT event_id AS id, user_id AS store_app,
+               CASE WHEN event_id % 50 = 0 THEN '-1'
+                    ELSE 'v' || cast(event_id % 90 AS VARCHAR)
+               END AS version_code,
+               ts AS created_at
+        FROM events
+    ),
+    sscans AS (
+        SELECT event_id AS scan_id,
+               cast(event_id - (event_id % 10) AS BIGINT)
+                   AS version_code_id,
+               ts + to_days(cast(event_id % 40 AS INT)) AS scanned_at,
+               cast(event_id % 5 AS INT) AS scan_result
+        FROM events WHERE event_id % 2 = 0
+    ),
+    strings AS (
+        SELECT DISTINCT user_id AS store_app FROM events
+        WHERE event_id % 9 = 0 AND user_id % 3 = 0
+    ),
+    latest AS (
+        SELECT id, store_app, version_code, store, store_id FROM (
+            SELECT vc.id, vc.store_app, vc.version_code,
+                   sa.store, sa.store_id,
+                   row_number() OVER (
+                       PARTITION BY vc.store_app
+                       ORDER BY vc.created_at DESC, vc.id DESC) AS rn
+            FROM vcs2 vc
+            LEFT JOIN sapps sa ON vc.store_app = sa.id
+            WHERE vc.version_code <> '-1'
+              AND vc.created_at < DATE '2024-01-20' - INTERVAL 3 DAY
+              AND sa.store = 1
+        ) WHERE rn = 1
+    ),
+    last_scan AS (
+        SELECT version_code_id AS id, scanned_at FROM (
+            SELECT sc.version_code_id, sc.scanned_at,
+                   row_number() OVER (
+                       PARTITION BY sc.version_code_id
+                       ORDER BY sc.scanned_at DESC, sc.scan_id DESC) AS rn
+            FROM sscans sc
+            JOIN latest l ON sc.version_code_id = l.id
+        ) WHERE rn = 1
+    )
+    SELECT l.store_app, l.store, l.store_id,
+           l.id AS latest_version_code_db_id,
+           l.version_code AS version_code_str
+    FROM latest l
+    LEFT JOIN last_scan ls ON l.id = ls.id
+    WHERE (ls.scanned_at < DATE '2024-01-20' - INTERVAL 3 DAY
+           OR ls.scanned_at IS NULL)
+      AND l.store_app NOT IN (SELECT store_app FROM strings)
+    """,
+)
+def sdk_scan_fix_priority_q(spark, sf):
+    """SDK-scan repair pass: settled latest version codes with stale or
+    missing scans on apps that have NO extracted sdk strings
+    (query_apps_to_sdk_scan_fix.sql:1-59 via
+    plans/scan_frontier.py::apps_to_sdk_scan_fix)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, _agm, _o = _scanapp_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    vcs2 = ev.select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("store_app"),
+        F.when(F.col("event_id") % 50 == 0, F.lit("-1"))
+        .otherwise(
+            F.concat(F.lit("v"), (F.col("event_id") % 90).cast("string"))
+        )
+        .alias("version_code"),
+        F.col("ts").alias("created_at"),
+    )
+    sscans = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("scan_id"),
+        (F.col("event_id") - (F.col("event_id") % 10)).cast("long").alias(
+            "version_code_id"
+        ),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 40 as int), 0, 0, 0)"
+        ).alias("scanned_at"),
+        (F.col("event_id") % 5).cast("int").alias("scan_result"),
+    )
+    strings = ev.filter(
+        (F.col("event_id") % 9 == 0) & (F.col("user_id") % 3 == 0)
+    ).select(
+        F.col("user_id").alias("store_app")
+    )
+    return sfr.apps_to_sdk_scan_fix(
+        vcs2, sapps, sscans, strings, store=1, as_of="2024-01-20"
+    )
+
+
+@query(
+    "api_scan_ads_priority",
+    "WITH " + _SCANAPP_SYNTH_SQL + "," + _VC_SYNTH_SQL + """,
+    ascans AS (
+        SELECT event_id AS run_seq,
+               cast(event_id - (event_id % 7) AS BIGINT) AS version_code_id,
+               ts + to_days(cast(event_id % 50 AS INT)) AS run_at,
+               cast(event_id % 4 AS INT) AS run_result
+        FROM events WHERE event_id % 31 = 1
+    ),
+    alog AS (
+        SELECT user_id AS store_app,
+               cast(event_id % 3 AS INT) AS crawl_result,
+               ts + to_days(cast(event_id % 150 AS INT)) AS updated_at
+        FROM events WHERE event_id % 83 = 2
+    ),
+    flags AS (
+        SELECT c_custkey AS id,
+               c_custkey % 3 <> 0 AS ad_supported,
+               c_custkey % 4 <> 0 AS free
+        FROM customer
+    ),
+    cpub AS (
+        SELECT DISTINCT user_id AS store_app FROM events
+        WHERE event_id % 13 = 0
+    ),
+    lsA AS (
+        SELECT version_code_id, store_app, run_at, run_result FROM (
+            SELECT a.version_code_id, vc.store_app, a.run_at, a.run_result,
+                   row_number() OVER (
+                       PARTITION BY vc.store_app
+                       ORDER BY a.run_at DESC, a.run_seq DESC) AS rn
+            FROM ascans a LEFT JOIN vcs vc ON a.version_code_id = vc.id
+        ) WHERE rn = 1
+    ),
+    lssA AS (
+        SELECT version_code_id, run_at FROM (
+            SELECT a.version_code_id, vc.store_app, a.run_at,
+                   row_number() OVER (
+                       PARTITION BY vc.store_app
+                       ORDER BY a.run_at DESC, a.run_seq DESC) AS rn
+            FROM ascans a LEFT JOIN vcs vc ON a.version_code_id = vc.id
+            WHERE a.run_result = 1
+        ) WHERE rn = 1
+    ),
+    failed AS (
+        SELECT store_app, count(*) AS failed_attempts
+        FROM alog
+        WHERE crawl_result <> 1
+          AND updated_at >= DATE '2024-03-01' - INTERVAL 3 DAY
+        GROUP BY store_app
+    )
+    SELECT lvc.store_app, sa.store_id, sa.name,
+           lvc.version_code AS version_string,
+           lvc.id AS version_code_id,
+           agm.total_installs AS installs,
+           strftime(ls.run_at, '%Y-%m-%d %H:%M:%S.%f') AS last_run_at,
+           fr.failed_attempts,
+           ls.run_result AS last_run_result,
+           strftime(lss.run_at, '%Y-%m-%d %H:%M:%S.%f')
+               AS last_succesful_run_at,
+           CAST(NULL AS VARCHAR) AS user_requested_at,
+           'scheduled_ads' AS mysource
+    FROM lvc
+    LEFT JOIN lsA ls ON lvc.store_app = ls.store_app
+    LEFT JOIN lssA lss ON lvc.id = lss.version_code_id
+    LEFT JOIN sapps sa ON lvc.store_app = sa.id
+    LEFT JOIN agm ON sa.id = agm.store_app
+    LEFT JOIN failed fr ON sa.id = fr.store_app
+    JOIN flags f ON f.id = lvc.store_app
+    WHERE (ls.run_at <= DATE '2024-03-01' - INTERVAL 10 DAY
+           OR ls.run_at IS NULL)
+      AND sa.store = 1
+      AND f.ad_supported AND f.free
+      AND (fr.failed_attempts < 1 OR fr.failed_attempts IS NULL)
+      AND lvc.store_app IN (SELECT store_app FROM cpub)
+    """,
+)
+def api_scan_ads_priority_q(spark, sf):
+    """Monthly ads-focused API-scan frontier: 10-day recrawl, 3-day
+    throttle, free ad-supported creative publishers only
+    (query_apps_to_api_scan_ads.sql:1-106 via
+    plans/scan_frontier.py::apps_to_api_scan_ads)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sapps, agm, _o = _scanapp_synth_spark(spark, sf)
+    vcs, s3k, _urs = _vc_synth_spark(spark, sf)
+    ev = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    ascans = ev.filter(F.col("event_id") % 31 == 1).select(
+        F.col("event_id").alias("run_seq"),
+        (F.col("event_id") - (F.col("event_id") % 7)).cast("long").alias(
+            "version_code_id"
+        ),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 50 as int), 0, 0, 0)"
+        ).alias("run_at"),
+        (F.col("event_id") % 4).cast("int").alias("run_result"),
+    )
+    alog = ev.filter(F.col("event_id") % 83 == 2).select(
+        F.col("user_id").alias("store_app"),
+        (F.col("event_id") % 3).cast("int").alias("crawl_result"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, cast(event_id % 150 as int), 0, 0, 0)"
+        ).alias("updated_at"),
+    )
+    sapps_flags = sapps.join(
+        c.select(
+            F.col("c_custkey").alias("id"),
+            (F.col("c_custkey") % 3 != 0).alias("ad_supported"),
+            (F.col("c_custkey") % 4 != 0).alias("free"),
+        ),
+        "id",
+    )
+    cpub = ev.filter(F.col("event_id") % 13 == 0).select(
+        F.col("user_id").alias("store_app")
+    )
+    out = sfr.apps_to_api_scan_ads(
+        vcs, s3k, ascans, alog, sapps_flags, agm, cpub,
+        store=1, as_of="2024-03-01",
+    )
+    return out.select(
+        "store_app", "store_id", "name", "version_string",
+        "version_code_id", "installs",
+        F.date_format("last_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_run_at"
+        ),
+        "failed_attempts", "last_run_result",
+        F.date_format(
+            "last_succesful_run_at", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("last_succesful_run_at"),
+        F.date_format(
+            "user_requested_at", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("user_requested_at"),
+        "mysource",
     )

@@ -559,3 +559,251 @@ def apps_to_creative_scan(
     return my_runs.join(last_runs, "run_id", "left").select(
         "run_id", "store_id", "last_run_at"
     )
+
+
+def apps_missing_icon_variants(
+    store_apps: DataFrame,
+    icons_crawled: DataFrame,
+    store_filter: int | None,
+    as_of: str,
+    limit: int,
+) -> DataFrame:
+    """query_apps_missing_icon_variants.sql:1-30 — successfully-crawled
+    apps that have a source 512px icon but are missing a derived 128/64
+    variant and were not icon-crawled in the last 3 days; both-missing
+    first, then freshest listing, LIMIT'd.  (store_app appended as the
+    LIMIT's total-order pin.)"""
+    cur = F.lit(as_of).cast("date").cast("timestamp")
+    base = store_apps.filter(
+        (F.col("icon_128").isNull() | F.col("icon_64").isNull())
+        & F.col("icon_url_512").isNotNull()
+        & (F.col("crawl_result") == 1)
+    )
+    if store_filter is not None:
+        base = base.filter(F.col("store") == store_filter)
+    missing_rank = (
+        F.when(F.col("icon_128").isNull() & F.col("icon_64").isNull(), 0)
+        .when(F.col("icon_128").isNull() | F.col("icon_64").isNull(), 1)
+        .otherwise(2)
+    )
+    return (
+        base.join(
+            icons_crawled.select(
+                F.col("store_app").alias("id"),
+                F.col("crawled_at").alias("_icon_crawled_at"),
+            ),
+            "id", "left",
+        )
+        .filter(
+            F.col("_icon_crawled_at").isNull()
+            | (F.col("_icon_crawled_at") < cur - F.expr("INTERVAL 3 DAYS"))
+        )
+        .orderBy(
+            missing_rank, F.col("updated_at").desc(), F.col("id")
+        )
+        .limit(limit)
+        .select("id", "store_id", "store", "icon_url_512", "icon_128",
+                "icon_64")
+    )
+
+
+def apps_mitm_in_s3(
+    api_scan_results: DataFrame,
+    version_codes: DataFrame,
+    store_apps: DataFrame,
+    store: int = 1,
+) -> DataFrame:
+    """query_apps_mitm_in_s3.sql:1-19 — every successful API-scan run
+    flattened to (run_id, store_id, store_app, version_str)."""
+    return (
+        api_scan_results.filter(F.col("run_result") == 1)
+        .select(
+            F.col("run_seq").alias("run_id"),
+            "version_code_id", "run_at",
+        )
+        .join(
+            version_codes.select(
+                F.col("id").alias("version_code_id"), "store_app",
+                F.col("version_code").alias("version_str"),
+            ),
+            "version_code_id", "left",
+        )
+        .join(
+            store_apps.select(
+                F.col("id").alias("store_app"), "store_id", "store"
+            ),
+            "store_app", "left",
+        )
+        .filter(F.col("store") == store)
+        .select("run_id", "store_id", "store_app", "version_str")
+    )
+
+
+def apps_to_sdk_scan_fix(
+    version_codes: DataFrame,
+    store_apps: DataFrame,
+    sdk_scan_results: DataFrame,
+    app_sdk_strings: DataFrame,
+    store: int,
+    as_of: str,
+) -> DataFrame:
+    """query_apps_to_sdk_scan_fix.sql:1-59 — repair pass: apps whose
+    LATEST settled version code (≥3 days old, code != '-1') has a
+    stale-or-absent sdk scan AND which have no extracted sdk strings
+    at all (anti-join)."""
+    cur = F.lit(as_of).cast("date").cast("timestamp")
+    w = Window.partitionBy("store_app").orderBy(
+        F.col("created_at").desc(), F.col("id").desc()
+    )
+    latest = (
+        version_codes.filter(
+            (F.col("version_code") != "-1")
+            & (F.col("created_at") < cur - F.expr("INTERVAL 3 DAYS"))
+        )
+        .join(
+            store_apps.select(
+                F.col("id").alias("store_app"), "store", "store_id"
+            ),
+            "store_app", "left",
+        )
+        .filter(F.col("store") == store)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ws = Window.partitionBy("version_code_id").orderBy(
+        F.col("scanned_at").desc(), F.col("scan_id").desc()
+    )
+    last_scan = (
+        sdk_scan_results.join(
+            latest.select(F.col("id").alias("version_code_id")),
+            "version_code_id",
+        )
+        .withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("version_code_id").alias("id"),
+            F.col("scanned_at"),
+        )
+    )
+    return (
+        latest.join(last_scan, "id", "left")
+        .filter(
+            F.col("scanned_at").isNull()
+            | (F.col("scanned_at") < cur - F.expr("INTERVAL 3 DAYS"))
+        )
+        .join(
+            app_sdk_strings.select("store_app").distinct(),
+            "store_app", "left_anti",
+        )
+        .select(
+            "store_app", "store", "store_id",
+            F.col("id").alias("latest_version_code_db_id"),
+            F.col("version_code").alias("version_code_str"),
+        )
+    )
+
+
+def apps_to_api_scan_ads(
+    version_codes: DataFrame,
+    s3_file_keys: DataFrame,
+    api_scan_results: DataFrame,
+    api_scan_log: DataFrame,
+    store_apps: DataFrame,
+    app_global_metrics: DataFrame,
+    creative_publishers: DataFrame,
+    store: int,
+    as_of: str,
+) -> DataFrame:
+    """query_apps_to_api_scan_ads.sql:1-106 — the monthly ads-focused
+    API-scan variant of apps_to_api_scan: 10-day recrawl (vs 120),
+    3-day failed-attempt window (vs 10), restricted to free
+    ad-supported apps that have previously served creatives (semi-join
+    on the creative-record publisher set), no user branch, tagged
+    'scheduled_ads'.  ``creative_publishers``: one column store_app."""
+    _all_vc, latest_vc = _latest_version_codes(version_codes, s3_file_keys)
+    cur = F.lit(as_of).cast("date").cast("timestamp")
+
+    def last_run(filtered: DataFrame) -> DataFrame:
+        joined = filtered.join(
+            version_codes.select(
+                F.col("id").alias("version_code_id"), "store_app"
+            ),
+            "version_code_id", "left",
+        )
+        w = Window.partitionBy("store_app").orderBy(
+            F.col("run_at").desc(), F.col("run_seq").desc()
+        )
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("version_code_id", "store_app", "run_at", "run_result")
+        )
+
+    ls = last_run(api_scan_results)
+    lss = last_run(api_scan_results.filter(F.col("run_result") == 1))
+    failed = (
+        api_scan_log.filter(
+            (F.col("crawl_result") != 1)
+            & (F.col("updated_at") >= cur - F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("store_app")
+        .agg(F.count("*").alias("failed_attempts"))
+    )
+    return (
+        latest_vc.join(
+            ls.select(
+                "store_app",
+                F.col("run_at").alias("last_run_at"),
+                F.col("run_result").alias("last_run_result"),
+            ),
+            "store_app", "left",
+        )
+        .join(
+            lss.select(
+                F.col("version_code_id").alias("id"),
+                F.col("run_at").alias("last_succesful_run_at"),
+            ),
+            "id", "left",
+        )
+        .join(
+            store_apps.select(
+                F.col("id").alias("store_app"), "store", "store_id",
+                "name", "ad_supported", "free",
+            ),
+            "store_app", "left",
+        )
+        .join(
+            app_global_metrics.select(
+                "store_app", F.col("total_installs").alias("installs")
+            ),
+            "store_app", "left",
+        )
+        .join(failed, "store_app", "left")
+        .join(
+            creative_publishers.select("store_app").distinct(),
+            "store_app", "left_semi",
+        )
+        .filter(
+            (
+                (F.col("last_run_at") <= cur - F.expr("INTERVAL 10 DAYS"))
+                | F.col("last_run_at").isNull()
+            )
+            & (F.col("store") == store)
+            & F.col("ad_supported")
+            & F.col("free")
+            & (
+                (F.col("failed_attempts") < 1)
+                | F.col("failed_attempts").isNull()
+            )
+        )
+        .select(
+            "store_app", "store_id", "name",
+            F.col("version_code").alias("version_string"),
+            F.col("id").alias("version_code_id"),
+            "installs", "last_run_at", "failed_attempts",
+            "last_run_result", "last_succesful_run_at",
+            F.lit(None).cast("timestamp").alias("user_requested_at"),
+            F.lit("scheduled_ads").alias("mysource"),
+        )
+    )
