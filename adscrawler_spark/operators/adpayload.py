@@ -198,13 +198,25 @@ def _vast_urls(text: str) -> list[str]:
     if text.strip().startswith("<") and (
         '<meta name="video_fields"' in text.lower() or "<vast" in text.lower()
     ):
-        meta = re.search(
-            r'<meta\s+name="video_fields"\s+content="(.*?)"\s*/?>',
+        # BeautifulSoup accepts any attribute order and quoting; match
+        # the tag first, then pull content out of it, either quote
+        # style, name before or after content.
+        tag = re.search(
+            r"<meta\b[^>]*\bname=[\"']video_fields[\"'][^>]*>",
             text, re.IGNORECASE | re.DOTALL,
         )
-        if meta:
-            vast_xml = html.unescape(meta.group(1))
-            vast_urls += re.findall(r"<!\[CDATA\[(.*?)\]\]>", vast_xml)
+        if tag:
+            content = re.search(
+                r"\bcontent=(\"(.*?)\"|'(.*?)')",
+                tag.group(0), re.IGNORECASE | re.DOTALL,
+            )
+            if content:
+                vast_xml = html.unescape(
+                    content.group(2)
+                    if content.group(2) is not None
+                    else content.group(3)
+                )
+                vast_urls += re.findall(r"<!\[CDATA\[(.*?)\]\]>", vast_xml)
         if re.search(r"<vast[\s>]", text, re.IGNORECASE):
             vast_urls += re.findall(r"<!\[CDATA\[(.*?)\]\]>", text)
     return vast_urls
@@ -305,11 +317,14 @@ _AF_ADV_RE = r"http.*\.appsflyer\.com/([a-zA-Z0-9_.]+)[\?\-]"
 _INTENT_DETAILS_RE = r"intent://details\?id=([a-zA-Z0-9._]+)"
 _INTENT_PACKAGE_RE = r"intent://.*package=([a-zA-Z0-9._]+)"
 _MARKET_DETAILS_RE = r"market://details\?id=([a-zA-Z0-9._]+)"
-# adv_id_from_play_url (network_parsers.py:351-360): parse_qs of the id
-# query param, then a leading [a-zA-Z0-9._-]+ match.  The JVM regex
-# grabs the id param value up to the next separator with the same
-# leading-charset rule.
-_PLAY_ID_RE = r"[?&]id=([a-zA-Z0-9._\-]+)"
+# adv_id_from_play_url (network_parsers.py:351-360): parse_qs of the
+# OUTER query string (everything after the first '?', split on '&'),
+# then a leading [a-zA-Z0-9._-]+ match.  Two-step JVM equivalent:
+# extract the outer query, then an id param anchored at a '&' boundary
+# — a nested URL inside another param's value ('…?u=https://x?id=bad')
+# cannot match because its 'id=' follows '?' not '&'/start.
+_OUTER_QUERY_RE = r"^[^#?]*\?([^#]*)"
+_QUERY_ID_RE = r"(?:^|&)id=([a-zA-Z0-9._\-]+)"
 
 
 def known_parts(
@@ -385,7 +400,13 @@ def known_parts(
     play_dev = F.col("url").contains("apps/developer?")
     play_id = F.when(
         is_play & ~play_dev,
-        F.nullif(F.regexp_extract("url", _PLAY_ID_RE, 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(
+                F.regexp_extract("url", _OUTER_QUERY_RE, 1),
+                _QUERY_ID_RE, 1,
+            ),
+            F.lit(""),
+        ),
     )
     bidease = (
         ~is_mmp
@@ -431,7 +452,8 @@ def known_parts(
             F.array_except(
                 F.collect_set("adv_id"),
                 F.array(
-                    F.lit(IGNORE_STORE_IDS[0]), F.first("pub_store_id")
+                    *[F.lit(x) for x in IGNORE_STORE_IDS],
+                    F.first("pub_store_id"),
                 ),
             )
         ).alias("adv_ids"),

@@ -5834,6 +5834,7 @@ _CREATIVE_SYNTH_SQL = """
                cast(event_id % 500 AS INT) AS creative_asset_id,
                cast(event_id % 300 AS INT) AS api_call_id,
                CASE WHEN event_id % 9 = 0 THEN NULL
+                    WHEN user_id % 11 = 3 THEN user_id + 2000
                     ELSE user_id END AS advertiser_store_app_id,
                cast(event_id % 23 AS INT) AS creative_initial_domain_id,
                cast(event_id % 29 AS INT) AS creative_host_domain_id,
@@ -5908,6 +5909,7 @@ def _creative_synth_spark(spark, sf):
         (F.col("event_id") % 500).cast("int").alias("creative_asset_id"),
         (F.col("event_id") % 300).cast("int").alias("api_call_id"),
         F.when(F.col("event_id") % 9 == 0, F.lit(None).cast("long"))
+        .when(F.col("user_id") % 11 == 3, F.col("user_id") + 2000)
         .otherwise(F.col("user_id")).alias("advertiser_store_app_id"),
         (F.col("event_id") % 23).cast("int").alias(
             "creative_initial_domain_id"
@@ -6001,8 +6003,10 @@ def _creative_synth_spark(spark, sf):
     "WITH " + _CREATIVE_SYNTH_SQL + """,
     extra AS (
         SELECT record_id, list_sort(list(d.domain_name)) AS urls
-        FROM (SELECT record_id, unnest(additional_ad_domain_ids) AS domain_id
-              FROM recs) u
+        FROM (SELECT DISTINCT record_id, domain_id FROM (
+                  SELECT record_id,
+                         unnest(additional_ad_domain_ids) AS domain_id
+                  FROM recs)) u
         JOIN doms d USING (domain_id)
         GROUP BY record_id
     )
@@ -6139,42 +6143,52 @@ def advertiser_creatives_q(spark, sf):
         WHERE r.advertiser_store_app_id IS NOT NULL
     ),
     agg AS (
-        SELECT advertiser_store_app_id,
-               count(DISTINCT md5_hash) AS unique_creatives,
-               count(DISTINCT store_app) AS unique_publishers,
-               strftime(min(run_at), '%Y-%m-%d %H:%M:%S') AS first_seen,
-               strftime(max(run_at), '%Y-%m-%d %H:%M:%S') AS last_seen,
-               array_to_string(list_sort(list(DISTINCT file_extension)
-                   FILTER (WHERE file_extension IS NOT NULL)), ',')
+        -- the matview groups on the overview columns INCLUDING saa.id:
+        -- advertisers absent from the overview share all-NULL keys and
+        -- merge into one group (its correlated top-5 stays empty)
+        SELECT saa.name AS advertiser_name,
+               saa.store_id AS advertiser_store_id,
+               saa.icon_128 AS advertiser_icon_url_100,
+               saa.icon_url_512 AS advertiser_icon_url_512,
+               saa.category AS advertiser_category,
+               saa.installs AS advertiser_installs,
+               saa.rating, saa.rating_count,
+               saa.installs_sum_1w, saa.installs_sum_4w,
+               saa.store_app AS saa_id,
+               count(DISTINCT b.md5_hash) AS unique_creatives,
+               count(DISTINCT b.store_app) AS unique_publishers,
+               strftime(min(b.run_at), '%Y-%m-%d %H:%M:%S') AS first_seen,
+               strftime(max(b.run_at), '%Y-%m-%d %H:%M:%S') AS last_seen,
+               array_to_string(list_sort(list(DISTINCT b.file_extension)
+                   FILTER (WHERE b.file_extension IS NOT NULL)), ',')
                    AS file_types,
                coalesce(array_to_string(list_sort(
-                   list(DISTINCT ad_network_domain)
-                   FILTER (WHERE ad_network_domain IS NOT NULL)), ','), '')
+                   list(DISTINCT b.ad_network_domain)
+                   FILTER (WHERE b.ad_network_domain IS NOT NULL)), ','), '')
                    AS ad_network_domains,
-               round(avg(pub_installs), 4) AS avg_publisher_installs,
+               round(avg(b.pub_installs), 4) AS avg_publisher_installs,
                nullif(coalesce(array_to_string(list_sort(
-                   list(DISTINCT mmp_domain)
-                   FILTER (WHERE mmp_domain IS NOT NULL)), ','), ''), '')
+                   list(DISTINCT b.mmp_domain)
+                   FILTER (WHERE b.mmp_domain IS NOT NULL)), ','), ''), '')
                    AS mmp_domains
-        FROM base GROUP BY advertiser_store_app_id
+        FROM base b
+        LEFT JOIN appsd saa ON saa.store_app = b.advertiser_store_app_id
+        GROUP BY saa.name, saa.store_id, saa.icon_128, saa.icon_url_512,
+                 saa.category, saa.installs, saa.rating, saa.rating_count,
+                 saa.installs_sum_1w, saa.installs_sum_4w, saa.store_app
     )
-    SELECT saa.name AS advertiser_name,
-           saa.store_id AS advertiser_store_id,
-           saa.icon_128 AS advertiser_icon_url_100,
-           saa.icon_url_512 AS advertiser_icon_url_512,
-           saa.category AS advertiser_category,
-           saa.installs AS advertiser_installs,
-           saa.rating, saa.rating_count,
-           saa.installs_sum_1w, saa.installs_sum_4w,
+    SELECT g.advertiser_name, g.advertiser_store_id,
+           g.advertiser_icon_url_100, g.advertiser_icon_url_512,
+           g.advertiser_category, g.advertiser_installs,
+           g.rating, g.rating_count,
+           g.installs_sum_1w, g.installs_sum_4w,
            g.unique_creatives, g.unique_publishers,
            g.first_seen, g.last_seen, g.file_types, g.ad_network_domains,
            g.avg_publisher_installs, g.mmp_domains,
            coalesce(array_to_string(t.top_md5_hashes, ','), '')
                AS top_md5_hashes
     FROM agg g
-    LEFT JOIN appsd saa ON saa.store_app = g.advertiser_store_app_id
-    LEFT JOIN top5 t
-      ON t.advertiser_store_app_id = g.advertiser_store_app_id
+    LEFT JOIN top5 t ON t.advertiser_store_app_id = g.saa_id
     """,
 )
 def advertiser_creative_rankings_recent_month_q(spark, sf):

@@ -1661,12 +1661,17 @@ def advertiser_creatives(
             )
         )
 
+    # the matview's correlated subselect scans domains WHERE id =
+    # ANY(array) — one row per MATCHING DOMAIN, so duplicate ids in
+    # the array contribute once; dedup (record_id, domain_id) before
+    # the join to match.
     extra = (
         creative_records.select(
             "record_id", F.explode("additional_ad_domain_ids").alias(
                 "domain_id"
             )
         )
+        .distinct()
         .join(F.broadcast(domains), "domain_id")
         .groupBy("record_id")
         .agg(F.array_sort(F.collect_list("domain_name")).alias(
@@ -1891,6 +1896,15 @@ def advertiser_creative_rankings_recent_month(
     # identical to the matview INCLUDING its weighting — not a pin —
     # while shuffling |records| + |domains| rows instead of their
     # product.
+    # The matview groups on the OVERVIEW columns (saa.*, including
+    # saa.id), so advertisers absent from the apps overview all carry
+    # NULL keys and merge into ONE all-NULL output group whose
+    # correlated top-5 array is empty.  Split: advertisers present in
+    # the overview take the decomposed fast path (one group each —
+    # identical either way); the (rare) missing slice runs the
+    # matview's literal fanout joins so the merged group's aggregates
+    # — including the fanout-weighted avg, whose multiplier is NOT
+    # uniform across a merged group — are exact.
     base = (
         recent.filter(F.col("advertiser_store_app_id").isNotNull())
         .join(F.broadcast(creative_assets), "creative_asset_id", "left")
@@ -1900,6 +1914,66 @@ def advertiser_creative_rankings_recent_month(
                 F.col("installs").alias("pub_installs"),
             )),
             "store_app", "left",
+        )
+    )
+    known_advs = F.broadcast(
+        apps.select(
+            F.col("store_app").alias("advertiser_store_app_id")
+        ).distinct()
+    )
+    missing = base.join(known_advs, "advertiser_store_app_id", "left_anti")
+    base = base.join(known_advs, "advertiser_store_app_id", "left_semi")
+    adtypes = dict(apps.dtypes)
+    merged = (
+        missing.join(adv_mmp, "advertiser_store_app_id", "left")
+        .join(ad_network_domains, "advertiser_store_app_id", "left")
+        .groupBy(F.lit(1).alias("_g"))
+        .agg(
+            F.countDistinct("md5_hash").alias("unique_creatives"),
+            F.countDistinct("store_app").alias("unique_publishers"),
+            F.min("run_at").alias("first_seen"),
+            F.max("run_at").alias("last_seen"),
+            F.array_sort(F.collect_set("file_extension")).alias(
+                "file_types"
+            ),
+            F.array_sort(F.collect_set("ad_network_domain")).alias(
+                "ad_network_domains"
+            ),
+            F.avg("pub_installs").alias("avg_publisher_installs"),
+            F.array_sort(F.collect_set("mmp_domain")).alias("mmp_domains"),
+        )
+        .select(
+            F.lit(None).cast(adtypes["name"]).alias("advertiser_name"),
+            F.lit(None).cast(adtypes["store_id"]).alias(
+                "advertiser_store_id"
+            ),
+            F.lit(None).cast(adtypes["icon_128"]).alias(
+                "advertiser_icon_url_100"
+            ),
+            F.lit(None).cast(adtypes["icon_url_512"]).alias(
+                "advertiser_icon_url_512"
+            ),
+            F.lit(None).cast(adtypes["category"]).alias(
+                "advertiser_category"
+            ),
+            F.lit(None).cast(adtypes["installs"]).alias(
+                "advertiser_installs"
+            ),
+            F.lit(None).cast(adtypes["rating"]).alias("rating"),
+            F.lit(None).cast(adtypes["rating_count"]).alias("rating_count"),
+            F.lit(None).cast(adtypes["installs_sum_1w"]).alias(
+                "installs_sum_1w"
+            ),
+            F.lit(None).cast(adtypes["installs_sum_4w"]).alias(
+                "installs_sum_4w"
+            ),
+            "unique_creatives", "unique_publishers",
+            "first_seen", "last_seen", "file_types", "ad_network_domains",
+            "avg_publisher_installs",
+            F.when(F.size("mmp_domains") > 0, F.col("mmp_domains")).alias(
+                "mmp_domains"
+            ),
+            F.array().cast("array<string>").alias("top_md5_hashes"),
         )
     )
     agg = base.groupBy("advertiser_store_app_id").agg(
@@ -1963,4 +2037,5 @@ def advertiser_creative_rankings_recent_month(
                 F.col("top_md5_hashes"), F.array().cast("array<string>")
             ).alias("top_md5_hashes"),
         )
+        .unionByName(merged)
     )

@@ -55,7 +55,9 @@ def apps_to_update_secondary(
 
     ``app_country_crawls`` carries a unique ``crawl_id`` used as the
     DISTINCT ON tie-break under equal ``crawled_at``."""
-    ranked = apps_in_latest_rankings.select("store_app")
+    # IN (subquery) is pure membership — dedup so a rankings frame
+    # carrying repeated store_apps can never multiply target rows.
+    ranked = apps_in_latest_rankings.select("store_app").distinct()
     target = (
         store_apps.filter(F.col("store") == store)
         .join(

@@ -204,3 +204,41 @@ def test_known_parts_classification(spark):
     assert set(r4.advertiser_store_app_ids.split(",")) == {
         "com.a.one", "com.b.two",
     }
+
+
+def test_video_fields_meta_attr_order_and_quotes():
+    """BeautifulSoup accepts any attribute order/quoting — the regex
+    port must too (code-review finding)."""
+    vast_inner = html.escape(
+        "<VAST><Ad><![CDATA[https://cd.ata/track?x=1]]></Ad></VAST>"
+    )
+    reversed_attrs = (
+        f'<html><meta content="{vast_inner}" name="video_fields"/></html>'
+    )
+    assert "https://cd.ata/track?x=1" in ap.extract_and_decode_urls(
+        reversed_attrs
+    )
+    single_quoted = (
+        "<html><meta name='video_fields' content='"
+        + vast_inner.replace('"', "&quot;")
+        + "'/></html>"
+    )
+    assert "https://cd.ata/track?x=1" in ap.extract_and_decode_urls(
+        single_quoted
+    )
+
+
+def test_play_id_ignores_nested_url_params(spark):
+    """adv_id_from_play_url parses the OUTER query via parse_qs — an
+    id= inside another param's nested URL must not win (code-review
+    finding)."""
+    urls = [
+        (1, "pub", "https://play.google.com/redirect?url=https://foo.com?id=com.bad&id=com.real"),
+        (2, "pub", "https://play.google.com/store/apps/details?id=com.first&ref=x?id=com.second"),
+    ]
+    df = spark.createDataFrame(urls, ["api_call_id", "pub_store_id", "url"])
+    mmps = spark.createDataFrame([("appsflyer.com",)], ["tld_url"])
+    ads = spark.createDataFrame([("adnet1.com",)], ["domain_name"])
+    out = {r.api_call_id: r for r in ap.known_parts(df, mmps, ads).collect()}
+    assert out[1].adv_store_id == "com.real"
+    assert out[2].adv_store_id == "com.first"

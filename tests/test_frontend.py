@@ -99,3 +99,47 @@ def test_chain_hops_flags_cycles_and_duplicates(spark):
     assert not out["p"]["converged"] and not out["q"]["converged"]
     finals = {r["head"] for r in chain_final_urls(chain_hops(df)).collect()}
     assert finals == {"a"}  # the cycle never lands a final URL
+
+
+def test_advertiser_creatives_dedups_additional_domain_ids(spark):
+    """The matview's id = ANY(array) subselect yields one row per
+    matching DOMAIN — duplicate ids in the array must not duplicate
+    names (code-review finding)."""
+    from pyspark.sql import functions as F
+
+    from adscrawler_spark.plans import frontend as fe
+
+    recs = spark.createDataFrame(
+        [(1, 1, 1, 10, 2, 3, 4, "m", [5, 5, 6])],
+        ["record_id", "creative_asset_id", "api_call_id",
+         "advertiser_store_app_id", "creative_host_domain_id",
+         "creative_initial_domain_id", "mmp_domain_id", "mmp_urls",
+         "additional_ad_domain_ids"],
+    )
+    assets = spark.createDataFrame(
+        [(1, "md5a", None, "jpg")],
+        "creative_asset_id int, md5_hash string, phash string,"
+        " file_extension string",
+    )
+    calls = spark.createDataFrame(
+        [(1, 10, 1)], ["api_call_id", "store_app", "run_id"]
+    )
+    runs = spark.createDataFrame([(1,)], ["run_id"]).select(
+        "run_id", F.lit("2024-01-01").cast("timestamp").alias("run_at")
+    )
+    cmap = spark.createDataFrame([(5, 1)], ["domain_id", "company_id"])
+    cos = spark.createDataFrame(
+        [(1, "co1", 5)], ["company_id", "company_name", "domain_id"]
+    )
+    doms = spark.createDataFrame(
+        [(i, f"dom{i}") for i in range(8)], ["domain_id", "domain_name"]
+    )
+    apps = spark.createDataFrame(
+        [(10, "app", "sid10", "i1", "i5")],
+        ["store_app", "name", "store_id", "icon_128", "icon_url_512"],
+    )
+    out = fe.advertiser_creatives(
+        recs, assets, calls, runs, cmap, cos, doms, apps
+    ).collect()
+    assert len(out) == 1
+    assert out[0].additional_ad_domain_urls == ["dom5", "dom6"]
