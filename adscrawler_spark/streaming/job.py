@@ -129,6 +129,37 @@ def now_str(generation: int) -> str:
     return (EPOCH + timedelta(hours=generation)).strftime("%Y-%m-%d %H:%M:%S")
 
 
+def _rankings_t9_skip(
+    rank_rows: DataFrame, existing_ranks: DataFrame | None, now: str
+) -> DataFrame:
+    """Daily existence-probe skip (T9): a (store, date, country,
+    collection, category) list already ingested is not re-inserted —
+    the reference checks existing scenario rows before insert
+    (app_rankings.py), so intra-day re-crawls (rankings re-enter
+    pending each generation) are no-ops, while a NEW crawled_date sees
+    no matches and re-ingests on the daily cadence.
+
+    crawled_date is in the anti-join key and every rank_rows row
+    carries today's date, so only the current crawled_date partition
+    can ever match — filter it FIRST so the probe is a partition-
+    pruned metadata-cheap scan (the table is hive-partitioned on
+    (store, crawled_date); without the filter the probe scans all
+    history, growing without bound).  Identical result by
+    construction; test_rankings_t9_probe_partition_pruned asserts the
+    PartitionFilters actually reach the scan and
+    test_rankings_t9_day_boundary pins the next-day re-ingestion."""
+    if existing_ranks is None:
+        return rank_rows
+    rank_keys = ["store", "crawled_date", "country", "collection",
+                 "category"]
+    existing = existing_ranks.filter(
+        F.col("crawled_date") == F.to_date(F.to_timestamp(F.lit(now)))
+    )
+    return rank_rows.join(
+        existing.select(*rank_keys).dropDuplicates(), rank_keys, "left_anti"
+    )
+
+
 def _listing_docs(fetched: DataFrame, kind: str, now: str) -> DataFrame:
     rows = fetched.filter(
         (F.col("doc_kind") == kind) & F.col("fetched") & F.col("body").isNotNull()
@@ -277,26 +308,9 @@ def run_generation(
     # rankings table is not re-inserted — the reference checks existing
     # scenario rows before insert (app_rankings.py), so intra-day
     # re-crawls (rankings re-enter pending each generation) are no-ops.
-    rank_rows = _parse_rankings(fetched, now)
-    rank_keys = ["store", "crawled_date", "country", "collection", "category"]
-    existing_ranks = cat.table("rankings").read(spark)
-    if existing_ranks is not None:
-        # crawled_date is in the anti-join key and every rank_rows row
-        # carries today's date, so only the current crawled_date
-        # partition can ever match — filter it FIRST so the probe is a
-        # partition-pruned metadata-cheap scan (the table is hive-
-        # partitioned on (store, crawled_date); without the filter the
-        # probe scans all history, growing without bound).  Identical
-        # result by construction; test_rankings_t9_probe_partition_
-        # pruned asserts the PartitionFilters actually reach the scan.
-        existing_ranks = existing_ranks.filter(
-            F.col("crawled_date") == F.to_date(F.to_timestamp(F.lit(now)))
-        )
-        rank_rows = rank_rows.join(
-            existing_ranks.select(*rank_keys).dropDuplicates(),
-            rank_keys,
-            "left_anti",
-        )
+    rank_rows = _rankings_t9_skip(
+        _parse_rankings(fetched, now), cat.table("rankings").read(spark), now
+    )
 
     play_docs = _listing_docs(fetched, "listing_play", now)
     ios_docs = _listing_docs(fetched, "listing_ios", now)

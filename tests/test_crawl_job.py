@@ -328,3 +328,33 @@ def test_span_sequences_end_to_end(spark, run_dir):
         assert got == want, row.doc_id
         checked += 1
     assert checked > 100  # meaningful coverage across all three kinds
+
+
+def test_rankings_t9_day_boundary(spark):
+    """The pruned probe must skip same-day duplicates AND re-ingest on
+    the next virtual day (the daily cadence the reference's
+    existing-scenario check implements)."""
+    rows = [(1, "2026-08-01", "US", "top", "games", 1, "app.a"),
+            (1, "2026-08-01", "US", "top", "games", 2, "app.b")]
+    schema = ("store int, crawled_date string, country string,"
+              " collection string, category string, rank int,"
+              " store_id string")
+
+    def mk(date):
+        return spark.createDataFrame(
+            [(r[0], date, *r[2:]) for r in rows], schema
+        ).withColumn("crawled_date", F.to_date("crawled_date"))
+
+    existing = mk("2026-08-01")
+    same_day = job._rankings_t9_skip(
+        mk("2026-08-01"), existing, "2026-08-01 05:00:00"
+    )
+    assert same_day.count() == 0  # intra-day re-crawl -> no-op
+    next_day = job._rankings_t9_skip(
+        mk("2026-08-02"), existing, "2026-08-02 00:00:00"
+    )
+    assert next_day.count() == 2  # new day -> full re-ingestion
+    none_yet = job._rankings_t9_skip(
+        mk("2026-08-01"), None, "2026-08-01 00:00:00"
+    )
+    assert none_yet.count() == 2
