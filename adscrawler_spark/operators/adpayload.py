@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                               StructField, StructType)
 
 # --- constants (network_parsers.py:36-80) ----------------------------
 SUPPORTED_URL_SCHEMES = {"http", "https", "intent", "market",
@@ -472,3 +473,57 @@ def known_parts(
         F.array_join("mmp_urls", ",").alias("mmp_urls"),
         F.array_join("ad_network_tlds", ",").alias("ad_network_tlds"),
     )
+
+
+# --- interleaved span form ------------------------------------------
+_SPAN_TYPE = ArrayType(
+    StructType([
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ])
+)
+
+
+def payload_span_rows(text: str) -> list[tuple]:
+    """Split one ad payload into the engine's interleaved span form
+    (the north-rule document model: kind/text/media_ref/offset): text
+    runs between top-level URL matches become text spans, each matched
+    URL a media_ref span — the creative-processor view of an ad
+    response (creative_processor.py keys downloaded creative assets by
+    the URLs found in the payload; the span sequence preserves WHERE
+    in the response each reference sat).  media_ref carries the RAW
+    matched URL — spans store the document verbatim; decoding and
+    harvesting stay in extract_and_decode_urls.  Empty text runs are
+    dropped (same non-empty rule as the listing span builder)."""
+    if not text:
+        return []
+    spans: list[tuple] = []
+    last = 0
+    off = 0
+    for m in URL_PATTERN.finditer(text):
+        seg = text[last:m.start()]
+        if seg:
+            spans.append(("text", seg, None, off))
+            off += 1
+        spans.append(("media_ref", None, m.group(0), off))
+        off += 1
+        last = m.end()
+    tail = text[last:]
+    if tail:
+        spans.append(("text", tail, None, off))
+    return spans
+
+
+@pandas_udf(_SPAN_TYPE)
+def payload_spans_udf(payloads: pd.Series) -> pd.Series:
+    uniq = {p: payload_span_rows(p) for p in payloads.dropna().unique()}
+    return payloads.map(uniq).where(payloads.notna(), None)
+
+
+def payload_spans(
+    df: DataFrame, text_col: str = "payload", out_col: str = "spans"
+) -> DataFrame:
+    """Attach the interleaved span sequence for each ad payload row."""
+    return df.withColumn(out_col, payload_spans_udf(F.col(text_col)))

@@ -7272,3 +7272,115 @@ def api_scan_ads_priority_q(spark, sf):
         ).alias("user_requested_at"),
         "mysource",
     )
+
+
+@query(
+    "ad_payload_spans",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               ascii(upper(substr(md5(cast(doc_id AS VARCHAR)), 1, 1))) % 5 AS v,
+               substr(md5(cast(doc_id AS VARCHAR)), 2, 4) AS a,
+               substr(md5(cast(doc_id AS VARCHAR)), 6, 4) AS b,
+               substr(md5(cast(doc_id AS VARCHAR)), 10, 4) AS c
+        FROM documents
+    )
+    SELECT doc_id, unnest(
+        CASE v
+        WHEN 0 THEN [
+            {'kind': 'text', 'text': 'imp ',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 0},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'https://ca' || a || '.com/t?cb=' || b,
+             'offset': 1},
+            {'kind': 'text', 'text': ' end',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 2}]
+        WHEN 1 THEN [
+            {'kind': 'text', 'text': 'click ',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 0},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'https://r' || a || '.org/redir?u=http%3A%2F%2Ft'
+                 || b || '.net%2Fp%2F' || c,
+             'offset': 1},
+            {'kind': 'text', 'text': ' end',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 2}]
+        WHEN 2 THEN [
+            {'kind': 'text', 'text': 'open ',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 0},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'intent://details?id=com.g' || a || '.app',
+             'offset': 1},
+            {'kind': 'text', 'text': ' end ',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 2},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'market://details?id=com.h' || b || '.x',
+             'offset': 3}]
+        WHEN 3 THEN [
+            {'kind': 'text',
+             'text': '<?xml version="1.0"?><VAST version="3.0"><Ad>'
+                 || '<InLine><Impression>',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 0},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'https://v' || a || '.com/imp?c=' || b,
+             'offset': 1},
+            {'kind': 'text',
+             'text': '</Impression><Creatives><MediaFile>',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 2},
+            {'kind': 'media_ref', 'text': CAST(NULL AS VARCHAR),
+             'media_ref': 'https://m' || b || '.net/f' || a || '.mp4',
+             'offset': 3},
+            {'kind': 'text',
+             'text': '</MediaFile></Creatives></InLine></Ad></VAST>',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 4}]
+        ELSE [
+            {'kind': 'text', 'text': 'plain text ' || a || ' without links',
+             'media_ref': CAST(NULL AS VARCHAR), 'offset': 0}]
+        END, recursive := true)
+    FROM t
+    """,
+)
+def ad_payload_spans_q(spark, sf):
+    """Ad payloads split into the engine's interleaved span form
+    (north-rule document model: kind/text/media_ref/offset order-
+    preserving sequence) — text runs between top-level URL matches,
+    media_ref spans for each matched URL (creative_processor.py keys
+    creative assets by payload URLs; via
+    operators/adpayload.py::payload_spans).  Oracle states the
+    expected span sequence from the payload generator's parameters."""
+    from adscrawler_spark.operators import adpayload as ap
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.md5(F.col("doc_id").cast("string"))
+    v = (F.ascii(F.upper(F.substring(m, 1, 1))) % 5).cast("int")
+    a, b, c = (F.substring(m, 2, 4), F.substring(m, 6, 4),
+               F.substring(m, 10, 4))
+    payload = (
+        F.when(v == 0, F.concat(
+            F.lit("imp https://ca"), a, F.lit(".com/t?cb="), b,
+            F.lit(" end")))
+        .when(v == 1, F.concat(
+            F.lit("click https://r"), a,
+            F.lit(".org/redir?u=http%3A%2F%2Ft"), b, F.lit(".net%2Fp%2F"),
+            c, F.lit(" end")))
+        .when(v == 2, F.concat(
+            F.lit("open intent://details?id=com.g"), a,
+            F.lit(".app end market://details?id=com.h"), b, F.lit(".x")))
+        .when(v == 3, F.concat(
+            F.lit('<?xml version="1.0"?><VAST version="3.0"><Ad><InLine>'
+                  "<Impression>https://v"), a, F.lit(".com/imp?c="), b,
+            F.lit("</Impression><Creatives><MediaFile>https://m"), b,
+            F.lit(".net/f"), a,
+            F.lit(".mp4</MediaFile></Creatives></InLine></Ad></VAST>")))
+        .otherwise(F.concat(F.lit("plain text "), a,
+                            F.lit(" without links")))
+    )
+    payloads = d.select("doc_id", payload.alias("payload"))
+    out = ap.payload_spans(payloads, "payload")
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id", F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )

@@ -242,3 +242,18 @@ def test_play_id_ignores_nested_url_params(spark):
     out = {r.api_call_id: r for r in ap.known_parts(df, mmps, ads).collect()}
     assert out[1].adv_store_id == "com.real"
     assert out[2].adv_store_id == "com.first"
+
+
+def test_payload_span_rows_shapes():
+    """Interleaved span split: text runs + raw URL media_refs with
+    contiguous offsets; URL-only and empty payloads."""
+    assert ap.payload_span_rows("https://a.com/x") == [
+        ("media_ref", None, "https://a.com/x", 0)
+    ]
+    assert ap.payload_span_rows("") == []
+    got = ap.payload_span_rows("x https://a.com/1 y https://b.com/2")
+    assert [s[0] for s in got] == ["text", "media_ref", "text", "media_ref"]
+    assert [s[3] for s in got] == [0, 1, 2, 3]
+    # raw form preserved (no decoding in the span layer)
+    enc = ap.payload_span_rows("z https://a.com/p?u=http%3A%2F%2Fb.io q")
+    assert enc[1][2] == "https://a.com/p?u=http%3A%2F%2Fb.io"
