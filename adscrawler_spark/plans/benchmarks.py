@@ -7384,3 +7384,281 @@ def ad_payload_spans_q(spark, sf):
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
     )
+
+
+# =====================================================================
+# Crawl-health telemetry (pg-ddl full_db_dump.sql functions)
+# =====================================================================
+
+@query(
+    "store_apps_health_snapshot",
+    """
+    WITH sa AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE cast(c_custkey % 4 AS INT) END AS crawl_result,
+               CASE WHEN c_custkey % 4 = 3 THEN NULL
+                    ELSE TIMESTAMP '2024-01-05'
+                         + to_days(cast(c_custkey % 40 AS INT))
+               END AS updated_at
+        FROM customer
+    ),
+    alldata AS (
+        SELECT store, crawl_result, count(*) AS total_rows,
+               round(avg(extract(day FROM
+                   (TIMESTAMP '2024-02-20 06:30:00' - updated_at))), 4)
+                   AS avg_days,
+               cast(max(extract(day FROM
+                   (TIMESTAMP '2024-02-20 06:30:00' - updated_at)))
+                   AS BIGINT) AS max_days
+        FROM sa GROUP BY store, crawl_result
+    ),
+    constb AS (
+        SELECT store, crawl_result, count(*) AS rows_older_than15
+        FROM sa
+        WHERE extract(day FROM
+            (TIMESTAMP '2024-02-20 06:30:00' - updated_at)) > 15
+        GROUP BY store, crawl_result
+    )
+    SELECT a.store, a.crawl_result, a.total_rows, a.avg_days, a.max_days,
+           b.rows_older_than15
+    FROM alldata a
+    LEFT JOIN constb b
+      ON a.store = b.store AND a.crawl_result = b.crawl_result
+    """,
+)
+def store_apps_health_snapshot_q(spark, sf):
+    """Per-(store, crawl_result) freshness telemetry: whole-day
+    staleness avg/max and stale-row counts, with the reference's
+    null-unsafe join leaving never-crawled (NULL-result) groups'
+    stale count NULL (full_db_dump.sql:155-219 snapshot_apps via
+    plans/monitoring.py::freshness_snapshot)."""
+    from adscrawler_spark.plans import monitoring as mon
+
+    c = _t(spark, sf, "customer")
+    sa = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("c_custkey") % 4).cast("int"))
+        .alias("crawl_result"),
+        F.when(
+            F.col("c_custkey") % 4 == 3, F.lit(None).cast("timestamp_ntz")
+        ).otherwise(F.expr(
+            "cast(timestamp'2024-01-05 00:00:00' as timestamp_ntz)"
+            " + make_interval(0, 0, 0, cast(c_custkey % 40 as int), 0, 0, 0)"
+        )).alias("updated_at"),
+    )
+    out = mon.freshness_snapshot(
+        sa, ["store", "crawl_result"], "2024-02-20 06:30:00"
+    )
+    return out.select(
+        "store", "crawl_result", "total_rows",
+        F.round("avg_days", 4).alias("avg_days"),
+        F.col("max_days").cast("long").alias("max_days"),
+        "rows_older_than15",
+    )
+
+
+@query(
+    "pub_domains_health_snapshot",
+    """
+    WITH pd AS (
+        SELECT s_suppkey AS id,
+               CASE WHEN s_suppkey % 5 = 4 THEN NULL
+                    ELSE cast(s_suppkey % 3 AS INT) END AS crawl_result,
+               CASE WHEN s_suppkey % 3 = 2 THEN NULL
+                    ELSE TIMESTAMP '2024-01-05'
+                         + to_days(cast(s_suppkey % 40 AS INT))
+               END AS updated_at
+        FROM supplier
+    ),
+    alldata AS (
+        SELECT crawl_result, count(*) AS total_rows,
+               round(avg(extract(day FROM
+                   (TIMESTAMP '2024-02-20 06:30:00' - updated_at))), 4)
+                   AS avg_days,
+               cast(coalesce(max(extract(day FROM
+                   (TIMESTAMP '2024-02-20 06:30:00' - updated_at))), 0)
+                   AS BIGINT) AS max_days
+        FROM pd GROUP BY crawl_result
+    ),
+    constb AS (
+        SELECT crawl_result, count(*) AS rows_older_than15
+        FROM pd
+        WHERE extract(day FROM
+            (TIMESTAMP '2024-02-20 06:30:00' - updated_at)) > 15
+        GROUP BY crawl_result
+    )
+    SELECT a.crawl_result, a.total_rows, a.avg_days, a.max_days,
+           b.rows_older_than15
+    FROM alldata a
+    LEFT JOIN constb b ON a.crawl_result = b.crawl_result
+    """,
+)
+def pub_domains_health_snapshot_q(spark, sf):
+    """ads.txt domain freshness telemetry — the crawl_result-only
+    grouping with the COALESCE(max, 0) variant; the all-NULL-updated
+    group (crawl_result = 2) pins the coalesce
+    (full_db_dump.sql:219-278 snapshot_pub_domains via
+    plans/monitoring.py::freshness_snapshot)."""
+    from adscrawler_spark.plans import monitoring as mon
+
+    s = _t(spark, sf, "supplier")
+    pd_ = s.select(
+        F.col("s_suppkey").alias("id"),
+        F.when(F.col("s_suppkey") % 5 == 4, F.lit(None).cast("int"))
+        .otherwise((F.col("s_suppkey") % 3).cast("int"))
+        .alias("crawl_result"),
+        F.when(
+            F.col("s_suppkey") % 3 == 2, F.lit(None).cast("timestamp_ntz")
+        ).otherwise(F.expr(
+            "cast(timestamp'2024-01-05 00:00:00' as timestamp_ntz)"
+            " + make_interval(0, 0, 0, cast(s_suppkey % 40 as int), 0, 0, 0)"
+        )).alias("updated_at"),
+    )
+    out = mon.freshness_snapshot(
+        pd_, ["crawl_result"], "2024-02-20 06:30:00", coalesce_max=True
+    )
+    return out.select(
+        "crawl_result", "total_rows",
+        F.round("avg_days", 4).alias("avg_days"),
+        F.col("max_days").cast("long").alias("max_days"),
+        "rows_older_than15",
+    )
+
+
+@query(
+    "store_apps_audit_changelog",
+    """
+    WITH old AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE cast(c_custkey % 4 AS INT) END AS crawl_result
+        FROM customer
+    ),
+    new AS (
+        SELECT id, store, store_id,
+               CASE WHEN id % 5 = 2 THEN cast((crawl_result + 1) % 4 AS INT)
+                    WHEN id % 11 = 6 AND crawl_result IS NULL
+                    THEN cast(1 AS INT)
+                    ELSE crawl_result END AS crawl_result
+        FROM old WHERE id % 17 <> 0
+        UNION ALL
+        SELECT c_custkey + 100000,
+               cast(c_custkey % 2 + 1 AS INT),
+               'nsid' || cast(c_custkey AS VARCHAR),
+               cast(c_custkey % 4 AS INT)
+        FROM customer WHERE c_custkey % 19 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.id, n.id) AS id,
+               o.id IS NOT NULL AS in_old, n.id IS NOT NULL AS in_new,
+               o.store AS o_store, o.store_id AS o_store_id,
+               o.crawl_result AS o_cr,
+               n.store AS n_store, n.store_id AS n_store_id,
+               n.crawl_result AS n_cr
+        FROM old o FULL OUTER JOIN new n ON o.id = n.id
+    )
+    SELECT CASE WHEN in_old AND NOT in_new THEN 'D'
+                WHEN in_new AND NOT in_old THEN 'I'
+                ELSE 'U' END AS op,
+           id,
+           CASE WHEN in_old AND NOT in_new THEN o_store
+                ELSE n_store END AS store,
+           CASE WHEN in_old AND NOT in_new THEN o_store_id
+                ELSE n_store_id END AS store_id,
+           CASE WHEN in_old AND in_new THEN n_cr END AS crawl_result
+    FROM j
+    WHERE (in_old AND NOT in_new) OR (in_new AND NOT in_old)
+       OR (in_old AND in_new AND o_cr IS DISTINCT FROM n_cr)
+    """,
+)
+def store_apps_audit_changelog_q(spark, sf):
+    """Snapshot-diff changelog: D/I/U rows between two versions of the
+    store_apps state, U only on actual tracked-column change with
+    null-safe compare (full_db_dump.sql:101-155
+    process_store_app_audit via
+    plans/monitoring.py::audit_changelog)."""
+    from adscrawler_spark.plans import monitoring as mon
+
+    c = _t(spark, sf, "customer")
+    old = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("c_custkey") % 4).cast("int"))
+        .alias("crawl_result"),
+    )
+    surviving = old.filter(F.col("id") % 17 != 0).select(
+        "id", "store", "store_id",
+        F.when(
+            F.col("id") % 5 == 2,
+            ((F.col("crawl_result") + 1) % 4).cast("int"),
+        )
+        .when(
+            (F.col("id") % 11 == 6) & F.col("crawl_result").isNull(),
+            F.lit(1).cast("int"),
+        )
+        .otherwise(F.col("crawl_result"))
+        .alias("crawl_result"),
+    )
+    inserted = c.filter(F.col("c_custkey") % 19 == 0).select(
+        (F.col("c_custkey") + 100000).alias("id"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("nsid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        (F.col("c_custkey") % 4).cast("int").alias("crawl_result"),
+    )
+    new = surviving.unionByName(inserted)
+    return mon.audit_changelog(old, new)
+
+
+@query(
+    "url_scheme_counts",
+    """
+    WITH u AS (
+        SELECT CASE cast(event_id % 5 AS INT)
+               WHEN 0 THEN 'https://a' || cast(user_id AS VARCHAR) || '.com/x'
+               WHEN 1 THEN 'HTTP://b' || cast(user_id AS VARCHAR) || '.org'
+               WHEN 2 THEN 'intent://details?id=x' || cast(user_id AS VARCHAR)
+               WHEN 3 THEN 'market://details?id=y'
+               ELSE 'no-scheme-here/' || cast(user_id AS VARCHAR)
+               END AS url
+        FROM events
+    )
+    SELECT lower(nullif(regexp_extract(url, '^([^:]+)://', 1), ''))
+               AS scheme,
+           count(*) AS n
+    FROM u GROUP BY 1
+    """,
+)
+def url_scheme_counts_q(spark, sf):
+    """public.extract_scheme (full_db_dump.sql:82-95): lowercase
+    scheme before '://', NULL when absent — grouped counts over
+    synthesized URLs (plans/monitoring.py::extract_scheme)."""
+    from adscrawler_spark.plans import monitoring as mon
+
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = (
+        F.when(F.col("event_id") % 5 == 0, F.concat(
+            F.lit("https://a"), s(F.col("user_id")), F.lit(".com/x")))
+        .when(F.col("event_id") % 5 == 1, F.concat(
+            F.lit("HTTP://b"), s(F.col("user_id")), F.lit(".org")))
+        .when(F.col("event_id") % 5 == 2, F.concat(
+            F.lit("intent://details?id=x"), s(F.col("user_id"))))
+        .when(F.col("event_id") % 5 == 3, F.lit("market://details?id=y"))
+        .otherwise(F.concat(
+            F.lit("no-scheme-here/"), s(F.col("user_id"))))
+    )
+    return (
+        ev.select(url.alias("url"))
+        .groupBy(mon.extract_scheme(F.col("url")).alias("scheme"))
+        .agg(F.count("*").alias("n"))
+    )
