@@ -448,3 +448,78 @@ def adstxt_fresh_entries(
         .select("ad_domain_id", "app_ad_entry_id", "pub_domain_id")
         .distinct()
     )
+
+
+def retention_benchmarks(
+    app_categories: DataFrame, global_benchmarks: DataFrame
+) -> DataFrame:
+    """Per-(store, category) retention benchmarks with the games/apps
+    global fallback — port of dbcon/queries.py:1611-1658
+    get_retention_benchmarks: each of d1/d7/d30 coalesces the
+    category-specific benchmark with the global 'games' default when
+    the category starts with 'game', else the global 'apps' default.
+    The reference's fallback is a bare correlated ``LIMIT 1`` scalar
+    subquery; the port aggregates the fallback rows with ``min`` (a
+    determinism pin — identical when the global rows are unique, as
+    the reference schema keeps them).
+
+    ``app_categories``: (store, category); ``global_benchmarks``:
+    (store, app_category, d1, d7, d30)."""
+    fallback = F.broadcast(
+        global_benchmarks.filter(
+            F.col("app_category").isin("games", "apps")
+        )
+        .groupBy("app_category")
+        .agg(
+            F.min("d1").alias("g_d1"),
+            F.min("d7").alias("g_d7"),
+            F.min("d30").alias("g_d30"),
+        )
+        .withColumnRenamed("app_category", "fallback_key")
+    )
+    specific = global_benchmarks.select(
+        F.col("store"), F.col("app_category").alias("category"),
+        F.col("d1").alias("s_d1"), F.col("d7").alias("s_d7"),
+        F.col("d30").alias("s_d30"),
+    )
+    key = F.when(
+        F.col("category").startswith("game"), F.lit("games")
+    ).otherwise(F.lit("apps"))
+    return (
+        app_categories.join(
+            F.broadcast(specific), ["store", "category"], "left"
+        )
+        .withColumn("fallback_key", key)
+        .join(fallback, "fallback_key", "left")
+        .select(
+            "store",
+            F.col("category").alias("app_category"),
+            F.coalesce(F.col("s_d1"), F.col("g_d1")).alias("d1"),
+            F.coalesce(F.col("s_d7"), F.col("g_d7")).alias("d7"),
+            F.coalesce(F.col("s_d30"), F.col("g_d30")).alias("d30"),
+        )
+    )
+
+
+def ecpm_benchmarks(
+    ecpm: DataFrame, tiers: DataFrame, ad_formats: DataFrame
+) -> DataFrame:
+    """eCPM benchmark flattening — port of dbcon/queries.py:1659-1670
+    get_ecpm_benchmarks: (store, tier slug, ad-format name, ecpm) via
+    two broadcast dim hops."""
+    return (
+        ecpm.join(
+            F.broadcast(tiers.select(
+                F.col("id").alias("tier_id"), "tier_slug"
+            )),
+            "tier_id", "left",
+        )
+        .join(
+            F.broadcast(ad_formats.select(
+                F.col("id").alias("ad_format_id"),
+                F.col("name").alias("ad_format"),
+            )),
+            "ad_format_id", "left",
+        )
+        .select("store", "tier_slug", "ad_format", "ecpm")
+    )

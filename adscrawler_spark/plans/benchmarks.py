@@ -7662,3 +7662,154 @@ def url_scheme_counts_q(spark, sf):
         .groupBy(mon.extract_scheme(F.col("url")).alias("scheme"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "retention_benchmarks",
+    """
+    WITH cats AS (
+        SELECT cast(i AS INT) AS idx,
+               ['game_casual', 'game_rpg', 'social', 'education',
+                'finance', 'game_puzzle', 'productivity'][cast(i AS INT) + 1]
+                   AS category
+        FROM range(0, 7) t(i)
+    ),
+    mac AS (
+        SELECT DISTINCT cast(c_custkey % 2 + 1 AS INT) AS store,
+               c2.category
+        FROM customer
+        JOIN cats c2 ON c2.idx = cast(c_custkey % 7 AS INT)
+    ),
+    rgb AS (
+        SELECT cast(i % 2 + 1 AS INT) AS store,
+               c2.category AS app_category,
+               round(0.3 + (i % 5) * 0.05, 4) AS d1,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE round(0.15 + (i % 4) * 0.02, 4) END AS d7,
+               round(0.05 + (i % 6) * 0.01, 4) AS d30
+        FROM range(0, 10) t(i)
+        JOIN cats c2 ON c2.idx = cast(i % 7 AS INT)
+        WHERE i % 7 % 3 <> 2
+        UNION ALL
+        SELECT cast(0 AS INT), 'games', 0.28, 0.12, 0.04
+        UNION ALL
+        SELECT cast(0 AS INT), 'apps', 0.22, 0.09, 0.03
+    )
+    SELECT mac.store, mac.category AS app_category,
+        COALESCE(rgb.d1,
+            CASE WHEN mac.category LIKE 'game%'
+                 THEN (SELECT d1 FROM rgb WHERE app_category = 'games'
+                       LIMIT 1)
+                 ELSE (SELECT d1 FROM rgb WHERE app_category = 'apps'
+                       LIMIT 1) END) AS d1,
+        COALESCE(rgb.d7,
+            CASE WHEN mac.category LIKE 'game%'
+                 THEN (SELECT d7 FROM rgb WHERE app_category = 'games'
+                       LIMIT 1)
+                 ELSE (SELECT d7 FROM rgb WHERE app_category = 'apps'
+                       LIMIT 1) END) AS d7,
+        COALESCE(rgb.d30,
+            CASE WHEN mac.category LIKE 'game%'
+                 THEN (SELECT d30 FROM rgb WHERE app_category = 'games'
+                       LIMIT 1)
+                 ELSE (SELECT d30 FROM rgb WHERE app_category = 'apps'
+                       LIMIT 1) END) AS d30
+    FROM mac
+    LEFT JOIN rgb
+      ON mac.category = rgb.app_category AND mac.store = rgb.store
+    """,
+)
+def retention_benchmarks_q(spark, sf):
+    """Category retention benchmarks with the games/apps global
+    fallback per column (dbcon/queries.py:1611-1658 via
+    plans/app_metrics.py::retention_benchmarks)."""
+    from adscrawler_spark.plans import app_metrics as am
+
+    c = _t(spark, sf, "customer")
+    spark_sess = c.sparkSession
+    cat_names = ["game_casual", "game_rpg", "social", "education",
+                 "finance", "game_puzzle", "productivity"]
+    cat_arr = F.array(*[F.lit(x) for x in cat_names])
+    mac = c.select(
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        F.element_at(cat_arr, (F.col("c_custkey") % 7 + 1).cast("int"))
+        .alias("category"),
+    ).distinct()
+    rgb_specific = (
+        spark_sess.range(0, 10)
+        .filter((F.col("id") % 7) % 3 != 2)
+        .select(
+            (F.col("id") % 2 + 1).cast("int").alias("store"),
+            F.element_at(cat_arr, (F.col("id") % 7 + 1).cast("int"))
+            .alias("app_category"),
+            F.round(0.3 + (F.col("id") % 5) * 0.05, 4).alias("d1"),
+            F.when(F.col("id") % 3 == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(0.15 + (F.col("id") % 4) * 0.02, 4))
+            .alias("d7"),
+            F.round(0.05 + (F.col("id") % 6) * 0.01, 4).alias("d30"),
+        )
+    )
+    rgb_global = spark_sess.createDataFrame(
+        [(0, "games", 0.28, 0.12, 0.04), (0, "apps", 0.22, 0.09, 0.03)],
+        "store int, app_category string, d1 double, d7 double, d30 double",
+    )
+    rgb = rgb_specific.unionByName(rgb_global)
+    return am.retention_benchmarks(mac, rgb)
+
+
+@query(
+    "ecpm_benchmarks",
+    """
+    WITH eb AS (
+        SELECT cast(event_id % 2 + 1 AS INT) AS store,
+               cast(event_id % 4 AS INT) AS tier_id,
+               cast(event_id % 5 AS INT) AS ad_format_id,
+               round(0.5 + (event_id % 40) * 0.25, 2) AS ecpm
+        FROM events WHERE event_id % 29 = 3
+    ),
+    t AS (
+        SELECT cast(i AS INT) AS id, 'tier_' || cast(i AS VARCHAR)
+                   AS tier_slug
+        FROM range(0, 3) t(i)
+    ),
+    af AS (
+        SELECT cast(i AS INT) AS id,
+               ['banner', 'interstitial', 'rewarded', 'native'][cast(i AS INT) + 1]
+                   AS name
+        FROM range(0, 4) t(i)
+    )
+    SELECT eb.store, t.tier_slug, af.name AS ad_format, eb.ecpm
+    FROM eb
+    LEFT JOIN t ON eb.tier_id = t.id
+    LEFT JOIN af ON eb.ad_format_id = af.id
+    """,
+)
+def ecpm_benchmarks_q(spark, sf):
+    """eCPM benchmark dim flattening (dbcon/queries.py:1659-1670 via
+    plans/app_metrics.py::ecpm_benchmarks); tier_id 3 / format_id 4
+    have no dim row — the LEFT joins keep them with NULL names."""
+    from adscrawler_spark.plans import app_metrics as am
+
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    eb = ev.filter(F.col("event_id") % 29 == 3).select(
+        (F.col("event_id") % 2 + 1).cast("int").alias("store"),
+        (F.col("event_id") % 4).cast("int").alias("tier_id"),
+        (F.col("event_id") % 5).cast("int").alias("ad_format_id"),
+        F.round(0.5 + (F.col("event_id") % 40) * 0.25, 2).alias("ecpm"),
+    )
+    tiers = spark_sess.range(0, 3).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("tier_"), F.col("id").cast("string")).alias(
+            "tier_slug"
+        ),
+    )
+    formats = spark_sess.range(0, 4).select(
+        F.col("id").cast("int").alias("id"),
+        F.element_at(
+            F.array(F.lit("banner"), F.lit("interstitial"),
+                    F.lit("rewarded"), F.lit("native")),
+            (F.col("id") + 1).cast("int"),
+        ).alias("name"),
+    )
+    return am.ecpm_benchmarks(eb, tiers, formats)
