@@ -7813,3 +7813,171 @@ def ecpm_benchmarks_q(spark, sf):
         ).alias("name"),
     )
     return am.ecpm_benchmarks(eb, tiers, formats)
+
+
+@query(
+    "matched_app_sdk_strings",
+    """
+    WITH vdm AS (
+        SELECT cast(event_id % 800 AS BIGINT) AS version_code_id,
+               cast((event_id * 37) % 2200000000 AS BIGINT) AS string_id
+        FROM events WHERE event_id % 3 <> 1
+    ),
+    vc AS (
+        SELECT cast(i AS BIGINT) AS id,
+               cast(i % 150 AS BIGINT) AS store_app,
+               TIMESTAMP '2024-01-01' + to_days(cast(i % 90 AS INT))
+                   AS created_at
+        FROM range(0, 700) t(i)
+    ),
+    pm AS (
+        SELECT cast((event_id * 37) % 2200000000 AS BIGINT) AS string_id,
+               cast(event_id % 40 AS INT) AS sdk_id
+        FROM events WHERE event_id % 5 = 0
+    )
+    SELECT vc.store_app, vdm.version_code_id, vdm.string_id, pm.sdk_id,
+           strftime(vc.created_at, '%Y-%m-%d %H:%M:%S')
+               AS version_code_created_at
+    FROM vdm
+    JOIN vc ON vdm.version_code_id = vc.id
+    LEFT JOIN pm ON vdm.string_id = pm.string_id
+    """,
+)
+def matched_app_sdk_strings_q(spark, sf):
+    """version-details map joined with the codes lookup and LEFT with
+    pattern matches; codes 700-799 have no lookup row (inner drop) and
+    unmatched strings keep NULL sdk_id
+    (process/version_details.py:385-442 via
+    plans/version_details.py::matched_app_sdk_strings)."""
+    from adscrawler_spark.plans import version_details as vd
+
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    vdm = ev.filter(F.col("event_id") % 3 != 1).select(
+        (F.col("event_id") % 800).alias("version_code_id"),
+        ((F.col("event_id") * 37) % 2200000000).alias("string_id"),
+    )
+    vc = spark_sess.range(0, 700).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 150).alias("store_app"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id % 90 as int), 0, 0, 0)"
+        ).alias("created_at"),
+    )
+    pm = ev.filter(F.col("event_id") % 5 == 0).select(
+        ((F.col("event_id") * 37) % 2200000000).alias("string_id"),
+        (F.col("event_id") % 40).cast("int").alias("sdk_id"),
+    )
+    out = vd.matched_app_sdk_strings(vdm, vc, pm)
+    return out.select(
+        "store_app", "version_code_id", "string_id", "sdk_id",
+        F.date_format("version_code_created_at", "yyyy-MM-dd HH:mm:ss")
+        .alias("version_code_created_at"),
+    )
+
+
+@query(
+    "matched_app_sdk_strings_latest",
+    """
+    WITH vdm AS (
+        SELECT cast(event_id % 800 AS BIGINT) AS version_code_id,
+               cast((event_id * 37) % 2200000000 AS BIGINT) AS string_id
+        FROM events WHERE event_id % 3 <> 1
+    ),
+    vc AS (
+        SELECT cast(i AS BIGINT) AS id,
+               cast(i % 150 AS BIGINT) AS store_app,
+               TIMESTAMP '2024-01-01' + to_days(cast(i % 90 AS INT))
+                   AS created_at
+        FROM range(0, 700) t(i)
+    ),
+    pm AS (
+        SELECT cast((event_id * 37) % 2200000000 AS BIGINT) AS string_id,
+               cast(event_id % 40 AS INT) AS sdk_id
+        FROM events WHERE event_id % 5 = 0
+    ),
+    matched AS (
+        SELECT vc.store_app, vdm.version_code_id, vdm.string_id, pm.sdk_id
+        FROM vdm
+        JOIN vc ON vdm.version_code_id = vc.id
+        LEFT JOIN pm ON vdm.string_id = pm.string_id
+    ),
+    latest_vc AS (
+        SELECT store_app, id AS version_code_id FROM vc
+        QUALIFY dense_rank() OVER (
+            PARTITION BY store_app ORDER BY created_at DESC, id DESC) = 1
+    )
+    SELECT m.store_app, m.string_id, m.sdk_id
+    FROM matched m
+    JOIN latest_vc l
+      ON m.store_app = l.store_app
+     AND m.version_code_id = l.version_code_id
+    """,
+)
+def matched_app_sdk_strings_latest_q(spark, sf):
+    """The per-app newest-version slice via the reference's QUALIFY
+    dense_rank (process/version_details.py:442-508 via
+    plans/version_details.py::matched_app_sdk_strings_latest)."""
+    from adscrawler_spark.plans import version_details as vd
+
+    ev = _t(spark, sf, "events")
+    spark_sess = ev.sparkSession
+    vdm = ev.filter(F.col("event_id") % 3 != 1).select(
+        (F.col("event_id") % 800).alias("version_code_id"),
+        ((F.col("event_id") * 37) % 2200000000).alias("string_id"),
+    )
+    vc = spark_sess.range(0, 700).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 150).alias("store_app"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id % 90 as int), 0, 0, 0)"
+        ).alias("created_at"),
+    )
+    pm = ev.filter(F.col("event_id") % 5 == 0).select(
+        ((F.col("event_id") * 37) % 2200000000).alias("string_id"),
+        (F.col("event_id") % 40).cast("int").alias("sdk_id"),
+    )
+    matched = vd.matched_app_sdk_strings(vdm, vc, pm).drop(
+        "version_code_created_at"
+    )
+    return vd.matched_app_sdk_strings_latest(matched, vc)
+
+
+@query(
+    "string_bucket_layout",
+    """
+    WITH s AS (
+        SELECT cast((event_id * 104729) % 2600000000 AS BIGINT) AS sid
+        FROM events
+    )
+    SELECT CASE
+        WHEN sid >= 0 AND sid < 50000000 THEN '0000M-0050M'
+        WHEN sid >= 50000000 AND sid < 100000000 THEN '0050M-0100M'
+        WHEN sid >= 100000000 AND sid < 200000000 THEN '0100M-0200M'
+        WHEN sid >= 200000000 AND sid < 500000000 THEN '0200M-0500M'
+        WHEN sid >= 500000000 AND sid < 1000000000 THEN '0500M-1000M'
+        WHEN sid >= 1000000000 AND sid < 2000000000 THEN '1000M-2000M'
+        ELSE '2000M-plus' END AS string_bucket,
+        count(*) AS n,
+        cast(sum(sid % 97) AS BIGINT) AS checksum
+    FROM s GROUP BY 1
+    """,
+)
+def string_bucket_layout_q(spark, sf):
+    """The width-4 zero-padded million-bucket partition label for the
+    string dictionary layout (process/version_details.py:49-77 via
+    plans/version_details.py::string_bucket)."""
+    from adscrawler_spark.plans import version_details as vd
+
+    ev = _t(spark, sf, "events")
+    s = ev.select(
+        ((F.col("event_id") * 104729) % 2600000000).alias("sid")
+    )
+    return s.groupBy(
+        vd.string_bucket("sid").alias("string_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("sid") % 97).cast("long").alias("checksum"),
+    )
