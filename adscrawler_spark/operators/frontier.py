@@ -236,6 +236,55 @@ def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
     )
 
 
+def global_rank(df: DataFrame, order: list[F.Column],
+                rank_col: str = "rank",
+                persisted: list | None = None) -> DataFrame:
+    """Exact global row_number over ``order`` with NO limit — the
+    un-pruned sibling of :func:`ranked_top_n` phase 2 for queries that
+    rank their *entire* output (query_apps_to_download.sql:275-291
+    assigns ``app_rank`` to every candidate row, no LIMIT).
+
+    A bare ``row_number() OVER (ORDER BY ...)`` window collapses the
+    whole input onto one task; instead range-repartition on the order
+    key (preserves total order across partitions), sort within, and
+    add the prefix sum of partition counts (≤P-row driver aggregate,
+    broadcast back) to each row's within-partition position.  Ranks
+    equal a sequential sort's exactly, at any parallelism."""
+    spark = df.sparkSession
+    lower33 = (1 << 33) - 1
+    p = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_gr_mid", F.monotonically_increasing_id())
+        .withColumn("_gr_pid", F.shiftright("_gr_mid", 33))
+        .withColumn("_gr_pos", F.col("_gr_mid").bitwiseAND(F.lit(lower33)))
+        .persist()  # counts pass + rank join share one materialization
+    )
+    counts = sorted(
+        (int(r[0]), int(r[1]))
+        for r in ranged.groupBy("_gr_pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_gr_pid long, _gr_off long")
+    # the cached partitions back both the counts pass above and the
+    # rank join below; recomputing them would re-draw the mid values,
+    # so the handle must stay persisted until the caller materializes
+    # (same lifecycle contract as ranked_top_n's ``persisted``).
+    if persisted is not None:
+        persisted.append(ranged)
+    return (
+        ranged.join(F.broadcast(off_df), "_gr_pid")
+        .withColumn(
+            rank_col, (F.col("_gr_off") + F.col("_gr_pos") + 1).cast("int")
+        )
+        .drop("_gr_mid", "_gr_pid", "_gr_pos", "_gr_off")
+    )
+
+
 def claim_batch(
     frontier: DataFrame,
     doc_kinds: list[str],

@@ -7981,3 +7981,422 @@ def string_bucket_layout_q(spark, sf):
         F.count("*").alias("n"),
         F.sum(F.col("sid") % 97).cast("long").alias("checksum"),
     )
+
+
+# =====================================================================
+# APK/IPA download frontier + keyword-extraction frontier
+# (query_apps_to_download.sql, query_apps_to_process_keywords.sql)
+# =====================================================================
+
+_DL_SYNTH_SQL = """
+    sa AS (
+        SELECT c_custkey AS id, 'sid' || cast(c_custkey AS VARCHAR)
+                   AS store_id,
+               CASE WHEN c_custkey % 41 = 7 THEN NULL ELSE c_name END
+                   AS name,
+               cast(c_custkey % 2 + 1 AS INT) AS store,
+               c_custkey % 5 <> 1 AS free,
+               CASE WHEN c_custkey % 9 = 0 THEN NULL
+                    ELSE TIMESTAMP '2023-10-01'
+                         + to_days(cast(c_custkey % 300 AS INT)) END
+                   AS store_last_updated
+        FROM customer
+    ),
+    vc AS (
+        SELECT o_orderkey AS id, o_custkey AS store_app,
+               'v' || cast(o_orderkey % 50 AS VARCHAR) AS version_code,
+               TIMESTAMP '2023-12-01'
+                   + to_days(cast(o_orderkey % 170 AS INT)) AS created_at,
+               TIMESTAMP '2023-12-02'
+                   + to_days(cast(o_orderkey % 170 AS INT)) AS updated_at,
+               cast(o_orderkey % 5 AS INT) AS crawl_result
+        FROM orders
+    ),
+    sfk AS (
+        SELECT o_orderkey AS version_code_id FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    sad AS (
+        SELECT o_custkey AS store_app,
+               cast(o_orderkey % 4 AS INT) AS crawl_result,
+               TIMESTAMP '2024-01-15'
+                   + to_days(cast(o_orderkey % 140 AS INT)) AS updated_at
+        FROM orders
+    ),
+    rank_apps AS (
+        SELECT c_custkey AS store_app,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               c_name AS name,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS installs,
+               cast(c_custkey % 1000 AS BIGINT) AS rating_count,
+               cast(c_custkey % 2 + 1 AS INT) AS store
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    growth AS (
+        SELECT 'sid' || cast(c_custkey AS VARCHAR) AS store_id
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    urs AS (
+        SELECT 'sid' || cast(o_custkey AS VARCHAR) AS store_id,
+               TIMESTAMP '2024-05-01'
+                   + to_days(cast(o_orderkey % 35 AS INT)) AS created_at
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    agm AS (
+        SELECT c_custkey AS store_app,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS total_installs,
+               cast(c_custkey % 1000 AS BIGINT) AS total_ratings
+        FROM customer WHERE c_custkey % 5 <> 0
+    )
+"""
+
+
+def _dl_synth_spark(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    day = lambda base, n: F.expr(  # noqa: E731
+        f"timestamp'{base} 00:00:00'"
+        f" + make_interval(0, 0, 0, cast({n} as int), 0, 0, 0)"
+    )
+    sa = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.when(F.col("c_custkey") % 41 == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name")).alias("name"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        (F.col("c_custkey") % 5 != 1).alias("free"),
+        F.when(F.col("c_custkey") % 9 == 0,
+               F.lit(None).cast("timestamp"))
+        .otherwise(day("2023-10-01", "c_custkey % 300"))
+        .alias("store_last_updated"),
+    )
+    vc = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("store_app"),
+        F.concat(F.lit("v"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("version_code"),
+        day("2023-12-01", "o_orderkey % 170").alias("created_at"),
+        day("2023-12-02", "o_orderkey % 170").alias("updated_at"),
+        (F.col("o_orderkey") % 5).cast("int").alias("crawl_result"),
+    )
+    sfk = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("version_code_id")
+    )
+    sad = o.select(
+        F.col("o_custkey").alias("store_app"),
+        (F.col("o_orderkey") % 4).cast("int").alias("crawl_result"),
+        day("2024-01-15", "o_orderkey % 140").alias("updated_at"),
+    )
+    rank_apps = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("store_app"),
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        F.col("c_name").alias("name"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias("installs"),
+        (F.col("c_custkey") % 1000).cast("long").alias("rating_count"),
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+    )
+    growth = c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string")).alias(
+            "store_id"
+        )
+    )
+    urs = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.concat(F.lit("sid"), F.col("o_custkey").cast("string")).alias(
+            "store_id"
+        ),
+        day("2024-05-01", "o_orderkey % 35").alias("created_at"),
+    )
+    agm = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("store_app"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias(
+            "total_installs"
+        ),
+        (F.col("c_custkey") % 1000).cast("long").alias("total_ratings"),
+    )
+    return sa, vc, sfk, sad, rank_apps, growth, urs, agm
+
+
+@query(
+    "apps_to_download_priority",
+    "WITH " + _DL_SYNTH_SQL + """,
+    lvc AS (
+        SELECT store_app, updated_at AS last_download_attempt,
+               crawl_result AS vc_crawl_result
+        FROM (SELECT vc.*, row_number() OVER (
+                  PARTITION BY store_app
+                  ORDER BY created_at DESC, id DESC) AS rn FROM vc)
+        WHERE rn = 1
+    ),
+    lsvc AS (
+        SELECT store_app, version_code AS last_downloaded_version_code
+        FROM (SELECT vc.*, row_number() OVER (
+                  PARTITION BY store_app
+                  ORDER BY created_at DESC, id DESC) AS rn
+              FROM vc
+              WHERE vc.id IN (SELECT version_code_id FROM sfk))
+        WHERE rn = 1
+    ),
+    ald AS (
+        SELECT store_app, max(updated_at) AS last_downloaded_at
+        FROM sad WHERE crawl_result = 1 GROUP BY store_app
+    ),
+    fdm AS (
+        SELECT store_app, count(*) AS attempt_count FROM sad
+        WHERE crawl_result <> 1
+          AND updated_at >= TIMESTAMP '2024-05-02' GROUP BY store_app
+    ),
+    fdq AS (
+        SELECT store_app, count(*) AS attempt_count FROM sad
+        WHERE crawl_result <> 1
+          AND updated_at >= TIMESTAMP '2024-03-03' GROUP BY store_app
+    ),
+    sched AS (
+        SELECT dc.store_app, dc.store_id, dc.name, dc.installs,
+               dc.rating_count, lvc.last_download_attempt,
+               ald.last_downloaded_at, lsvc.last_downloaded_version_code,
+               coalesce(fdm.attempt_count, 0) AS failed_attempts_month,
+               coalesce(fdq.attempt_count, 0) AS failed_attempts_quarter
+        FROM rank_apps dc
+        LEFT JOIN lvc ON dc.store_app = lvc.store_app
+        LEFT JOIN ald ON dc.store_app = ald.store_app
+        LEFT JOIN lsvc ON dc.store_app = lsvc.store_app
+        LEFT JOIN fdm ON lvc.store_app = fdm.store_app
+        LEFT JOIN fdq ON lvc.store_app = fdq.store_app
+        LEFT JOIN sa ON dc.store_app = sa.id
+        WHERE dc.store = 1 AND sa.free
+          AND (lvc.last_download_attempt IS NULL
+               OR ((ald.last_downloaded_at IS NULL
+                    OR (ald.last_downloaded_at < TIMESTAMP '2024-02-02'
+                        AND (sa.store_last_updated
+                                 > TIMESTAMP '2024-03-03'
+                             OR sa.store_last_updated IS NULL)))
+                   OR (ald.last_downloaded_at IS NULL
+                       OR ald.last_downloaded_at < TIMESTAMP '2024-02-02'
+                          AND (sa.store_last_updated
+                                   > TIMESTAMP '2024-03-03'
+                               OR sa.store_last_updated IS NULL)
+                          AND (lvc.vc_crawl_result IN (2, 3, 4)
+                               AND lvc.last_download_attempt
+                                   < TIMESTAMP '2024-05-30'))))
+    ),
+    ureq AS (
+        SELECT * EXCLUDE (rn, user_last_requested) FROM (
+            SELECT sa.id AS store_app, sa.store_id, sa.name,
+                   agm.total_installs AS installs,
+                   agm.total_ratings AS rating_count,
+                   urs.created_at AS user_last_requested,
+                   lvc.last_download_attempt, ald.last_downloaded_at,
+                   lsvc.last_downloaded_version_code,
+                   coalesce(fdm.attempt_count, 0)
+                       AS failed_attempts_month,
+                   coalesce(fdq.attempt_count, 0)
+                       AS failed_attempts_quarter,
+                   row_number() OVER (PARTITION BY sa.id
+                       ORDER BY urs.created_at DESC) AS rn
+            FROM urs
+            LEFT JOIN sa ON urs.store_id = sa.store_id
+            LEFT JOIN agm ON sa.id = agm.store_app
+            LEFT JOIN ald ON sa.id = ald.store_app
+            LEFT JOIN lsvc ON sa.id = lsvc.store_app
+            LEFT JOIN lvc ON sa.id = lvc.store_app
+            LEFT JOIN fdm ON sa.id = fdm.store_app
+            LEFT JOIN fdq ON sa.id = fdq.store_app
+            WHERE (ald.last_downloaded_at < urs.created_at
+                   OR ald.last_downloaded_at IS NULL)
+              AND (lvc.last_download_attempt
+                       < TIMESTAMP '2024-06-01 11:00:00'
+                   OR lvc.last_download_attempt IS NULL)
+              AND sa.store = 1 AND (sa.free OR sa.free IS NULL)
+              AND sa.name IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    combined AS (
+        SELECT store_app, store_id, name, installs, rating_count,
+               failed_attempts_month, failed_attempts_quarter,
+               'user' AS mysource, last_download_attempt,
+               last_downloaded_at, last_downloaded_version_code
+        FROM ureq WHERE failed_attempts_month < 4
+        UNION ALL
+        SELECT store_app, store_id, name, installs, rating_count,
+               failed_attempts_month, failed_attempts_quarter,
+               CASE WHEN store_app IN (
+                   SELECT sa.id FROM growth g
+                   LEFT JOIN sa ON g.store_id = sa.store_id)
+                   THEN 'top_scheduled' ELSE 'scheduled' END AS mysource,
+               last_download_attempt, last_downloaded_at,
+               last_downloaded_version_code
+        FROM sched
+        WHERE failed_attempts_month < 3 AND failed_attempts_quarter < 6
+          AND (last_downloaded_at IS NULL
+               OR last_downloaded_at < TIMESTAMP '2024-02-02')
+    ),
+    final AS (
+        SELECT *,
+               (coalesce(date_part('day',
+                    DATE '2024-06-01' - last_download_attempt), 10000)
+                + coalesce(date_part('day',
+                      DATE '2024-06-01' - last_downloaded_at), 100)) / 2
+               * greatest(coalesce(installs, 0),
+                          coalesce(rating_count, 0) * 50) AS mynum
+        FROM combined
+    )
+    SELECT store_app, store_id, name, installs, rating_count,
+           failed_attempts_month, failed_attempts_quarter, mysource,
+           strftime(last_download_attempt, '%Y-%m-%d %H:%M:%S')
+               AS last_download_attempt,
+           strftime(last_downloaded_at, '%Y-%m-%d %H:%M:%S')
+               AS last_downloaded_at,
+           last_downloaded_version_code,
+           cast(row_number() OVER (ORDER BY mysource DESC,
+               mynum DESC NULLS LAST, store_app ASC) AS INT) AS app_rank
+    FROM final
+    """,
+)
+def apps_to_download_priority_q(spark, sf):
+    """The full APK/IPA download frontier: scheduled + user-requested
+    branches, failed-attempt caps, 120-day redownload window, growth-
+    app source promotion, and the no-LIMIT global rank
+    (query_apps_to_download.sql:1-310 via
+    plans/scan_frontier.py::apps_to_download; rank assigned by
+    operators/frontier.py::global_rank — range partition + prefix
+    sum, no single-partition window)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    sa, vc, sfk, sad, rank_apps, growth, urs, agm = _dl_synth_spark(
+        spark, sf
+    )
+    out = sfr.apps_to_download(
+        sa, vc, sfk, sad, rank_apps, growth, urs, agm,
+        store=1, as_of="2024-06-01", now_ts="2024-06-01 12:00:00",
+    )
+    return out.select(
+        "store_app", "store_id", "name", "installs", "rating_count",
+        "failed_attempts_month", "failed_attempts_quarter", "mysource",
+        F.date_format("last_download_attempt", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_download_attempt"),
+        F.date_format("last_downloaded_at", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_downloaded_at"),
+        "last_downloaded_version_code", "app_rank",
+    )
+
+
+@query(
+    "apps_to_process_keywords",
+    """
+    WITH descs AS (
+        SELECT o_orderkey AS id, o_custkey AS store_app,
+               cast(o_orderkey % 3 AS INT) AS language_id,
+               's' || cast(o_orderkey % 100 AS VARCHAR)
+                   AS description_short,
+               'd' || cast(o_orderkey % 997 AS VARCHAR) AS description,
+               TIMESTAMP '2024-01-01'
+                   + to_days(cast(o_orderkey % 150 AS INT)) AS updated_at
+        FROM orders
+    ),
+    exts AS (
+        SELECT l_orderkey AS description_id,
+               TIMESTAMP '2024-02-01'
+                   + to_days(cast((l_orderkey + l_linenumber) % 120
+                             AS INT)) AS extracted_at
+        FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    agm AS (
+        SELECT c_custkey AS store_app,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS total_installs
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    ld AS (
+        SELECT id AS description_id, store_app, description_short,
+               description, updated_at AS description_last_updated
+        FROM (SELECT descs.*, row_number() OVER (
+                  PARTITION BY store_app
+                  ORDER BY updated_at DESC, id DESC) AS rn
+              FROM descs WHERE language_id = 1)
+        WHERE rn = 1
+    ),
+    le AS (
+        SELECT description_id, extracted_at AS app_keywords_extracted_at
+        FROM (SELECT exts.*, row_number() OVER (
+                  PARTITION BY description_id
+                  ORDER BY extracted_at DESC) AS rn FROM exts)
+        WHERE rn = 1
+    ),
+    base AS (
+        SELECT ld.store_app, ld.description_id,
+               le.app_keywords_extracted_at, ld.description_short,
+               ld.description, agm.total_installs
+        FROM ld
+        LEFT JOIN le ON ld.description_id = le.description_id
+        JOIN agm ON ld.store_app = agm.store_app
+        WHERE le.app_keywords_extracted_at IS NULL
+           OR ld.description_last_updated > le.app_keywords_extracted_at
+           OR le.app_keywords_extracted_at
+              <= TIMESTAMP '2024-05-01 12:00:00'
+    )
+    SELECT store_app, description_id,
+           strftime(app_keywords_extracted_at, '%Y-%m-%d %H:%M:%S')
+               AS app_keywords_extracted_at,
+           description_short, description
+    FROM base
+    ORDER BY
+        (CASE WHEN app_keywords_extracted_at IS NULL THEN 1 ELSE 0 END)
+            DESC,
+        (coalesce(total_installs, 0) * (10 * coalesce(date_part('day',
+             TIMESTAMP '2024-06-01 12:00:00' - app_keywords_extracted_at
+         ), 1))) DESC,
+        store_app ASC
+    LIMIT 100
+    """,
+)
+def apps_to_process_keywords_q(spark, sf):
+    """The O5 keyword-extraction frontier as its own named query:
+    latest English description, latest extraction, staleness filter,
+    new-first then installs*10*days_since ordering
+    (query_apps_to_process_keywords.sql:1-64 via
+    plans/scan_frontier.py::apps_to_process_keywords).  The 31-day
+    recheck cutoff (NOW() - 31 days with NOW()='2024-06-01 12:00:00')
+    is '2024-05-01 12:00:00' in the oracle."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+    day = lambda base, n: F.expr(  # noqa: E731
+        f"timestamp'{base} 00:00:00'"
+        f" + make_interval(0, 0, 0, cast({n} as int), 0, 0, 0)"
+    )
+    descs = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("store_app"),
+        (F.col("o_orderkey") % 3).cast("int").alias("language_id"),
+        F.concat(F.lit("s"), (F.col("o_orderkey") % 100).cast("string"))
+        .alias("description_short"),
+        F.concat(F.lit("d"), (F.col("o_orderkey") % 997).cast("string"))
+        .alias("description"),
+        day("2024-01-01", "o_orderkey % 150").alias("updated_at"),
+    )
+    exts = li.filter(F.col("l_orderkey") % 4 == 0).select(
+        F.col("l_orderkey").alias("description_id"),
+        day("2024-02-01", "(l_orderkey + l_linenumber) % 120").alias(
+            "extracted_at"
+        ),
+    )
+    agm = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("store_app"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias(
+            "total_installs"
+        ),
+    )
+    out = sfr.apps_to_process_keywords(
+        descs, exts, agm, now_ts="2024-06-01 12:00:00", limit=100
+    )
+    return out.select(
+        "store_app", "description_id",
+        F.date_format("app_keywords_extracted_at", "yyyy-MM-dd HH:mm:ss")
+        .alias("app_keywords_extracted_at"),
+        "description_short", "description",
+    )

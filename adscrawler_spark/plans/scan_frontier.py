@@ -809,3 +809,415 @@ def apps_to_api_scan_ads(
             F.lit("scheduled_ads").alias("mysource"),
         )
     )
+
+
+def _days_since(as_of_date, ts: F.Column) -> F.Column:
+    """Postgres ``date_part('day', current_date - ts)`` — the day
+    field of the interval between the (midnight) current date and a
+    timestamp.  The interval's day field truncates toward zero (a
+    -12h interval has day 0), so this is a long cast of the
+    epoch-second difference / 86400, not a floor."""
+    return (
+        (
+            F.unix_timestamp(as_of_date.cast("timestamp"))
+            - F.unix_timestamp(ts)
+        )
+        / 86_400
+    ).cast("long")
+
+
+def apps_to_download(
+    store_apps: DataFrame,
+    version_codes: DataFrame,
+    s3_file_keys: DataFrame,
+    store_app_downloads: DataFrame,
+    apps_in_latest_rankings: DataFrame,
+    growth_store_ids: DataFrame,
+    user_requested: DataFrame,
+    app_global_metrics: DataFrame,
+    store: int,
+    as_of: str,
+    now_ts: str,
+) -> DataFrame:
+    """query_apps_to_download.sql:1-310 — the APK/IPA download
+    frontier, full port (the O3 score formula in
+    operators/frontier.py:136-151 is this query's :265-291 ranking
+    term).
+
+    Branches: the scheduled branch (:81-150) walks the latest ranked
+    apps with the never-downloaded / stale-success+recent-store-update
+    / failing-retry eligibility nest (:111-149, literal port of the
+    OR/AND precedence); the user-requested branch (:151-202) takes the
+    newest request per app for free, named apps whose last download
+    predates the request.  Failed-attempt caps gate the union
+    (:218-219 month<4 user, :244-246 month<3 and quarter<6 scheduled)
+    plus the 120-day redownload window (:247-250); growth apps
+    (frontend z_scores_top_apps, :72-80) promote the scheduled source
+    label to ``top_scheduled``.  ``app_rank`` is the no-LIMIT global
+    row_number (:275-291) — assigned by the range-partition +
+    prefix-sum ranker (operators/frontier.py::global_rank), never a
+    single-partition window.
+
+    Inputs: ``store_apps`` (id, store_id, name, store, free,
+    store_last_updated), ``version_codes`` (id, store_app,
+    version_code, created_at, updated_at, crawl_result),
+    ``s3_file_keys`` (version_code_id), ``store_app_downloads``
+    (store_app, crawl_result, updated_at), ``apps_in_latest_rankings``
+    (store_app, store_id, name, installs, rating_count, store — the
+    frontend matview), ``growth_store_ids`` (store_id — frontend
+    z_scores_top_apps output), ``user_requested`` (store_id,
+    created_at), ``app_global_metrics`` (store_app, total_installs,
+    total_ratings).
+
+    Determinism pins over the reference: DISTINCT ON tie-breaks get
+    the natural unique id trailing (version id, request created_at),
+    and the rank order appends (mysource, store_app) after the score
+    so equal-score rows rank identically in any engine."""
+    as_of_d = F.lit(as_of).cast("date")
+
+    # latest_version_codes (:6-19) — newest code per app, any result.
+    w_vc = Window.partitionBy("store_app").orderBy(
+        F.col("created_at").desc(), F.col("id").desc()
+    )
+    latest_vc = (
+        version_codes.withColumn("_rn", F.row_number().over(w_vc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "store_app",
+            F.col("updated_at").alias("last_download_attempt"),
+            F.col("crawl_result").alias("vc_crawl_result"),
+        )
+    )
+    # latest_success_version_codes (:20-36) — newest code that has a
+    # stored binary (INNER JOIN s3_file_keys).
+    latest_success_vc = (
+        version_codes.join(
+            s3_file_keys.select(F.col("version_code_id").alias("id")),
+            "id", "left_semi",
+        )
+        .withColumn("_rn", F.row_number().over(w_vc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "store_app",
+            F.col("version_code").alias("last_downloaded_version_code"),
+        )
+    )
+    # apps_last_downloaded (:37-47)
+    last_downloaded = (
+        store_app_downloads.filter(F.col("crawl_result") == 1)
+        .groupBy("store_app")
+        .agg(F.max("updated_at").alias("last_downloaded_at"))
+    )
+    # faily_downloads_monthly / _quarter (:48-71)
+    def failed_since(days: int) -> DataFrame:
+        return (
+            store_app_downloads.filter(
+                (F.col("crawl_result") != 1)
+                & (
+                    F.col("updated_at")
+                    >= F.date_sub(as_of_d, days).cast("timestamp")
+                )
+            )
+            .groupBy("store_app")
+            .agg(F.count(F.lit(1)).alias("attempt_count"))
+        )
+
+    failed_month = failed_since(30)
+    failed_quarter = failed_since(90)
+
+    sa = store_apps.select(
+        F.col("id").alias("store_app"),
+        F.col("store_id").alias("sa_store_id"),
+        F.col("name").alias("sa_name"),
+        F.col("store").alias("sa_store"),
+        "free", "store_last_updated",
+    )
+
+    # scheduled_apps_crawl (:81-150).  fd/fdq join on the *version
+    # code's* store_app (:102-107) — an app with no version_codes row
+    # keeps NULL attempt counts by construction, exactly like the
+    # reference's join through vc.
+    slu_recent = (
+        F.col("store_last_updated")
+        > F.date_sub(as_of_d, 90).cast("timestamp")
+    ) | F.col("store_last_updated").isNull()
+    stale_120 = F.col("last_downloaded_at") < F.date_sub(
+        as_of_d, 120
+    ).cast("timestamp")
+    never_dl = F.col("last_downloaded_at").isNull()
+    failing_retry = F.col("vc_crawl_result").isin(2, 3, 4) & (
+        F.col("last_download_attempt")
+        < F.date_sub(as_of_d, 2).cast("timestamp")
+    )
+    scheduled = (
+        apps_in_latest_rankings.filter(F.col("store") == store)
+        .join(latest_vc, "store_app", "left")
+        .join(last_downloaded, "store_app", "left")
+        .join(latest_success_vc, "store_app", "left")
+        .join(
+            latest_vc.select(
+                "store_app", F.lit(True).alias("_has_vc")
+            ).join(failed_month, "store_app", "left")
+            .select("store_app", F.col("attempt_count").alias("_fm")),
+            "store_app", "left",
+        )
+        .join(
+            latest_vc.select("store_app")
+            .join(failed_quarter, "store_app", "left")
+            .select("store_app", F.col("attempt_count").alias("_fq")),
+            "store_app", "left",
+        )
+        .join(sa, "store_app", "left")
+        .filter(
+            F.col("free")
+            & (
+                F.col("last_download_attempt").isNull()
+                | (
+                    # :118-130 never/stale-success branch
+                    (never_dl | (stale_120 & slu_recent))
+                    # :132-147 failing-retry branch — AND binds
+                    # tighter than OR, literal precedence port
+                    | (never_dl | (stale_120 & slu_recent & failing_retry))
+                )
+            )
+        )
+        .select(
+            "store_app", "store_id", "name", "installs", "rating_count",
+            "last_download_attempt", "last_downloaded_at",
+            "last_downloaded_version_code",
+            F.coalesce(F.col("_fm"), F.lit(0)).alias(
+                "failed_attempts_month"
+            ),
+            F.coalesce(F.col("_fq"), F.lit(0)).alias(
+                "failed_attempts_quarter"
+            ),
+        )
+    )
+
+    # user_requested_apps_crawl (:151-202) — newest request per app.
+    w_req = Window.partitionBy("store_app").orderBy(
+        F.col("user_last_requested").desc()
+    )
+    user_req = (
+        user_requested.select(
+            F.col("store_id").alias("sa_store_id"),
+            F.col("created_at").alias("user_last_requested"),
+        )
+        .join(sa, "sa_store_id", "left")
+        .join(
+            app_global_metrics.select(
+                "store_app",
+                F.col("total_installs").alias("installs"),
+                F.col("total_ratings").alias("rating_count"),
+            ),
+            "store_app", "left",
+        )
+        .join(last_downloaded, "store_app", "left")
+        .join(latest_success_vc, "store_app", "left")
+        .join(latest_vc, "store_app", "left")
+        .join(failed_month.withColumnRenamed("attempt_count", "_fm"),
+              "store_app", "left")
+        .join(failed_quarter.withColumnRenamed("attempt_count", "_fq"),
+              "store_app", "left")
+        .filter(
+            (
+                (F.col("last_downloaded_at") < F.col("user_last_requested"))
+                | F.col("last_downloaded_at").isNull()
+            )
+            & (
+                (
+                    F.col("last_download_attempt")
+                    < F.lit(now_ts).cast("timestamp")
+                    - F.expr("INTERVAL 1 HOUR")
+                )
+                | F.col("last_download_attempt").isNull()
+            )
+            & (F.col("sa_store") == store)
+            & (F.col("free") | F.col("free").isNull())
+            & F.col("sa_name").isNotNull()
+        )
+        .withColumn("_rn", F.row_number().over(w_req))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "store_app",
+            F.col("sa_store_id").alias("store_id"),
+            F.col("sa_name").alias("name"),
+            "installs", "rating_count",
+            "last_download_attempt", "last_downloaded_at",
+            "last_downloaded_version_code",
+            F.coalesce(F.col("_fm"), F.lit(0)).alias(
+                "failed_attempts_month"
+            ),
+            F.coalesce(F.col("_fq"), F.lit(0)).alias(
+                "failed_attempts_quarter"
+            ),
+        )
+    )
+
+    # combined (:203-251).  growth_apps (:72-80) maps the z-scores
+    # store_ids to app ids THROUGH store_apps, like the reference —
+    # membership, so the dedup is free of fan-out risk.
+    growth = (
+        growth_store_ids.select(F.col("store_id").alias("sa_store_id"))
+        .distinct()
+        .join(sa.select("store_app", "sa_store_id"), "sa_store_id")
+        .select("store_app")
+    )
+    out_cols = [
+        "store_app", "store_id", "name", "installs", "rating_count",
+        "failed_attempts_month", "failed_attempts_quarter", "mysource",
+        "last_download_attempt", "last_downloaded_at",
+        "last_downloaded_version_code",
+    ]
+    user_branch = (
+        user_req.filter(F.col("failed_attempts_month") < 4)
+        .withColumn("mysource", F.lit("user"))
+        .select(*out_cols)
+    )
+    sched_branch = (
+        scheduled.filter(
+            (F.col("failed_attempts_month") < 3)
+            & (F.col("failed_attempts_quarter") < 6)
+            & (never_dl | stale_120)
+        )
+        .join(
+            growth.withColumn("_growth", F.lit(True)).distinct(),
+            "store_app", "left",
+        )
+        .withColumn(
+            "mysource",
+            F.when(F.col("_growth"), F.lit("top_scheduled")).otherwise(
+                F.lit("scheduled")
+            ),
+        )
+        .select(*out_cols)
+    )
+    combined = user_branch.unionByName(sched_branch)
+
+    # final_selection (:252-294) — score + global rank.
+    mynum = (
+        (
+            F.coalesce(
+                _days_since(as_of_d, F.col("last_download_attempt")),
+                F.lit(10_000),
+            )
+            + F.coalesce(
+                _days_since(as_of_d, F.col("last_downloaded_at")),
+                F.lit(100),
+            )
+        )
+        / 2
+        * F.greatest(
+            F.coalesce(F.col("installs"), F.lit(0)).cast("double"),
+            F.coalesce(F.col("rating_count"), F.lit(0)).cast("double")
+            * 50,
+        )
+    )
+    from adscrawler_spark.operators.frontier import global_rank
+
+    ranked = global_rank(
+        combined.withColumn("mynum", mynum),
+        [
+            F.col("mysource").desc(),
+            F.col("mynum").desc_nulls_last(),
+            F.col("store_app").asc(),
+        ],
+        rank_col="app_rank",
+    )
+    return ranked.select(*out_cols, "app_rank")
+
+
+def apps_to_process_keywords(
+    descriptions: DataFrame,
+    keyword_extractions: DataFrame,
+    app_global_metrics: DataFrame,
+    now_ts: str,
+    limit: int,
+) -> DataFrame:
+    """query_apps_to_process_keywords.sql:1-64 — the O5 keyword-
+    extraction frontier: latest English description per app (:1-15,
+    language_id=1, DISTINCT ON store_app by updated_at), latest
+    extraction per description (:16-27), keep descriptions never
+    extracted / updated since extraction / extracted >31 days ago
+    (:28-44), require a global-metrics row (:53 INNER JOIN), order
+    new-first then ``installs * 10 * days_since_extraction`` (:55-63)
+    and take the top ``limit`` via the distributed top-n ranker (no
+    TakeOrderedAndProject driver merge).
+
+    ``descriptions``: (id, store_app, language_id, description_short,
+    description, updated_at); ``keyword_extractions``:
+    (description_id, store_app, extracted_at);
+    ``app_global_metrics``: (store_app, total_installs).  Determinism
+    pins: description id / extracted_at trailing tie-breaks on the
+    DISTINCT ONs, store_app trailing on the claim order."""
+    from adscrawler_spark.operators.frontier import ranked_top_n
+
+    w_d = Window.partitionBy("store_app").orderBy(
+        F.col("updated_at").desc(), F.col("id").desc()
+    )
+    latest_desc = (
+        descriptions.filter(F.col("language_id") == 1)
+        .withColumn("_rn", F.row_number().over(w_d))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id").alias("description_id"),
+            "store_app", "description_short", "description",
+            F.col("updated_at").alias("description_last_updated"),
+        )
+    )
+    w_e = Window.partitionBy("description_id").orderBy(
+        F.col("extracted_at").desc()
+    )
+    latest_ext = (
+        keyword_extractions.withColumn("_rn", F.row_number().over(w_e))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "description_id",
+            F.col("extracted_at").alias("app_keywords_extracted_at"),
+        )
+    )
+    now_c = F.lit(now_ts).cast("timestamp")
+    base = (
+        latest_desc.join(latest_ext, "description_id", "left")
+        .filter(
+            F.col("app_keywords_extracted_at").isNull()
+            | (
+                F.col("description_last_updated")
+                > F.col("app_keywords_extracted_at")
+            )
+            | (
+                F.col("app_keywords_extracted_at")
+                <= now_c - F.expr("INTERVAL 31 DAYS")
+            )
+        )
+        .join(
+            app_global_metrics.select(
+                "store_app", F.col("total_installs").alias("_installs")
+            ),
+            "store_app",
+        )
+    )
+    # EXTRACT(DAY FROM now() - extracted_at), COALESCE(..., 1) (:57-62)
+    days = F.coalesce(
+        _days_since(now_c, F.col("app_keywords_extracted_at")),
+        F.lit(1),
+    )
+    score = F.coalesce(F.col("_installs"), F.lit(0)).cast("double") * (
+        10 * days
+    )
+    is_new = F.when(
+        F.col("app_keywords_extracted_at").isNull(), 1
+    ).otherwise(0)
+    picked = ranked_top_n(
+        base.withColumn("_new", is_new).withColumn("_score", score),
+        [
+            F.col("_new").desc(),
+            F.col("_score").desc(),
+            F.col("store_app").asc(),
+        ],
+        limit,
+    )
+    return picked.select(
+        "store_app", "description_id", "app_keywords_extracted_at",
+        "description_short", "description",
+    )
