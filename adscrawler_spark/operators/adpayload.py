@@ -302,6 +302,66 @@ def extract_urls_udf(payloads: pd.Series) -> pd.Series:
     return payloads.map(uniq).where(payloads.notna(), None)
 
 
+# --- depth-0 JVM tier -------------------------------------------------
+# A payload whose text can trigger NONE of the decode/recursion paths
+# reduces extract_and_decode_urls to: regex matches → validity filter →
+# sorted set.  That whole tier runs as JVM expressions; Python only
+# sees payloads that contain encoded/entity/VAST/nested material.
+#
+# The markers are conservative supersets of the triggers:
+# * '%'        — percent-decoding, encoded schemes, encoded trailing
+#                delimiters (any %-free payload is untouched by all)
+# * '<'        — the VAST / video_fields / xml branches
+# * backslash  — the unicode_escape initial chunk
+# * NUL        — the \\x00 scrub
+# * html entities — the html.unescape initial chunk: '&#…' numeric,
+#   '&name;' generic, and the html5 semicolon-less names (generated
+#   from the stdlib table html.entities.html5, the exact set
+#   html.unescape can rewrite without a trailing ';')
+# * a second '://' inside any regex match — the query-value recursion
+#   (_derive_additional_search_chunks hint); chunks derive only from
+#   matched URLs, so unmatched '://' elsewhere cannot recurse.
+import html.entities as _html_entities  # noqa: E402
+
+_SEMICOLONLESS_ENTITIES = sorted(
+    {k for k in _html_entities.html5 if not k.endswith(";")},
+    key=len, reverse=True,
+)
+_ENTITY_MARKER_RE = (
+    "&(#|[a-zA-Z][a-zA-Z0-9]{0,31};|("
+    + "|".join(_SEMICOLONLESS_ENTITIES)
+    + "))"
+)
+# Java's (?x) COMMENTS flag gives the exact verbose-pattern semantics,
+# so the JVM tier compiles the reference pattern text verbatim.
+_JVM_URL_PATTERN = "(?x)" + URL_PATTERN.pattern
+
+
+def _jvm_valid_url(u: F.Column) -> F.Column:
+    """_is_valid_extracted_url (network_parsers.py:117-131) for the
+    marker-free tier: the pattern already bans whitespace and
+    '\"<>]' in the body and pins the scheme set, '%' is globally
+    absent, so what remains is bracket balance (any '[' is unbalanced
+    — ']' cannot match) and a non-empty hostname."""
+    auth = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    host = F.substring_index(F.substring_index(auth, "@", -1), ":", 1)
+    return ~u.contains("[") & (host != "")
+
+
+def _needs_python_tier(t: F.Column, jvm_urls: F.Column) -> F.Column:
+    lt = F.lower(t)
+    return (
+        lt.contains("%")
+        | t.contains("<")
+        | t.contains("\\")
+        | t.contains("\x00")
+        | t.rlike(_ENTITY_MARKER_RE)
+        | F.exists(
+            jvm_urls, lambda u: F.size(F.split(u, "://")) > 2
+        )
+    )
+
+
 def payload_urls(
     df: DataFrame, text_col: str = "payload", out_col: str = "url"
 ) -> DataFrame:
@@ -309,8 +369,29 @@ def payload_urls(
     running extract_and_decode_urls per api_call and storing the found
     set (network_parsers.py:306-325 store_found_urls_in_db).  Payload
     rows with zero URLs emit no rows, matching the reference's empty
-    upsert."""
-    return df.withColumn(out_col, F.explode(extract_urls_udf(F.col(text_col))))
+    upsert.
+
+    Two-tier plan: marker-free payloads extract entirely JVM-side
+    (regexp_extract_all with the reference pattern + validity filter
+    + sorted dedup); only payloads that can trigger decoding or
+    recursion reach the Arrow UDF.  The tiers are a filter-split +
+    union — Spark pulls Python UDFs out of conditional projections
+    and would otherwise run the UDF for every row."""
+    t = F.col(text_col)
+    jvm_urls = F.regexp_extract_all(t, F.lit(_JVM_URL_PATTERN), 0)
+    nested = _needs_python_tier(t, jvm_urls)
+    fast = df.filter(t.isNotNull() & ~nested).withColumn(
+        out_col,
+        F.explode(
+            F.array_sort(
+                F.array_distinct(F.filter(jvm_urls, _jvm_valid_url))
+            )
+        ),
+    )
+    slow = df.filter(t.isNotNull() & nested).withColumn(
+        out_col, F.explode(extract_urls_udf(t))
+    )
+    return fast.unionByName(slow)
 
 
 # --- known-part classification (network_parsers.py:563-647) ----------
@@ -328,33 +409,29 @@ _OUTER_QUERY_RE = r"^[^#?]*\?([^#]*)"
 _QUERY_ID_RE = r"(?:^|&)id=([a-zA-Z0-9._\-]+)"
 
 
-def known_parts(
+def classified_urls(
     urls: DataFrame,
     mmp_tlds: DataFrame,
     ad_domains: DataFrame,
     tld_col=None,
+    pub_col: str = "pub_store_id",
 ) -> DataFrame:
-    """Classify extracted payload URLs and fold them per api_call into
-    the reference's ``AdInfo`` (network_parsers.py:563-647).
+    """Per-URL known-part classification — the inside of the
+    ``parse_urls_for_known_parts`` loop (network_parsers.py:572-622)
+    as pure JVM expressions.
 
-    ``urls``: (api_call_id, pub_store_id, url) — one row per found URL.
-    ``mmp_tlds``: (tld_url) — MMP registrable domains
-    (get_all_mmp_tlds_set).  ``ad_domains``: (domain_name) — known ad
-    network registrable domains (query_domains_set).  Both dimensions
-    are genuinely small (hundreds of rows — curated vendor lists), so
-    the broadcast hints are safe at any crawl scale.
-
-    ``tld_col`` defaults to the engine's PSL ``root_domain`` over the
-    URL (the get_tld analog); battery oracles pass a portable
-    expression instead.
-
-    Returns one row per api_call: adv_store_id (exactly-one rule),
-    adv_store_ids (only when multiple — MultipleAdvertiserIdError
-    carrier), mmp_urls, ad_network_tlds (sorted arrays)."""
+    Input keeps all its columns; adds ``tld_url`` plus the three
+    classification outputs ``mmp_url`` / ``adv_id`` /
+    ``ad_network_tld`` (each null when the URL is not of that kind).
+    ``mmp_tlds``/``ad_domains`` are curated vendor lists (hundreds of
+    rows), safe to broadcast at any crawl scale.  ``tld_col`` defaults
+    to the engine's PSL ``root_domain`` over the URL (the get_tld
+    analog); battery oracles pass a portable expression instead."""
     from adscrawler_spark.functions.urls import root_domain
 
     if tld_col is None:
         tld_col = root_domain(F.col("url"))
+    in_cols = [c for c in urls.columns if c != "tld_url"]
     u = urls.withColumn("tld_url", F.coalesce(tld_col, F.lit("")))
     u = u.withColumn("lurl", F.lower(F.col("url")))
     u = u.join(
@@ -441,26 +518,75 @@ def known_parts(
         & ~(is_play & play_dev) & (F.col("tld_url") != ""),
         F.col("tld_url"),
     )
-    classified = u.select(
-        "api_call_id", "pub_store_id",
+    return u.select(
+        *in_cols, "tld_url",
         mmp_url.alias("mmp_url"),
         adv_id.alias("adv_id"),
         ad_network_tld.alias("ad_network_tld"),
     )
-    agg = classified.groupBy("api_call_id").agg(
+
+
+def known_parts_agg(
+    urls: DataFrame,
+    mmp_tlds: DataFrame,
+    ad_domains: DataFrame,
+    key_cols: tuple[str, ...] = ("api_call_id",),
+    tld_col=None,
+    pub_col: str = "pub_store_id",
+) -> DataFrame:
+    """Fold classified URLs per ``key_cols`` into the reference's
+    ``AdInfo`` arrays (network_parsers.py:623-646): sorted distinct
+    mmp_urls / ad_network_tlds, the advertiser-id set minus the ignore
+    list and the publisher's own id, plus ``mmp_tld`` — the tld of the
+    AdInfo's first mmp url (models.py:26-29; the reference's "first"
+    is set-iteration order, pinned here to the minimum url)."""
+    cls = classified_urls(urls, mmp_tlds, ad_domains, tld_col, pub_col)
+    agg = cls.groupBy(*key_cols).agg(
         F.array_sort(F.collect_set("mmp_url")).alias("mmp_urls"),
         F.array_sort(
             F.array_except(
                 F.collect_set("adv_id"),
                 F.array(
                     *[F.lit(x) for x in IGNORE_STORE_IDS],
-                    F.first("pub_store_id"),
+                    F.first(pub_col),
                 ),
             )
         ).alias("adv_ids"),
         F.array_sort(F.collect_set("ad_network_tld")).alias(
             "ad_network_tlds"
         ),
+        F.min(
+            F.when(
+                F.col("mmp_url").isNotNull(),
+                F.struct("mmp_url", "tld_url"),
+            )
+        ).alias("_mmp_first"),
+    )
+    return agg.select(
+        *key_cols, "mmp_urls", "adv_ids", "ad_network_tlds",
+        F.col("_mmp_first.tld_url").alias("mmp_tld"),
+    )
+
+
+def known_parts(
+    urls: DataFrame,
+    mmp_tlds: DataFrame,
+    ad_domains: DataFrame,
+    tld_col=None,
+) -> DataFrame:
+    """Classify extracted payload URLs and fold them per api_call into
+    the reference's ``AdInfo`` (network_parsers.py:563-647).
+
+    ``urls``: (api_call_id, pub_store_id, url) — one row per found URL.
+    ``mmp_tlds``: (tld_url) — MMP registrable domains
+    (get_all_mmp_tlds_set).  ``ad_domains``: (domain_name) — known ad
+    network registrable domains (query_domains_set).
+
+    Returns one row per api_call: adv_store_id (exactly-one rule),
+    adv_store_ids (only when multiple — MultipleAdvertiserIdError
+    carrier), mmp_urls, ad_network_tlds (sorted arrays)."""
+    agg = known_parts_agg(
+        urls, mmp_tlds, ad_domains, ("api_call_id",), tld_col
     )
     one = F.size("adv_ids") == 1
     many = F.size("adv_ids") > 1

@@ -8400,3 +8400,371 @@ def apps_to_process_keywords_q(spark, sf):
         .alias("app_keywords_extracted_at"),
         "description_short", "description",
     )
+
+
+# =====================================================================
+# MITM creative assembly (mitm_logs.py + mitm_scrape_ads.py)
+# =====================================================================
+
+def _mitm_flows_synth_spark(spark, sf):
+    """Synthetic capture-run flow rows exercising every assembly path:
+    one creative per event_id%3==0 across the five video-id host
+    families (k=e%5), with per-creative scenario f=(e//3)%5 —
+    f0 timely sent match w/ single advertiser (unresolvable when
+    a%10==9), f1 late sent match (any-time fallback) w/ MMP +
+    advertiser + click-redirect expansion, f2 no sent match (request-
+    blob fallback, unresolvable when r%3==1), f3 two sent rows with
+    conflicting initial domains (creative dropped), f4 multi-
+    advertiser payload.  e%30==0 adds a duplicate creative row
+    (dedup), e%7==1 adds connectivity-noise rows (ingest filter)."""
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    spark_sess = ev.sparkSession
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    vid = F.concat(F.lit("video"), s(e), F.lit("q"),
+                   F.substring(F.md5(s(e)), 1, 4))
+    k, t = e % 5, F.floor(e / 3)
+    f = t % 5
+    tok = F.when(k == 4, F.concat(vid, F.lit(".png"))).otherwise(vid)
+    run = F.concat(F.lit("r"), s(e % 40))
+    pub = F.concat(F.lit("com.pub"), s(e % 40 % 12), F.lit(".app"))
+    epoch = 1709251200  # 2024-03-01 00:00:00 UTC
+    called = lambda off: F.timestamp_seconds(  # noqa: E731
+        F.lit(epoch) + e + off
+    )
+    ns = F.lit(None).cast("string")
+    url_cre = (
+        F.when(k == 0, F.concat(
+            F.lit("https://s0.2mdn.net/id/"), vid, F.lit("/file.mp4")))
+        .when(k == 1, F.concat(
+            F.lit("https://r1.googlevideo.com/videoplayback?ei="), vid,
+            F.lit("&x=1")))
+        .when(k == 2, F.concat(
+            F.lit("https://cdn.unity3dusercontent.com/"), vid,
+            F.lit("/high.mp4")))
+        .when(k == 3, F.concat(
+            F.lit("https://media.adcolony.com/"), vid, F.lit("/x")))
+        .otherwise(F.concat(
+            F.lit("https://cdn.imgs"), s(e % 7), F.lit(".com/f/"), vid,
+            F.lit(".png")))
+    )
+    tld_cre = (
+        F.when(k == 0, F.lit("2mdn.net"))
+        .when(k == 1, F.lit("googlevideo.com"))
+        .when(k == 2, F.lit("unity3dusercontent.com"))
+        .when(k == 3, F.lit("adcolony.com"))
+        .otherwise(F.concat(F.lit("imgs"), s(e % 7), F.lit(".com")))
+    )
+    mime = (
+        F.when(k == 1, F.lit("video/webm"))
+        .when(k == 4, F.lit("image/png"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    content = F.concat(F.lit("C"), F.md5(s(e)))
+    is_f2 = f == 2
+    qp = F.when(is_f2, F.concat(
+        F.lit('{"u": "intent://details?id=com.req'), s(e % 30),
+        F.lit('.go"}')))
+    a = s(e % 50)
+    a3 = F.when((e % 50) % 10 == 9, s((e % 50 + 1) % 50)).otherwise(a)
+    adnet = F.concat(F.lit(" https://cdn.adnet"), s(e % 15),
+                     F.lit(".com/x.js"))
+    p0 = F.concat(tok, F.lit(" market://details?id=com.adv"), a,
+                  F.lit(".x"), adnet)
+    p1 = F.concat(
+        tok, F.lit(" https://app.appsflyer.com/com.af"), s(e % 40),
+        F.lit(".g?pid=x"), adnet, F.lit(" https://t.adnet"), s(e % 15),
+        F.lit(".com/click?x="), s(e),
+    )
+    p3 = F.concat(tok, F.lit(" market://details?id=com.adv"), a3,
+                  F.lit(".x"))
+    p4 = F.concat(
+        tok, F.lit(" market://details?id=com.adv"), a, F.lit(".x"),
+        F.lit(" market://details?id=com.adv"), s((e % 50 + 7) % 50),
+        F.lit(".x"), adnet,
+    )
+
+    def branch(mitm_prefix, url, tld, called_at, status, mime_c, size,
+               rtext, content_c, qp_c):
+        return [
+            F.concat(F.lit(mitm_prefix), s(e)).alias("mitm_uuid"),
+            run.alias("run_id"), pub.alias("pub_store_id"),
+            url.alias("url"), tld.alias("tld_url"),
+            called_at.alias("called_at"),
+            F.lit(status).alias("status_code"),
+            mime_c.alias("response_mime_type"),
+            size.alias("response_size_bytes"),
+            rtext.alias("response_text"),
+            content_c.alias("response_content"),
+            qp_c.alias("query_params"),
+            F.when(is_f2, F.lit("{}")).alias("response_headers"),
+            F.when(is_f2, F.lit("{}")).alias("post_params"),
+            F.when(is_f2, F.lit("req")).alias("request_text"),
+        ]
+
+    size_cre = (F.lit(50001) + e % 5000).cast("long")
+    cre = ev.filter(e % 3 == 0).select(
+        *branch("m", url_cre, tld_cre, called(0), 200, mime, size_cre,
+                ns, content, qp)
+    )
+    dup = ev.filter(e % 30 == 0).select(
+        *branch("d", url_cre, tld_cre, called(50), 200, mime, size_cre,
+                ns, content, qp)
+    )
+    sent_text = (
+        F.when(f == 0, p0).when(f == 1, p1).when(f == 3, p3)
+        .otherwise(p4)
+    )
+    sent1 = ev.filter((e % 3 == 0) & f.isin(0, 1, 3, 4)).select(
+        *branch(
+            "s",
+            F.concat(F.lit("https://bid.net"), s(e % 9),
+                     F.lit(".com/ad")),
+            F.concat(F.lit("net"), s(e % 9), F.lit(".com")),
+            called(F.when(f == 1, 500).otherwise(-100)),
+            200, ns, F.lit(0).cast("long"), sent_text, ns, ns,
+        )
+    )
+    sent2 = ev.filter((e % 3 == 0) & (f == 3)).select(
+        *branch(
+            "c",
+            F.concat(F.lit("https://b.other"), s(e % 5),
+                     F.lit(".com/ad")),
+            F.concat(F.lit("other"), s(e % 5), F.lit(".com")),
+            called(-50), 200, ns, F.lit(0).cast("long"), p3, ns, ns,
+        )
+    )
+    from adscrawler_spark.operators.creatives import IGNORE_URLS
+    ign = ev.filter(e % 7 == 1).select(
+        *branch(
+            "g",
+            F.when(e % 2 == 0, F.lit(IGNORE_URLS[0])).otherwise(
+                F.lit(IGNORE_URLS[4])
+            ),
+            F.lit("gstatic.com"), called(0), 204, ns,
+            F.lit(0).cast("long"), ns, ns, ns,
+        )
+    )
+    flows = cre.unionByName(dup).unionByName(sent1).unionByName(
+        sent2
+    ).unionByName(ign)
+
+    mmps = spark_sess.createDataFrame(
+        [("appsflyer.com",), ("adjust.com",)], ["tld_url"]
+    )
+    ad_domains = spark_sess.range(0, 15).select(
+        F.concat(F.lit("adnet"), s(F.col("id")), F.lit(".com")).alias(
+            "domain_name"
+        )
+    )
+    r_ = spark_sess.range
+    store_apps = (
+        r_(0, 50).filter(F.col("id") % 10 != 9).select(
+            (F.col("id") + 1000).alias("id"),
+            F.concat(F.lit("com.adv"), s(F.col("id")),
+                     F.lit(".x")).alias("store_id"))
+        .unionByName(r_(0, 40).select(
+            (F.col("id") + 2000).alias("id"),
+            F.concat(F.lit("com.af"), s(F.col("id")),
+                     F.lit(".g")).alias("store_id")))
+        .unionByName(r_(0, 30).filter(F.col("id") % 3 != 1).select(
+            (F.col("id") + 3000).alias("id"),
+            F.concat(F.lit("com.req"), s(F.col("id")),
+                     F.lit(".go")).alias("store_id")))
+    )
+    fixed = spark_sess.createDataFrame(
+        [("2mdn.net", 1), ("googlevideo.com", 2),
+         ("unity3dusercontent.com", 3), ("adcolony.com", 4),
+         ("appsflyer.com", 60), ("adjust.com", 61)],
+        ["domain_name", "domain_id"],
+    )
+
+    def dom_range(n, prefix, base):
+        return r_(0, n).select(
+            F.concat(F.lit(prefix), s(F.col("id")),
+                     F.lit(".com")).alias("domain_name"),
+            (F.col("id") + base).cast("int").alias("domain_id"),
+        )
+
+    domains = (
+        fixed.withColumn("domain_id", F.col("domain_id").cast("int"))
+        .unionByName(dom_range(7, "imgs", 10))
+        .unionByName(dom_range(9, "net", 20))
+        .unionByName(dom_range(5, "other", 30))
+        .unionByName(dom_range(15, "adnet", 40))
+    )
+    click_redirects = ev.filter(
+        (e % 3 == 0) & (f == 1) & (e % 2 == 0)
+    ).select(
+        F.concat(F.lit("https://t.adnet"), s(e % 15),
+                 F.lit(".com/click?x="), s(e)).alias("url"),
+        F.concat(F.lit("https://final"), s(e % 20),
+                 F.lit(".com/land")).alias("redirect_url"),
+    )
+    return flows, mmps, ad_domains, store_apps, domains, click_redirects
+
+
+_MITM_VID_SQL = (
+    "'video' || cast(event_id AS VARCHAR) || 'q' "
+    "|| substr(md5(cast(event_id AS VARCHAR)), 1, 4)"
+)
+
+
+@query(
+    "mitm_api_calls_ingest",
+    f"""
+    WITH tok AS (
+        SELECT event_id AS e,
+               (event_id // 3) % 5 AS f,
+               cast(event_id % 5 AS INT) AS k,
+               {_MITM_VID_SQL} AS vid
+        FROM events
+    ),
+    cre AS (
+        SELECT e, k,
+            CASE k
+              WHEN 0 THEN 'https://s0.2mdn.net/id/' || vid || '/file.mp4'
+              WHEN 1 THEN 'https://r1.googlevideo.com/videoplayback?ei='
+                          || vid || '&x=1'
+              WHEN 2 THEN 'https://cdn.unity3dusercontent.com/' || vid
+                          || '/high.mp4'
+              WHEN 3 THEN 'https://media.adcolony.com/' || vid || '/x'
+              ELSE 'https://cdn.imgs' || cast(e % 7 AS VARCHAR)
+                   || '.com/f/' || vid || '.png'
+            END AS url,
+            CASE k WHEN 1 THEN 'webm' WHEN 4 THEN 'png' ELSE 'mp4' END
+                AS file_extension
+        FROM tok WHERE e % 3 = 0
+    )
+    SELECT 'm' || cast(e AS VARCHAR) AS mitm_uuid, url, 200 AS
+        status_code, file_extension, true AS is_creative FROM cre
+    UNION ALL
+    SELECT 'd' || cast(e AS VARCHAR), url, 200, file_extension, true
+    FROM cre WHERE e % 30 = 0
+    UNION ALL
+    SELECT 's' || cast(e AS VARCHAR),
+           'https://bid.net' || cast(e % 9 AS VARCHAR) || '.com/ad',
+           200, NULL, false
+    FROM tok WHERE e % 3 = 0 AND f IN (0, 1, 3, 4)
+    UNION ALL
+    SELECT 'c' || cast(e AS VARCHAR),
+           'https://b.other' || cast(e % 5 AS VARCHAR) || '.com/ad',
+           200, NULL, false
+    FROM tok WHERE e % 3 = 0 AND f = 3
+    """,
+)
+def mitm_api_calls_ingest_q(spark, sf):
+    """mitm-log → api_calls ingestion: the parse_log relational
+    flatten (connectivity-noise URL filter, typed status codes) plus
+    the file-extension and is-creative derivations
+    (mitm_logs.py:110-167,286-348 via operators/creatives.py::
+    api_calls_from_flows/add_file_extension/add_is_creative).  The
+    oracle states each synthetic flow row's expected classification
+    from the generator parameters; the noise rows (e%7==1) must
+    vanish."""
+    from adscrawler_spark.operators import creatives as cv
+
+    flows, *_ = _mitm_flows_synth_spark(spark, sf)
+    calls = cv.add_is_creative(
+        cv.add_file_extension(cv.api_calls_from_flows(flows))
+    )
+    return calls.select(
+        "mitm_uuid", "url", "status_code", "file_extension",
+        "is_creative",
+    )
+
+
+@query(
+    "creative_records_assembly",
+    f"""
+    WITH b AS (
+        SELECT event_id AS e,
+               (event_id // 3) % 5 AS f,
+               cast(event_id % 5 AS INT) AS k,
+               cast(event_id % 50 AS INT) AS a,
+               cast(event_id % 40 AS INT) AS i,
+               cast(event_id % 30 AS INT) AS r,
+               cast(event_id % 15 AS INT) AS j,
+               cast(event_id % 9 AS INT) AS n9
+        FROM events WHERE event_id % 3 = 0
+    )
+    SELECT
+        md5('m' || cast(e AS VARCHAR)) AS api_call_id,
+        md5('C' || md5(cast(e AS VARCHAR))) AS creative_asset_id,
+        CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4
+             ELSE 10 + cast(e % 7 AS INT) END AS creative_host_domain_id,
+        CASE WHEN (f = 0 AND a % 10 <> 9) OR f IN (1, 4) THEN 20 + n9
+        END AS creative_initial_domain_id,
+        CASE WHEN f = 0 AND a % 10 <> 9 THEN 1000 + a
+             WHEN f = 1 THEN 2000 + i
+             WHEN f = 2 AND r % 3 <> 1 THEN 3000 + r
+        END AS advertiser_store_app_id,
+        cast(NULL AS BIGINT) AS advertiser_domain_id,
+        CASE WHEN f = 1 THEN 60 END AS mmp_domain_id,
+        CASE WHEN f = 1 THEN 'https://app.appsflyer.com/com.af'
+                 || cast(i AS VARCHAR) || '.g?pid=x'
+             ELSE '' END AS mmp_urls,
+        CASE WHEN (f = 0 AND a % 10 <> 9) OR f IN (1, 4)
+             THEN cast(40 + j AS VARCHAR) ELSE '' END
+            AS additional_ad_domain_ids,
+        CASE WHEN f = 1 AND e % 2 = 0
+             THEN md5('https://final' || cast(e % 20 AS VARCHAR)
+                      || '.com/land')
+             ELSE '' END AS click_url_ids,
+        CASE WHEN f = 4 THEN array_to_string(list_sort(list_filter(
+                 [CASE WHEN a % 10 <> 9 THEN 1000 + a END,
+                  CASE WHEN ((a + 7) % 50) % 10 <> 9
+                       THEN 1000 + (a + 7) % 50 END],
+                 x -> x IS NOT NULL)), ',')
+        END AS advertiser_store_app_ids
+    FROM b WHERE f <> 3
+    """,
+)
+def creative_records_assembly_q(spark, sf):
+    """The end-to-end creative-record assembly: capture flows →
+    api_calls → video-id extraction → sent-source containment match →
+    URL harvest + click expansion → known-part AdInfos → exactly-one-
+    advertiser fold → asset/record rows with domain-id mapping
+    (mitm_scrape_ads.py:51-67,70-105,108-363,418-528 via
+    operators/creatives.py::creative_records_assembly).  The oracle
+    states every record from the scenario parameters — dedup of the
+    duplicate creative rows, the initial-domain-conflict drops (f=3),
+    unresolvable-advertiser fallbacks to all-null attribution, and
+    the multi-advertiser id lists — first principles, not a restated
+    algorithm."""
+    from adscrawler_spark.operators import creatives as cv
+
+    flows, mmps, addoms, apps, doms, clicks = _mitm_flows_synth_spark(
+        spark, sf
+    )
+    # cache handles stay live until the driver materializes the
+    # result; the frames are bounded by the creative count and the
+    # correctness runner is one-shot per query, so the entries are
+    # not unpersisted here (same trade the refresh plan makes).
+    out = cv.creative_records_assembly(
+        flows, mmps, addoms, apps, doms, click_redirects=clicks,
+        persisted=[],
+    )
+    return out.select(
+        "api_call_id", "creative_asset_id", "creative_host_domain_id",
+        "creative_initial_domain_id", "advertiser_store_app_id",
+        "advertiser_domain_id", "mmp_domain_id",
+        F.array_join("mmp_urls", ",").alias("mmp_urls"),
+        F.array_join(
+            F.transform(
+                "additional_ad_domain_ids", lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("additional_ad_domain_ids"),
+        F.array_join("click_url_ids", ",").alias("click_url_ids"),
+        F.when(
+            F.col("advertiser_store_app_ids").isNotNull(),
+            F.array_join(
+                F.transform(
+                    "advertiser_store_app_ids",
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        ).alias("advertiser_store_app_ids"),
+    )

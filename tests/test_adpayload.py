@@ -257,3 +257,50 @@ def test_payload_span_rows_shapes():
     # raw form preserved (no decoding in the span layer)
     enc = ap.payload_span_rows("z https://a.com/p?u=http%3A%2F%2Fb.io q")
     assert enc[1][2] == "https://a.com/p?u=http%3A%2F%2Fb.io"
+
+
+def test_two_tier_payload_urls_matches_python_extractor(spark):
+    """The JVM depth-0 tier and the Python tier must agree with
+    extract_and_decode_urls row-for-row — including payloads crafted
+    to sit right on the tier boundary."""
+    payloads = [
+        # marker-free → JVM tier
+        "imp https://ca1.com/t?cb=2 end",
+        "click intent://details?id=com.a.b market://details?id=com.c.d",
+        "u https://a.com/x?p=1&q=2;u2 https://b.net/y.mp4\ttail",
+        "(https://par.en.com/x),{https://brace.com/y}",
+        "https://host.com:8080/p http://user@host2.com/q",
+        "https://trail.com/x?a=1,next",
+        "scheme case HTTPS://upper.com/x stays unmatched",
+        "empty-host https://: and https://@ and market://m",
+        # boundary: '&not' is an html5 semicolonless entity → Python
+        "https://e.com/x?not=1&copy=2",
+        "https://e.com/x?plain=1&safe=2",
+        # second :// inside a match → Python tier recursion
+        "wrap https://r.org/redir?u=http://inner.net/p/x end",
+        # encoded scheme → Python tier
+        "enc https://r.org/go?u=http%3A%2F%2Fdeep.net%2Fz",
+        # entity-encoded ampersands
+        "amp https://x.com/a?b=1&amp;c=https://y.com/d",
+        # VAST XML
+        '<?xml version="1.0"?><VAST version="3.0"><Ad><InLine>'
+        "<Impression>https://v.com/imp?c=9</Impression>"
+        "<MediaFile>https://m.net/f.mp4</MediaFile></InLine></Ad></VAST>",
+        # backslash escapes (json-ish)
+        '{"u":"https:\\/\\/js.on.com\\/path"}',
+        # NUL byte scrub
+        "nul https://n.com/x\x00tail",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i int, payload string"
+    )
+    got = {}
+    for r in ap.payload_urls(df, "payload").collect():
+        got.setdefault(r["i"], []).append(r["url"])
+    for i, p in enumerate(payloads):
+        expected = ap.extract_and_decode_urls(p) if p else []
+        assert sorted(got.get(i, [])) == sorted(expected), (
+            i, p, sorted(got.get(i, [])), expected
+        )
