@@ -362,6 +362,17 @@ def _needs_python_tier(t: F.Column, jvm_urls: F.Column) -> F.Column:
     )
 
 
+def needs_python_tier(text_col) -> F.Column:
+    """Public predicate: true when a payload can trigger any decode /
+    entity / VAST / recursion path and must go through the Arrow UDF;
+    false payloads extract entirely JVM-side.  Used by the bench to
+    report the measured tier split."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _needs_python_tier(
+        t, F.regexp_extract_all(t, F.lit(_JVM_URL_PATTERN), 0)
+    )
+
+
 def payload_urls(
     df: DataFrame, text_col: str = "payload", out_col: str = "url"
 ) -> DataFrame:

@@ -5447,6 +5447,14 @@ def ad_payload_urls_q(spark, sf):
     pipeline against an independent answer."""
     from adscrawler_spark.operators import adpayload as ap
 
+    payloads = _adpayload_synth_payloads(spark, sf)
+    return ap.payload_urls(payloads, "payload").select("doc_id", "url")
+
+
+def _adpayload_synth_payloads(spark, sf):
+    """The ad_payload_urls synthetic corpus (shared with the bench's
+    tier-split measurement): families v0 plain / v1 encoded-nested /
+    v2 intent+market / v3 VAST XML / v4 linkless prose."""
     d = _t(spark, sf, "documents").select("doc_id")
     m = F.md5(F.col("doc_id").cast("string"))
     v = (F.ascii(F.upper(F.substring(m, 1, 1))) % 5).cast("int")
@@ -5472,8 +5480,7 @@ def ad_payload_urls_q(spark, sf):
         .otherwise(F.concat(F.lit("plain text "), a,
                             F.lit(" without links")))
     )
-    payloads = d.select("doc_id", payload.alias("payload"))
-    return ap.payload_urls(payloads, "payload").select("doc_id", "url")
+    return d.select("doc_id", payload.alias("payload"))
 
 
 @query(

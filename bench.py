@@ -70,6 +70,23 @@ def bench_dedup(spark) -> tuple[float, float]:
     )
     n_seen = seen.persist().count()
     frontier = synth_frontier(spark, FRONTIER_N, seed=42)
+    # Untimed warm-up pass at 1/8 scale: bench/dedup_variance.py
+    # measured the first dedup in a fresh session at ~240k rows/s vs
+    # a ~555k ± 3k steady state (6-run study, BENCH/BASELINE.md) —
+    # the gap is codegen JIT + Arrow/bloom class loading, not the
+    # operator.  Same principle as _warmup() for the query suite.
+    wn = max(FRONTIER_N // 8, 1)
+    wseen = seen.limit(wn // 2)
+    wcaches: list = []
+    seen_ops.probe_unseen(
+        with_canonical(synth_frontier(spark, wn, seed=11)).select(
+            "url", "url_canon", "url_hash64"
+        ),
+        seen_ops.build_bloom_filters(wseen),
+        wseen, seen_count=wn // 2, persisted=wcaches,
+    ).count()
+    for c in wcaches:
+        c.unpersist()
     t0 = time.time()
     filters = seen_ops.build_bloom_filters(seen)
     candidates = with_canonical(frontier).select("url", "url_canon", "url_hash64")
@@ -84,6 +101,31 @@ def bench_dedup(spark) -> tuple[float, float]:
         c.unpersist()
     assert n > 0
     return round(dt, 3), round(FRONTIER_N / dt, 1)
+
+
+def bench_adpayload(spark) -> dict[str, float]:
+    """Tier-split telemetry for the two-tier payload URL extractor
+    (operators/adpayload.py payload_urls): the fraction of payloads
+    that never touch Python, and the unique-payload ratio that bounds
+    the Arrow UDF's per-batch memoization win (the synthetic corpus
+    is worst-case ~1.0 — every payload distinct; production ad
+    responses repeat across placements)."""
+    from pyspark.sql import functions as F
+
+    from adscrawler_spark.operators import adpayload as ap
+    from adscrawler_spark.plans.benchmarks import (
+        _adpayload_synth_payloads,
+    )
+
+    payloads = _adpayload_synth_payloads(spark, SF_DIR).persist()
+    n = payloads.count()
+    uniq = payloads.select("payload").distinct().count()
+    jvm = payloads.filter(~ap.needs_python_tier("payload")).count()
+    payloads.unpersist()
+    return {
+        "adpayload_unique_payload_ratio": round(uniq / n, 4),
+        "adpayload_jvm_tier_pct": round(100.0 * jvm / n, 2),
+    }
 
 
 def bench_crawl(spark) -> tuple[float, float, float, int]:
@@ -134,6 +176,7 @@ def main() -> None:
             "urls_per_sec": urls_ps,
             "dedup_frontier_rows": FRONTIER_N,
             "refresh_mv_tables": n_mvs,
+            **bench_adpayload(spark),
         }
     total = round(sum(queries.values()), 3)
     print(
