@@ -245,3 +245,47 @@ def test_creative_rankings_aggregates_without_fanout_join(spark):
     # "Join" over advertiser_store_app_id in the optimized plan text.
     assert "collect_set(mmp_domain" in opt
     assert "collect_set(ad_network_domain" in opt
+
+
+def test_round5_queries_have_no_cartesian(spark):
+    """The round-5 battery surface (download/keyword frontiers, mitm
+    ingest, creative assembly) must compile to hash joins — no
+    cartesian/nested-loop anywhere."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    for name in [
+        "apps_to_download_priority", "apps_to_process_keywords",
+        "mitm_api_calls_ingest", "creative_records_assembly",
+    ]:
+        plan = _plan(B.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoopJoin" not in plan, (name, plan)
+
+
+def test_apps_to_download_rank_is_distributed(spark):
+    """The no-LIMIT app_rank must come from the range-partition +
+    prefix-sum ranker — never a single-partition global-order window
+    (which would funnel the whole candidate set through one task)."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    plan = _plan(B.QUERIES["apps_to_download_priority"](spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_payload_extraction_python_only_on_nested_tier(spark):
+    """The two-tier extractor must keep the Arrow UDF off the
+    marker-free slice: the fast branch of the union carries no
+    Python evaluation node, and the containment-marker filter guards
+    the slow branch."""
+    from adscrawler_spark.operators import adpayload as ap
+
+    df = spark.createDataFrame(
+        [(1, "x https://a.com/b y")], "i int, payload string"
+    )
+    plan = _plan(ap.payload_urls(df, "payload"))
+    # exactly one Python eval node in the whole two-tier plan — the
+    # slow branch's; a second would mean the fast tier still pays it
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # and the JVM tier exists: a regexp_extract_all projection with
+    # no Python above it
+    assert "regexp_extract_all" in plan
