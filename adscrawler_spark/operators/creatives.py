@@ -329,12 +329,15 @@ def attribute_creatives(
     """attribute_creatives (mitm_scrape_ads.py:108-363) end-to-end:
     one output row per surviving creative with the folded AdInfo.
 
-    ``persisted``: optional list collecting cache handles (same
-    lifecycle contract as frontier.ranked_top_n) — the creative set
-    and the AdInfo frame each feed several downstream joins, and
-    without caching every consumer re-runs the containment join and
-    the URL-extraction UDF; callers composing the full assembly
-    should pass a list and unpersist after materializing.
+    ``persisted``: optional list that opts in to one-shot-composition
+    optimization: the multiply-consumed intermediates (creative set,
+    sources, extracted urls, AdInfos) are cut with ``localCheckpoint``
+    — caching them for their several consumers AND stopping each
+    downstream transformation from re-analyzing the whole tower
+    (driver-side analysis grows quadratically with plan depth).  Any
+    plain cache handles created are appended for the caller to
+    unpersist.  Leave None for pure lineage (a resumable production
+    DAG materializing to durable tables between steps).
 
     ``calls``: api_calls rows (through ``api_calls_from_flows`` +
     ``add_file_extension`` + ``add_is_creative``) with
@@ -354,8 +357,9 @@ def attribute_creatives(
     """
     creatives = creative_rows(calls)
     if persisted is not None:
-        creatives = creatives.persist()
-        persisted.append(creatives)
+        # plan cut + cache: consumed by the sent-match, the fallback
+        # anti-join, the host join and the final output join
+        creatives = creatives.localCheckpoint(eager=False)
     if phash_col is None:
         phash_col = F.substring(
             F.sha1(F.col("response_content").cast("binary")), 1, 16
@@ -385,19 +389,20 @@ def attribute_creatives(
 
     # --- per-source URL harvest + click expansion ---------------------
     if persisted is not None:
-        # the two-tier extractor filter-splits its input; cached, the
-        # split reads one materialization instead of re-deriving the
-        # containment join per tier
-        sources = sources.persist()
-        persisted.append(sources)
+        # the two-tier extractor filter-splits its input; the plan
+        # cut both caches the containment join for the tier split AND
+        # stops every downstream transformation from re-analyzing the
+        # whole flows→calls→creatives→sent tower (driver-side
+        # analysis grows quadratically with tower depth otherwise —
+        # it dominated the assembly's wall clock at bench scale)
+        sources = sources.localCheckpoint(eager=False)
     urls = ap.payload_urls(
         sources, text_col="text", out_col="url"
     ).drop("text")
     if persisted is not None:
         # consumed by the click expansion AND the all-urls union —
-        # uncached, each consumer re-runs the extraction tiers
-        urls = urls.persist()
-        persisted.append(urls)
+        # uncut, each consumer re-runs the extraction tiers
+        urls = urls.localCheckpoint(eager=False)
     key = [*_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld"]
     if click_redirects is not None:
         clicks = (
@@ -428,8 +433,7 @@ def attribute_creatives(
     )
     if persisted is not None:
         # consumed by the multi-adv explode AND the join-back below
-        infos = infos.persist()
-        persisted.append(infos)
+        infos = infos.localCheckpoint(eager=False)
     if click_ids is not None:
         infos = infos.join(click_ids, key, "left")
     else:
