@@ -268,6 +268,12 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
         F.col("tld_url").alias("src_tld"),
         F.col("called_at").alias("src_called_at"),
         F.coalesce(F.col("response_text"), F.lit("")).alias("src_text"),
+        # carried for the network-routing ladder (route by url,
+        # youappi mime swap, fyber header, youappi request blob)
+        F.col("url").alias("src_url"),
+        F.col("response_mime_type").alias("src_mime"),
+        F.col("response_headers").alias("src_headers"),
+        request_text_blob(calls).alias("src_request_blob"),
     )
     hits = cr.join(src, list(_RUN_KEYS)).filter(
         F.instr(F.col("src_text"), F.col("video_id")) > 0
@@ -325,9 +331,20 @@ def attribute_creatives(
     phash_col: F.Column | None = None,
     tld_col=None,
     persisted: list | None = None,
+    network_routing: bool = False,
+    mmp_tld_set: frozenset | None = None,
 ) -> DataFrame:
     """attribute_creatives (mitm_scrape_ads.py:108-363) end-to-end:
     one output row per surviving creative with the folded AdInfo.
+
+    ``network_routing``: route sent rows through the per-ad-network
+    parsers (operators/adnetworks.py — vungle/mtg/fyber structural
+    short-circuits, youappi request swap, google/yandex json walks,
+    unity merge, protobuf plug points) before the generic fold; off,
+    every sent row parses generically (the reference's own fallback
+    branch).  ``mmp_tld_set``: the MMP tld set for the routed parsers
+    (collected from ``mmp_tlds`` when absent — a curated
+    hundreds-row dim by construction).
 
     ``persisted``: optional list that opts in to one-shot-composition
     optimization: the multiply-consumed intermediates (creative set,
@@ -373,19 +390,49 @@ def attribute_creatives(
         sent.select("cr_uuid").distinct(),
         creatives["mitm_uuid"] == F.col("cr_uuid"), "left_anti",
     )
-    sources = sent.select(
-        *_RUN_KEYS, "cr_uuid", "src_uuid",
-        F.col("src_tld").alias("init_tld"),
-        F.col("src_text").alias("text"),
-    ).unionByName(
-        fb.select(
-            *_RUN_KEYS,
-            F.col("mitm_uuid").alias("cr_uuid"),
-            F.col("mitm_uuid").alias("src_uuid"),
-            F.lit(None).cast("string").alias("init_tld"),
-            request_text_blob(fb).alias("text"),
-        )
+    fb_sources = fb.select(
+        *_RUN_KEYS,
+        F.col("mitm_uuid").alias("cr_uuid"),
+        F.col("mitm_uuid").alias("src_uuid"),
+        F.lit(None).cast("string").alias("init_tld"),
+        request_text_blob(fb).alias("text"),
+        F.lit(True).alias("clicks_enabled"),
     )
+    nf = None
+    if network_routing:
+        from adscrawler_spark.operators import adnetworks as an
+
+        if mmp_tld_set is None:
+            # curated vendor dim (hundreds of rows by construction) —
+            # the reference loads the same list into a per-process set
+            c0 = mmp_tlds.columns[0]
+            mmp_tld_set = frozenset(
+                r[0] for r in mmp_tlds.select(c0).collect()
+            )
+        nf = an.with_network_fields(
+            sent.select(
+                *_RUN_KEYS, "cr_uuid", "src_uuid",
+                F.col("src_tld").alias("init_tld"),
+                F.col("src_text").alias("text"),
+                "src_url", "src_mime", "src_headers",
+                F.col("src_request_blob").alias("request_blob"),
+                "video_id",
+            ),
+            mmp_tld_set,
+        )
+        if persisted is not None:
+            nf = nf.localCheckpoint(eager=False)
+        sources = nf.filter(F.col("parse_text").isNotNull()).select(
+            *_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld",
+            F.col("parse_text").alias("text"), "clicks_enabled",
+        ).unionByName(fb_sources)
+    else:
+        sources = sent.select(
+            *_RUN_KEYS, "cr_uuid", "src_uuid",
+            F.col("src_tld").alias("init_tld"),
+            F.col("src_text").alias("text"),
+            F.lit(True).alias("clicks_enabled"),
+        ).unionByName(fb_sources)
 
     # --- per-source URL harvest + click expansion ---------------------
     if persisted is not None:
@@ -406,7 +453,9 @@ def attribute_creatives(
     key = [*_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld"]
     if click_redirects is not None:
         clicks = (
-            urls.withColumn("_csrc", _click_source(F.col("url")))
+            # fyber's clickless direct harvest never expands clicks
+            urls.filter(F.col("clicks_enabled"))
+            .withColumn("_csrc", _click_source(F.col("url")))
             .filter(F.col("_csrc").isNotNull())
             .join(
                 click_redirects.select(
@@ -422,10 +471,12 @@ def attribute_creatives(
             )
         )
         # parse_text_for_adinfo:963 — click results join the URL set
-        all_urls = urls.unionByName(clicks).distinct()
+        all_urls = urls.select(*key, "url").unionByName(
+            clicks
+        ).distinct()
     else:
         click_ids = None
-        all_urls = urls.distinct()
+        all_urls = urls.select(*key, "url").distinct()
 
     infos = ap.known_parts_agg(
         all_urls, mmp_tlds, ad_domains,
@@ -448,11 +499,95 @@ def attribute_creatives(
     )
     one = F.size("adv_ids") == 1
     many = F.size("adv_ids") > 1
+    adv_one = F.when(one, F.element_at("adv_ids", 1))
+    if nf is not None:
+        meta = nf.select(
+            "cr_uuid", "src_uuid", "route", "direct_adv", "direct_mmp"
+        )
+        infos = infos.join(meta, ["cr_uuid", "src_uuid"], "left")
+        # unity merge (:939-942): the bundle fills a null advertiser,
+        # the adjust referrer fills empty mmp urls; the filled
+        # advertiser still faces the :1288 publisher check below
+        adv_one = F.when(
+            F.col("route") == "unity",
+            F.coalesce(adv_one, F.col("direct_adv")),
+        ).otherwise(adv_one)
+        infos = infos.withColumn(
+            "_unity_fill",
+            (F.col("route") == "unity")
+            & (F.size("mmp_urls") == 0)
+            & F.col("direct_mmp").isNotNull(),
+        ).withColumn(
+            # the unity literal is already a registrable domain
+            # ('adjust.com', :926) — get_tld is the identity on it
+            "mmp_tld",
+            F.when(
+                F.col("_unity_fill"),
+                F.element_at(F.array_sort("direct_mmp"), 1),
+            ).otherwise(F.col("mmp_tld")),
+        ).withColumn(
+            "mmp_urls",
+            F.when(
+                F.col("_unity_fill"), F.array_sort("direct_mmp")
+            ).otherwise(F.col("mmp_urls")),
+        ).drop("_unity_fill")
     infos = infos.select(
         *key, "mmp_urls", "ad_network_tlds", "mmp_tld", "click_url_ids",
-        F.when(one, F.element_at("adv_ids", 1)).alias("adv_store_id"),
+        adv_one.alias("adv_store_id"),
         F.when(many, F.col("adv_ids")).alias("adv_multi"),
     )
+    if nf is not None:
+        from adscrawler_spark.functions.urls import root_domain
+
+        # a parse that produced ANY AdInfo — even one later dropped
+        # by the publisher check or the db resolution — must not be
+        # replaced by a keep-empty row (the reference's continue
+        # discards it outright)
+        parsed_keys = infos.select("cr_uuid", "src_uuid")
+        # :1288 — an advertiser equal to the publisher id drops the
+        # AdInfo (parsed ids already exclude it; unity fills can't)
+        infos = infos.filter(
+            F.col("adv_store_id").isNull()
+            | (F.col("adv_store_id") != F.col("pub_store_id"))
+        )
+        empty_arr = F.array().cast("array<string>")
+        direct_infos = nf.filter(
+            F.col("parse_text").isNull()
+            & F.col("direct_adv").isNotNull()
+            & (F.col("direct_adv") != F.col("pub_store_id"))
+        ).select(
+            *key,
+            F.array_sort(
+                F.coalesce("direct_mmp", empty_arr)
+            ).alias("mmp_urls"),
+            empty_arr.alias("ad_network_tlds"),
+            # AdInfo.mmp_tld = get_tld(first mmp url) (models.py:26-29)
+            # F.get is the ANSI-safe indexer (null on empty)
+            root_domain(
+                F.get(F.array_sort(F.coalesce("direct_mmp", empty_arr)), 0)
+            ).alias("mmp_tld"),
+            F.lit(None).cast("array<string>").alias("click_url_ids"),
+            F.col("direct_adv").alias("adv_store_id"),
+            F.lit(None).cast("array<string>").alias("adv_multi"),
+        )
+        # keep-empty routes emit the reference's empty-but-kept AdInfo
+        # whenever their parse produced NO AdInfo row — either no text
+        # at all (yandex native-no-match, protobuf) or a clickless
+        # fyber parse that surfaced zero URLs
+        empty_infos = nf.filter(
+            F.col("keep_empty") & F.col("direct_adv").isNull()
+        ).join(
+            parsed_keys, ["cr_uuid", "src_uuid"], "left_anti"
+        ).select(
+            *key,
+            empty_arr.alias("mmp_urls"),
+            empty_arr.alias("ad_network_tlds"),
+            F.lit(None).cast("string").alias("mmp_tld"),
+            F.lit(None).cast("array<string>").alias("click_url_ids"),
+            F.lit(None).cast("string").alias("adv_store_id"),
+            F.lit(None).cast("array<string>").alias("adv_multi"),
+        )
+        infos = infos.unionByName(direct_infos).unionByName(empty_infos)
     # single-adv db id: unresolvable → the whole AdInfo is dropped
     # (:1313-1328 continue)
     infos = infos.join(

@@ -8775,3 +8775,194 @@ def creative_records_assembly_q(spark, sf):
             ),
         ).alias("advertiser_store_app_ids"),
     )
+
+
+@query(
+    "network_routed_attribution",
+    """
+    WITH b AS (
+        SELECT event_id AS e,
+               (event_id // 4) % 8 AS g,
+               cast(event_id % 30 AS INT) AS a,
+               cast(event_id % 15 AS INT) AS j
+        FROM events WHERE event_id % 4 = 0
+    )
+    SELECT
+        'm' || cast(e AS VARCHAR) AS mitm_uuid,
+        CASE g
+          WHEN 0 THEN 'com.vg' || cast(a AS VARCHAR) || '.app'
+          WHEN 1 THEN 'com.mt' || cast(a AS VARCHAR) || '.go'
+          WHEN 2 THEN 'com.fy' || cast(a AS VARCHAR) || '.app'
+          WHEN 3 THEN 'com.fb' || cast(a AS VARCHAR) || '.x'
+          WHEN 4 THEN 'com.un' || cast(a AS VARCHAR) || '.app'
+          WHEN 5 THEN 'com.gg' || cast(a AS VARCHAR) || '.x'
+          WHEN 6 THEN 'com.yx' || cast(a AS VARCHAR) || '.x'
+          ELSE 'com.ya' || cast(a AS VARCHAR) || '.x'
+        END AS adv_store_id,
+        5000 + cast(g AS INT) * 100 + a AS advertiser_store_app_id,
+        CASE g WHEN 0 THEN 'https://app.appsflyer.com/r'
+                 || cast(e AS VARCHAR) || '?pid=1'
+               WHEN 4 THEN 'adjust.com' ELSE '' END AS mmp_urls,
+        CASE g WHEN 0 THEN 'appsflyer.com'
+               WHEN 4 THEN 'adjust.com' END AS mmp_tld,
+        CASE WHEN g IN (4, 5, 6) THEN 'adnet' || cast(j AS VARCHAR)
+                 || '.com' ELSE '' END AS found_ad_network_tlds,
+        CASE WHEN g IN (2, 3) THEN 'fyber.com'
+             WHEN g = 0 THEN 'vungle.com'
+             WHEN g = 1 THEN 'mtgglobals.com'
+             WHEN g = 4 THEN 'unity3d.com'
+             WHEN g = 5 THEN 'doubleclick.net'
+             WHEN g = 6 THEN 'yandex.ru'
+             ELSE 'youappi.com'
+        END AS creative_initial_domain_tld
+    FROM b
+    """,
+)
+def network_routed_attribution_q(spark, sf):
+    """Per-ad-network routed attribution end-to-end: vungle/mtg
+    structural short-circuits, the fyber header bundle and clickless
+    text parse, the unity bundle+referrer merge, google ad_networks
+    html selection, yandex native ad matching and the youappi request
+    swap (network_parsers.py:667-1161 via operators/adnetworks.py +
+    attribute_creatives(network_routing=True)).  The oracle states
+    each creative's attribution from the scenario parameters."""
+    from adscrawler_spark.operators import creatives as cv
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    spark_sess = ev.sparkSession
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    g = F.floor(e / 4) % 8
+    a, j = s(e % 30), s(e % 15)
+    vid = F.concat(F.lit("video"), s(e), F.lit("q"),
+                   F.substring(F.md5(s(e)), 1, 4))
+    run = F.concat(F.lit("r"), s(e % 40))
+    pub = F.concat(F.lit("com.pub"), s(e % 40 % 12), F.lit(".app"))
+    epoch = 1709251200
+    called = lambda off: F.timestamp_seconds(F.lit(epoch) + e + off)  # noqa: E731
+    ns = F.lit(None).cast("string")
+    base = ev.filter(e % 4 == 0)
+
+    def cols(mitm_prefix, url, tld, called_at, status, mime_c, size,
+             rtext, content_c, qp_c, rh_c):
+        return [
+            F.concat(F.lit(mitm_prefix), s(e)).alias("mitm_uuid"),
+            run.alias("run_id"), pub.alias("pub_store_id"),
+            url.alias("url"), tld.alias("tld_url"),
+            called_at.alias("called_at"),
+            F.lit(status).alias("status_code"),
+            mime_c.alias("response_mime_type"),
+            size.alias("response_size_bytes"),
+            rtext.alias("response_text"),
+            content_c.alias("response_content"),
+            qp_c.alias("query_params"),
+            rh_c.alias("response_headers"),
+            ns.alias("post_params"), ns.alias("request_text"),
+        ]
+
+    cre = base.select(*cols(
+        "m",
+        F.concat(F.lit("https://s0.2mdn.net/id/"), vid,
+                 F.lit("/file.mp4")),
+        F.lit("2mdn.net"), called(0), 200, F.lit("video/mp4"),
+        (F.lit(50001) + e % 5000).cast("long"), ns,
+        F.concat(F.lit("C"), F.md5(s(e))), ns, ns,
+    ))
+    adv_id = (
+        F.when(g == 0, F.concat(F.lit("com.vg"), a, F.lit(".app")))
+        .when(g == 1, F.concat(F.lit("com.mt"), a, F.lit(".go")))
+        .when(g == 2, F.concat(F.lit("com.fy"), a, F.lit(".app")))
+        .when(g == 3, F.concat(F.lit("com.fb"), a, F.lit(".x")))
+        .when(g == 4, F.concat(F.lit("com.un"), a, F.lit(".app")))
+        .when(g == 5, F.concat(F.lit("com.gg"), a, F.lit(".x")))
+        .when(g == 6, F.concat(F.lit("com.yx"), a, F.lit(".x")))
+        .otherwise(F.concat(F.lit("com.ya"), a, F.lit(".x")))
+    )
+    adnet_url = F.concat(F.lit("https://cdn.adnet"), j,
+                         F.lit(".com/x.js"))
+    rtext = (
+        F.when(g == 0, F.concat(
+            F.lit('{"v": "'), vid,
+            F.lit('", "ads": [{"ad_markup": {"ad_market_id": "'),
+            adv_id,
+            F.lit('", "tpat": {"clickUrl": '
+                  '["https://app.appsflyer.com/r'), s(e),
+            F.lit('?pid=1", "https://plain'), a,
+            F.lit('.com/c"]}}}]}')))
+        .when(g == 1, F.concat(
+            F.lit('{"v": "'), vid,
+            F.lit('", "data": {"ads": [{"package_name": "'), adv_id,
+            F.lit('"}]}}')))
+        .when(g == 2, F.concat(F.lit("resp "), vid, F.lit(" none")))
+        .when(g == 3, F.concat(
+            F.lit("resp "), vid,
+            F.lit(" market://details?id="), adv_id))
+        .when(g == 4, F.concat(
+            F.lit('{"v": "'), vid,
+            F.lit('", "media": {"k1": {"bundleId": "'), adv_id,
+            F.lit('", "content": "h referrer=adjust_external_z,r"}}, '
+                  '"turl": "'), adnet_url, F.lit('"}')))
+        .when(g == 5, F.concat(
+            F.lit('{"ad_networks": [{"ad": {"ad_html": "<div>'), vid,
+            F.lit(" market://details?id="), adv_id,
+            F.lit(" "), adnet_url, F.lit('</div>"}}]}')))
+        .when(g == 6, F.concat(
+            F.lit('{"native": {"ads": [{"m": "'), vid,
+            F.lit('", "l": "market://details?id='), adv_id,
+            F.lit('", "n": "'), adnet_url,
+            F.lit('"}, {"m": "x", "l": '
+                  '"market://details?id=com.zz.x"}]}}')))
+        .otherwise(F.concat(F.lit("BIN "), vid, F.lit(" BIN")))
+    )
+    sent_tld = (
+        F.when(g == 0, F.lit("vungle.com"))
+        .when(g == 1, F.lit("mtgglobals.com"))
+        .when(g == 2, F.lit("inner-active.mobi"))
+        .when(g == 3, F.lit("tpbid.com"))
+        .when(g == 4, F.lit("unity3d.com"))
+        .when(g == 5, F.lit("doubleclick.net"))
+        .when(g == 6, F.lit("yandex.ru"))
+        .otherwise(F.lit("youappi.com"))
+    )
+    sent_url = F.when(
+        g == 4,
+        F.lit("https://auction-load.unityads.unity3d.com/v6/games"),
+    ).otherwise(F.concat(F.lit("https://x."), sent_tld, F.lit("/v")))
+    sent = base.select(*cols(
+        "s", sent_url, sent_tld, called(-100), 200,
+        F.when(g == 7, F.lit("video/mp4")).otherwise(ns),
+        F.lit(0).cast("long"), rtext, ns,
+        F.when(g == 7, F.concat(
+            F.lit("{'u': 'market://details?id="), adv_id, F.lit("'}"))),
+        F.when(g == 2, F.concat(
+            F.lit('{"x-ia-app-bundle": "'), adv_id, F.lit('"}'))),
+    ))
+    flows = cre.unionByName(sent)
+    mmps = spark_sess.createDataFrame(
+        [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
+    addoms = spark_sess.range(0, 15).select(
+        F.concat(F.lit("adnet"), s(F.col("id")), F.lit(".com")).alias(
+            "domain_name"))
+    prefixes = [("com.vg", ".app"), ("com.mt", ".go"),
+                ("com.fy", ".app"), ("com.fb", ".x"),
+                ("com.un", ".app"), ("com.gg", ".x"),
+                ("com.yx", ".x"), ("com.ya", ".x")]
+    apps = None
+    for gi, (pre, suf) in enumerate(prefixes):
+        part = spark_sess.range(0, 30).select(
+            (F.col("id") + 5000 + gi * 100).alias("id"),
+            F.concat(F.lit(pre), s(F.col("id")), F.lit(suf)).alias(
+                "store_id"))
+        apps = part if apps is None else apps.unionByName(part)
+    calls = cv.add_is_creative(
+        cv.add_file_extension(cv.api_calls_from_flows(flows)))
+    adv = cv.attribute_creatives(
+        calls, mmps, addoms, apps, network_routing=True, persisted=[],
+    )
+    return adv.select(
+        "mitm_uuid", "adv_store_id", "advertiser_store_app_id",
+        F.array_join("mmp_urls", ",").alias("mmp_urls"), "mmp_tld",
+        F.array_join("found_ad_network_tlds", ",").alias(
+            "found_ad_network_tlds"),
+        "creative_initial_domain_tld",
+    )

@@ -170,6 +170,9 @@ def test_find_sent_videos_parity(spark):
             "run_id string, pub_store_id string, mitm_uuid string, "
             "response_text string, called_at timestamp",
         ).withColumn("tld_url", F.lit("x.com"))
+        for c in ("url", "response_mime_type", "response_headers",
+                  "query_params", "post_params", "request_text"):
+            calls = calls.withColumn(c, F.lit(None).cast("string"))
         cr = spark.createDataFrame(
             [("r1", "p", "m1", t0, vid)],
             "run_id string, pub_store_id string, mitm_uuid string, "
