@@ -63,23 +63,23 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, BooleanType, StringType,
                                StructField, StructType)
 
+from adscrawler_spark.functions.urls import _root_domain
+from adscrawler_spark.operators import adpayload as _ap
 from adscrawler_spark.operators.adpayload import (
     IGNORE_STORE_IDS,
     extract_and_decode_urls,
 )
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
 
 
 def _tld_of_url(url: str) -> str | None:
     """get_tld for one URL (scheme/userinfo/port/path stripped, PSL
     registrable domain) — the python twin of functions.urls'
     vectorized host+root pipeline, for the UDF-side rules."""
-    import re as _re
-
-    from adscrawler_spark.functions.urls import _root_domain
-
     if not url:
         return None
-    s = _re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "", url, count=1)
+    s = _SCHEME_RE.sub("", url, count=1)
     s = s.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
     s = s.rsplit("@", 1)[-1].split(":", 1)[0]
     return _root_domain(s)
@@ -124,7 +124,11 @@ _MTG_ADV_PATH = "$.data.ads[0].package_name"
 
 
 def mtg_direct_adv(text: F.Column) -> F.Column:
-    return F.get_json_object(text, _MTG_ADV_PATH)
+    # :722 'if adv_store_id:' — an empty package_name is falsy and
+    # falls back to the generic text parse
+    return F.nullif(
+        F.get_json_object(text, _MTG_ADV_PATH), F.lit("")
+    )
 
 
 def fyber_direct_adv(init_tld: F.Column, headers_json: F.Column) -> F.Column:
@@ -156,10 +160,12 @@ _GY_SCHEMA = StructType([
     StructField("keep_empty", BooleanType()),
 ])
 
-_AF_ADV_RE = re.compile(r"http.*\.appsflyer\.com/([a-zA-Z0-9_.]+)[\?\-]")
-_INTENT_DETAILS_RE = re.compile(r"intent://details\?id=([a-zA-Z0-9._]+)")
-_INTENT_PACKAGE_RE = re.compile(r"intent://.*package=([a-zA-Z0-9._]+)")
-_MARKET_DETAILS_RE = re.compile(r"market://details\?id=([a-zA-Z0-9._]+)")
+# compiled from adpayload's shared pattern constants so the UDF-side
+# early-stop rule can never drift from the JVM-side classification
+_AF_ADV_RE = re.compile(_ap._AF_ADV_RE)
+_INTENT_DETAILS_RE = re.compile(_ap._INTENT_DETAILS_RE)
+_INTENT_PACKAGE_RE = re.compile(_ap._INTENT_PACKAGE_RE)
+_MARKET_DETAILS_RE = re.compile(_ap._MARKET_DETAILS_RE)
 _LEADING_ID_RE = re.compile(r"^[a-zA-Z0-9._-]+")
 
 
@@ -256,9 +262,14 @@ def _google_text(response_text: str, video_id: str,
                         if not urls:
                             # 'No URLs found' error → row dropped
                             return None
-                        if _adv_ids_in_urls(
+                        # the stop condition is adv_store_id not None
+                        # (:1129) — the exactly-one rule; a multi-
+                        # advertiser ad leaves it None and the walk
+                        # continues (and the row drops if nothing
+                        # later satisfies it)
+                        if len(_adv_ids_in_urls(
                             urls, mmps, pub_store_id, tld_of
-                        ):
+                        )) == 1:
                             return text
         return None
     return None
@@ -285,9 +296,14 @@ def _yandex_text(response_text: str, video_id: str):
 
 
 def _unity_extras(url: str, response_text: str):
-    """parse_unity_ad (:910-928): bundleId + the adjust_external
-    referrer marker from the first media entry."""
-    adv, mmp = None, None
+    """parse_unity_ad (:910-928): the bundleId from the first media
+    entry.  The reference ALSO collects an 'adjust.com' marker from
+    the adjust_external referrer (:917-928) but the merge guarding it
+    (:941 ``found_mmp_urls is None``) is dead code — the success path
+    always carries a list ([] included, never None) and the error
+    path returns before the merge — so the engine extracts no
+    referrer mmp either."""
+    adv = None
     if url and "auction-load.unityads.unity3d.com" in url:
         try:
             ad_response = json.loads(response_text)
@@ -295,19 +311,9 @@ def _unity_extras(url: str, response_text: str):
             keyresp = ad_response["media"][mykey]
             if "bundleId" in keyresp:
                 adv = keyresp["bundleId"]
-            try:
-                adcontent = str(keyresp["content"])
-                if "referrer" in adcontent:
-                    referrer = adcontent.split("referrer=")[1].split(
-                        ",", maxsplit=1
-                    )[0]
-                    if "adjust_external" in referrer:
-                        mmp = ["adjust.com"]
-            except Exception:
-                pass
         except Exception:
             pass
-    return adv, mmp
+    return adv, None
 
 
 def _vungle_parse(response_text: str, mmps: frozenset, tld_of):
@@ -381,7 +387,6 @@ def make_network_text_udf(mmp_tlds: frozenset):
 
 
 _UDF_ROUTES = ("vungle", "google", "yandex", "unity")
-_SHORT_CIRCUIT_ROUTES = ("vungle", "mtg", "fyber")
 
 
 def with_network_fields(
@@ -403,8 +408,9 @@ def with_network_fields(
     * fyber without the header: the response text parses WITHOUT
       click expansion (parse_urls_for_known_parts direct call) and
       keeps an empty AdInfo even when no URLs surface.
-    * unity: text parses normally; direct extras fill nulls after
-      the fold.
+    * unity: text parses normally; the bundle fills a null
+      advertiser after the fold (the referrer-mmp merge is dead code
+      in the reference — see _unity_extras).
     * youappi: text swaps to the request blob for media responses.
     * yandex native-no-match: keep_empty row.
     * protobuf routes (bidmachine / everestop): no codec in this
@@ -438,28 +444,33 @@ def with_network_fields(
         F.col("route"), F.col(url_col), t, F.col(video_col),
         F.col("pub_store_id"),
     )
+    # filter-split + union, NOT a conditional projection: Spark pulls
+    # Python UDFs out of when() branches and would evaluate the Arrow
+    # UDF for every generic row (same trap adpayload.payload_urls
+    # documents for its two-tier plan)
     needs_udf = F.col("route").isin(*_UDF_ROUTES)
-    d = d.withColumn("_gy", F.when(needs_udf, gy))
+    base_cols = [*src.columns, "route"]
+    udf_rows = d.filter(needs_udf).withColumn("_gy", gy).select(
+        *base_cols,
+        F.col("_gy.parse_text").alias("parse_text"),
+        F.col("_gy.direct_adv").alias("direct_adv"),
+        F.col("_gy.direct_mmp").alias("direct_mmp"),
+        F.coalesce(F.col("_gy.keep_empty"), F.lit(False)).alias(
+            "keep_empty"
+        ),
+    )
+    jvm_rows = d.filter(~needs_udf).select(
+        *base_cols,
+        jvm_text.alias("parse_text"),
+        jvm_direct.alias("direct_adv"),
+        F.lit(None).cast("array<string>").alias("direct_mmp"),
+        (
+            F.col("route").isin(*PROTOBUF_ROUTES)
+            | ((F.col("route") == "fyber") & jvm_direct.isNull())
+        ).alias("keep_empty"),
+    )
     return (
-        d.withColumn(
-            "parse_text",
-            F.when(needs_udf, F.col("_gy.parse_text")).otherwise(
-                jvm_text
-            ),
-        )
-        .withColumn(
-            "direct_adv",
-            F.when(needs_udf, F.col("_gy.direct_adv")).otherwise(
-                jvm_direct
-            ),
-        )
-        .withColumn("direct_mmp", F.when(needs_udf, F.col("_gy.direct_mmp")))
-        .withColumn(
-            "keep_empty",
-            F.coalesce(F.col("_gy.keep_empty"), F.lit(False))
-            | F.col("route").isin(*PROTOBUF_ROUTES)
-            | ((F.col("route") == "fyber") & jvm_direct.isNull()),
-        )
+        udf_rows.unionByName(jvm_rows)
         # every text parse goes through parse_text_for_adinfo (click
         # expansion included) EXCEPT fyber's clickless direct call
         .withColumn(
@@ -468,5 +479,4 @@ def with_network_fields(
             & (F.col("route") != "fyber"),
         )
         .withColumn("init_tld", effective_init_tld())
-        .drop("_gy")
     )

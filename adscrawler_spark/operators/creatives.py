@@ -505,32 +505,14 @@ def attribute_creatives(
             "cr_uuid", "src_uuid", "route", "direct_adv", "direct_mmp"
         )
         infos = infos.join(meta, ["cr_uuid", "src_uuid"], "left")
-        # unity merge (:939-942): the bundle fills a null advertiser,
-        # the adjust referrer fills empty mmp urls; the filled
-        # advertiser still faces the :1288 publisher check below
+        # unity merge (:939-940): the bundle fills a null advertiser
+        # (the referrer-mmp merge at :941 is dead code — see
+        # adnetworks._unity_extras); the filled advertiser still
+        # faces the :1288 publisher check below
         adv_one = F.when(
             F.col("route") == "unity",
             F.coalesce(adv_one, F.col("direct_adv")),
         ).otherwise(adv_one)
-        infos = infos.withColumn(
-            "_unity_fill",
-            (F.col("route") == "unity")
-            & (F.size("mmp_urls") == 0)
-            & F.col("direct_mmp").isNotNull(),
-        ).withColumn(
-            # the unity literal is already a registrable domain
-            # ('adjust.com', :926) — get_tld is the identity on it
-            "mmp_tld",
-            F.when(
-                F.col("_unity_fill"),
-                F.element_at(F.array_sort("direct_mmp"), 1),
-            ).otherwise(F.col("mmp_tld")),
-        ).withColumn(
-            "mmp_urls",
-            F.when(
-                F.col("_unity_fill"), F.array_sort("direct_mmp")
-            ).otherwise(F.col("mmp_urls")),
-        ).drop("_unity_fill")
     infos = infos.select(
         *key, "mmp_urls", "ad_network_tlds", "mmp_tld", "click_url_ids",
         adv_one.alias("adv_store_id"),

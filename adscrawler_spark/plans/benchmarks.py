@@ -8802,9 +8802,8 @@ def creative_records_assembly_q(spark, sf):
         5000 + cast(g AS INT) * 100 + a AS advertiser_store_app_id,
         CASE g WHEN 0 THEN 'https://app.appsflyer.com/r'
                  || cast(e AS VARCHAR) || '?pid=1'
-               WHEN 4 THEN 'adjust.com' ELSE '' END AS mmp_urls,
-        CASE g WHEN 0 THEN 'appsflyer.com'
-               WHEN 4 THEN 'adjust.com' END AS mmp_tld,
+               ELSE '' END AS mmp_urls,
+        CASE g WHEN 0 THEN 'appsflyer.com' END AS mmp_tld,
         CASE WHEN g IN (4, 5, 6) THEN 'adnet' || cast(j AS VARCHAR)
                  || '.com' ELSE '' END AS found_ad_network_tlds,
         CASE WHEN g IN (2, 3) THEN 'fyber.com'

@@ -168,12 +168,15 @@ def test_fyber_empty_adinfo_kept(records):
     assert r["creative_initial_domain_tld"] == "fyber.com"
 
 
-def test_unity_bundle_and_referrer_merge(records):
+def test_unity_bundle_fill(records):
     r = records["muni"]
     assert r["adv_store_id"] == "com.un.app"
     assert r["advertiser_store_app_id"] == 5
-    assert r["mmp_urls"] == ["adjust.com"]
-    assert r["mmp_tld"] == "adjust.com"
+    # the reference's referrer-mmp merge (:941) is dead code — the
+    # success path always carries a list, never None — so the
+    # adjust_external marker contributes nothing
+    assert r["mmp_urls"] == []
+    assert r["mmp_tld"] is None
     assert r["found_ad_network_tlds"] == ["ads9.com"]
 
 
@@ -207,3 +210,51 @@ def test_everestop_protobuf_plug_point(records):
     r = records["mevr"]
     assert r["adv_store_id"] is None
     assert r["creative_initial_domain_tld"] == "everestop.io"
+
+
+@pytest.fixture(scope="module")
+def edge_records(spark):
+    vids = {k: f"edge{k}{'y' * 4}" for k in ["gm", "mt0"]}
+    rows = [
+        _creative(f"m{k}", v, 100 + 10 * i, 70_000 + i)
+        for i, (k, v) in enumerate(vids.items())
+    ]
+    # google slots ad with TWO advertiser links: the reference's
+    # early-stop condition (exactly one adv) never fires → dropped
+    rows.append(_flow(
+        "sgm", "https://g.doubleclick.net/v", "doubleclick.net", 50,
+        rtext=json.dumps({"slots": [{"ads": [
+            {"u": vids["gm"],
+             "l1": "market://details?id=com.m1.x",
+             "l2": "market://details?id=com.m2.x"}]}]})))
+    # mtg with an EMPTY package_name: falsy → generic text parse wins
+    rows.append(_flow(
+        "smt0", "https://api.mtgglobals.com/v", "mtgglobals.com", 50,
+        rtext=json.dumps({
+            "v": vids["mt0"],
+            "data": {"ads": [{"package_name": "",
+                              "l": "market://details?id=com.mr.x"}]}})))
+    flows = spark.createDataFrame(rows, _SCHEMA)
+    mmps = spark.createDataFrame([("appsflyer.com",)], ["tld_url"])
+    addoms = spark.createDataFrame([("ads9.com",)], ["domain_name"])
+    apps = spark.createDataFrame(
+        [(21, "com.m1.x"), (22, "com.m2.x"), (23, "com.mr.x")],
+        ["id", "store_id"])
+    calls = cv.add_is_creative(
+        cv.add_file_extension(cv.api_calls_from_flows(flows)))
+    adv = cv.attribute_creatives(
+        calls, mmps, addoms, apps, network_routing=True, persisted=[])
+    return {r["mitm_uuid"]: r for r in adv.collect()}
+
+
+def test_google_slots_multi_adv_dropped(edge_records):
+    r = edge_records["mgm"]
+    assert r["adv_store_id"] is None
+    assert r["advertiser_store_app_ids"] is None
+    assert r["creative_initial_domain_tld"] is None
+
+
+def test_mtg_empty_package_falls_back_to_text(edge_records):
+    r = edge_records["mmt0"]
+    assert r["adv_store_id"] == "com.mr.x"
+    assert r["advertiser_store_app_id"] == 23
