@@ -374,9 +374,14 @@ def attribute_creatives(
     """
     creatives = creative_rows(calls)
     if persisted is not None:
-        # plan cut + cache: consumed by the sent-match, the fallback
-        # anti-join, the host join and the final output join
-        creatives = creatives.localCheckpoint(eager=False)
+        # cache only (no plan cut): consumed by the sent-match, the
+        # fallback anti-join, the host join and the final output
+        # join.  Each localCheckpoint call pays a full plan
+        # compilation of its subtree, so cuts go where the tower is
+        # deepest (sources, the AdInfo fold, the adv output) and
+        # plain persist covers the shallow reuse points.
+        creatives = creatives.persist()
+        persisted.append(creatives)
     if phash_col is None:
         phash_col = F.substring(
             F.sha1(F.col("response_content").cast("binary")), 1, 16
@@ -448,8 +453,9 @@ def attribute_creatives(
     ).drop("text")
     if persisted is not None:
         # consumed by the click expansion AND the all-urls union —
-        # uncut, each consumer re-runs the extraction tiers
-        urls = urls.localCheckpoint(eager=False)
+        # uncached, each consumer re-runs the extraction tiers
+        urls = urls.persist()
+        persisted.append(urls)
     key = [*_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld"]
     if click_redirects is not None:
         clicks = (

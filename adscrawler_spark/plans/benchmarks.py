@@ -8749,8 +8749,8 @@ def creative_records_assembly_q(spark, sf):
     # correctness runner is one-shot per query, so the entries are
     # not unpersisted here (same trade the refresh plan makes).
     out = cv.creative_records_assembly(
-        flows, mmps, addoms, apps, doms, click_redirects=clicks,
-        persisted=[],
+        flows, mmps, addoms, apps, doms,
+        click_redirects=clicks, persisted=[],
     )
     return out.select(
         "api_call_id", "creative_asset_id", "creative_host_domain_id",
