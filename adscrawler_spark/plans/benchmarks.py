@@ -8965,3 +8965,304 @@ def network_routed_attribution_q(spark, sf):
             "found_ad_network_tlds"),
         "creative_initial_domain_tld",
     )
+
+
+# =====================================================================
+# Decoded-package SDK details (packages/apks/manifest.py,
+# packages/ipas/get_plist.py, packages/process_files.py)
+# =====================================================================
+
+def _smali_inventory_synth(spark, sf):
+    """Synthetic decoded-APK directory inventory: one smali package
+    dir per event across the smali_classes variants, res/raw noise
+    rows for e%5==0, and a short (<=4 chars post-transform) package
+    for e%41==0."""
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    app = F.concat(F.lit("app"), s(e % 10))
+    smali_dir = F.concat(
+        F.lit("smali_classes"), s(1 + e % 3)
+    )
+    pkg = F.when(
+        e % 41 == 0, F.lit("a/b")
+    ).otherwise(
+        F.concat(F.lit("com/sdk"), s(e % 20), F.lit("/v"), s(e % 7))
+    )
+    base = ev.select(
+        app.alias("store_id"),
+        (e % 10).alias("version_code_id"),
+        F.concat(
+            F.lit("/tmp/dec/"), app, F.lit("/"), smali_dir,
+            F.lit("/"), pkg,
+        ).alias("path"),
+        e.alias("e"),
+    )
+    noise = ev.filter(e % 5 == 0).select(
+        app.alias("store_id"),
+        (e % 10).alias("version_code_id"),
+        F.concat(F.lit("/tmp/dec/"), app, F.lit("/res/raw")).alias(
+            "path"
+        ),
+        e.alias("e"),
+    )
+    return base.unionByName(noise)
+
+
+@query(
+    "smali_package_details",
+    """
+    SELECT 'app' || cast(event_id % 10 AS VARCHAR) AS store_id,
+           cast(event_id % 10 AS BIGINT)           AS version_code_id,
+           'com.sdk' || cast(event_id % 20 AS VARCHAR)
+               || '.v' || cast(event_id % 7 AS VARCHAR)
+                                                   AS android_name
+    FROM events WHERE event_id % 41 <> 0
+    """,
+)
+def smali_package_details_q(spark, sf):
+    """Smali directory listing → dotted android package names
+    (packages/apks/manifest.py:93-111 via
+    operators/manifests.py::smali_details): the JVM replace ladder
+    must strip the per-store unzip prefix and every smali_classes
+    variant, keep only smali rows, and drop post-transform names of
+    <=4 chars.  The oracle states the surviving package per event
+    from the generator parameters."""
+    from adscrawler_spark.operators import manifests as mf
+
+    inv = _smali_inventory_synth(spark, sf)
+    out = mf.smali_details(
+        inv.select("store_id", "version_code_id", "path"),
+        unzip_prefix="/tmp/dec",
+    )
+    return out.select("store_id", "version_code_id", "android_name")
+
+
+@query(
+    "manifest_xml_walk",
+    """
+    WITH apps AS (
+        SELECT DISTINCT event_id % 10 AS a FROM events
+    ),
+    recv AS (
+        SELECT event_id % 10 AS a,
+               'com.sdk' || cast(event_id % 20 AS VARCHAR)
+                   || '.Receiver' AS nm
+        FROM events
+    )
+    SELECT 'app' || cast(a AS VARCHAR) AS store_id,
+           'application' AS path, 'application' AS tag,
+           '' AS android_name
+    FROM apps
+    UNION ALL
+    SELECT 'app' || cast(a AS VARCHAR), 'application/receiver',
+           'receiver', nm
+    FROM recv
+    """,
+)
+def manifest_xml_walk_q(spark, sf):
+    """AndroidManifest element walk (packages/apks/manifest.py:114-157
+    via operators/manifests.py::manifest_xml_details): assemble one
+    manifest per app from its receiver set, parse it back through the
+    Arrow walk, and the exploded rows must be exactly one application
+    row per app plus one receiver row per event (duplicate receiver
+    names preserved — the walk does not dedup)."""
+    from adscrawler_spark.operators import manifests as mf
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    recv = ev.select(
+        (e % 10).alias("a"),
+        F.concat(
+            F.lit('<receiver android:name="com.sdk'), s(e % 20),
+            F.lit('.Receiver"/>'),
+        ).alias("tagstr"),
+        e.alias("e"),
+    )
+    xml = recv.groupBy("a").agg(
+        F.concat(
+            F.lit(
+                '<manifest xmlns:android='
+                '"http://schemas.android.com/apk/res/android">'
+                "<application>"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("e", "tagstr"))
+                    ),
+                    lambda r: r["tagstr"],
+                ),
+                "",
+            ),
+            F.lit("</application></manifest>"),
+        ).alias("manifest_xml")
+    )
+    out = mf.manifest_xml_details(
+        xml.select(
+            F.concat(F.lit("app"), s(F.col("a"))).alias("store_id"),
+            F.col("a").alias("version_code_id"),
+            "manifest_xml",
+        )
+    )
+    return out.select("store_id", "path", "tag", "android_name")
+
+
+@query(
+    "ipa_payload_listing",
+    """
+    WITH b AS (SELECT event_id AS e, event_id % 4 AS k,
+                      event_id % 25 AS n, event_id % 5 AS a
+               FROM events)
+    SELECT 'ios' || cast(a AS VARCHAR) AS store_id,
+           'frameworks' AS path,
+           'FW' || cast(n AS VARCHAR) || '.framework' AS value
+    FROM b WHERE k = 0
+    UNION ALL
+    SELECT 'ios' || cast(a AS VARCHAR), 'frameworks',
+           'lib' || cast(n AS VARCHAR) || '.dylib'
+    FROM b WHERE k = 1
+    UNION ALL
+    SELECT 'ios' || cast(a AS VARCHAR), 'bundles',
+           'B' || cast(n AS VARCHAR) || '.bundle'
+    FROM b WHERE k = 2
+    UNION ALL
+    SELECT 'ios' || cast(a AS VARCHAR), 'Payload', 'gamecookeddata'
+    FROM b WHERE e % 11 = 0
+    UNION ALL
+    SELECT 'ios' || cast(a AS VARCHAR), 'Payload', 'ue4commandline.txt'
+    FROM b WHERE e % 13 = 0
+    """,
+)
+def ipa_payload_listing_q(spark, sf):
+    """Unzipped-IPA Payload listings (packages/ipas/get_plist.py:
+    139-197 via operators/manifests.py::ipa_path_details): Frameworks
+    directories and .dylib files, .bundle directories, cookeddata /
+    ue4commandline special files; plain files under Frameworks and
+    non-bundle children must drop.  Pure JVM regexps — the oracle
+    states each event's surviving classification."""
+    from adscrawler_spark.operators import manifests as mf
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    k, n = e % 4, e % 25
+    app = F.concat(F.lit("ios"), s(e % 5))
+    child = (
+        F.when(k == 0, F.concat(F.lit("Frameworks/FW"), s(n),
+                                F.lit(".framework")))
+        .when(k == 1, F.concat(F.lit("Frameworks/lib"), s(n),
+                               F.lit(".dylib")))
+        .when(k == 2, F.concat(F.lit("B"), s(n), F.lit(".bundle")))
+        .otherwise(F.concat(F.lit("junk"), s(e)))
+    )
+    rows = ev.select(
+        app.alias("store_id"),
+        (e % 5).alias("version_code_id"),
+        F.concat(F.lit("Payload/My.app/"), child).alias("path"),
+        (k != 1).alias("is_dir"),
+    )
+    extra = ev.filter((e % 11 == 0) | (e % 13 == 0)).select(
+        app.alias("store_id"),
+        (e % 5).alias("version_code_id"),
+        F.concat(
+            F.lit("Payload/My.app/"),
+            F.when(e % 11 == 0, F.lit("gamecookeddata")).otherwise(
+                F.lit("ue4commandline.txt")
+            ),
+        ).alias("path"),
+        (e % 11 == 0).alias("is_dir"),
+    )
+    both = ev.filter((e % 11 == 0) & (e % 13 == 0)).select(
+        app.alias("store_id"),
+        (e % 5).alias("version_code_id"),
+        F.lit("Payload/My.app/ue4commandline.txt").alias("path"),
+        F.lit(False).alias("is_dir"),
+    )
+    out = mf.ipa_path_details(
+        rows.unionByName(extra).unionByName(both)
+    )
+    return out.select("store_id", "path", "value")
+
+
+@query(
+    "macho_load_paths",
+    """
+    SELECT DISTINCT
+        'ios' || cast(event_id % 5 AS VARCHAR) AS store_id,
+        '/usr/lib' AS path,
+        'lib' || cast(event_id % 30 AS VARCHAR)
+            || CASE WHEN event_id % 3 = 0 THEN '.A.dylib'
+                    ELSE '.dylib' END AS value
+    FROM events WHERE event_id % 17 <> 0
+    """,
+)
+def macho_load_paths_q(spark, sf):
+    """Mach-O load-command name split (packages/ipas/get_plist.py:
+    45-71 via operators/manifests.py::macho_details): first-dot split,
+    trailing-slash extension cleanup, per-app name dedup; dotless
+    names (e%17==0) drop out.  The oracle is the distinct
+    (store, path, value) set the generator implies."""
+    from adscrawler_spark.operators import manifests as mf
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    name = F.when(
+        e % 17 == 0, F.concat(F.lit("plain"), s(e))
+    ).otherwise(
+        F.concat(
+            F.lit("/usr/lib/lib"), s(e % 30),
+            F.when(e % 3 == 0, F.lit(".A.dylib")).otherwise(
+                F.lit(".dylib")
+            ),
+            F.when(e % 9 == 0, F.lit("/extra")).otherwise(F.lit("")),
+        )
+    )
+    loads = ev.select(
+        F.concat(F.lit("ios"), s(e % 5)).alias("store_id"),
+        (e % 5).alias("version_code_id"),
+        name.alias("name"),
+    )
+    out = mf.macho_details(loads)
+    return out.select("store_id", "path", "value").distinct()
+
+
+@query(
+    "sdk_version_strings",
+    """
+    WITH det AS (
+        SELECT DISTINCT
+            cast(event_id % 10 AS BIGINT) AS version_code_id,
+            'com.sdk' || cast(event_id % 20 AS VARCHAR)
+                || '.v' || cast(event_id % 7 AS VARCHAR) AS value_name
+        FROM events WHERE event_id % 41 <> 0
+    )
+    SELECT version_code_id,
+           md5(concat_ws('|', 'smali', '', value_name)) AS string_id,
+           'smali' AS xml_path, '' AS tag, value_name
+    FROM det
+    """,
+)
+def sdk_version_strings_q(spark, sf):
+    """version_strings dictionary upsert + per-version map
+    (packages/process_files.py:234-289 via
+    operators/manifests.py::version_strings_upsert): null tags become
+    '', the (triple, version) pairs dedup, the dictionary encodes
+    with a deterministic surrogate (md5 here — the battery convention
+    for serial pks), and the map must key every surviving pair."""
+    from adscrawler_spark.operators import manifests as mf
+
+    inv = _smali_inventory_synth(spark, sf)
+    details = mf.smali_details(
+        inv.select("store_id", "version_code_id", "path"),
+        unzip_prefix="/tmp/dec",
+    )
+    strings, mapping = mf.version_strings_upsert(
+        details,
+        surrogate=lambda *cs: F.md5(F.concat_ws("|", *cs)),
+    )
+    return mapping.join(strings, "string_id").select(
+        "version_code_id", "string_id", "xml_path", "tag", "value_name"
+    )
