@@ -9266,3 +9266,83 @@ def sdk_version_strings_q(spark, sf):
     return mapping.join(strings, "string_id").select(
         "version_code_id", "string_id", "xml_path", "tag", "value_name"
     )
+
+
+# =====================================================================
+# Store-scrape dispatcher (dramatiq/dispatcher.py)
+# =====================================================================
+
+@query(
+    "dispatch_store_chunks",
+    """
+    WITH apps AS (
+        SELECT cast(c_custkey % 2 + 1 AS INT)            AS store,
+               cast(floor(c_custkey / 2) % 2 + 1 AS INT) AS "group",
+               'C' || cast(c_custkey % 7 AS VARCHAR)     AS country_code,
+               cast(c_custkey AS INT)                    AS store_app
+        FROM customer
+    ),
+    locks AS (
+        SELECT store, "group", store_app FROM apps
+        WHERE store_app % 13 = 0
+    ),
+    -- pending {(1,1):0,(2,1):1340,(1,2):1300,(2,2):1499}, app_limit
+    -- 100, group-2 budget 5000 -> (2,2) throttled (empty<150), the
+    -- rest get min(empty*40, budget)*2
+    limits(store, "group", qlimit) AS (
+        VALUES (1, 1, 200), (2, 1, 200), (1, 2, 10000)
+    ),
+    ranked AS (
+        SELECT a.*, l.qlimit,
+               row_number() OVER (PARTITION BY a.store, a."group"
+                                  ORDER BY a.store_app) AS rnk
+        FROM apps a JOIN limits l
+          ON a.store = l.store AND a."group" = l."group"
+    ),
+    unlocked AS (
+        SELECT store, "group", country_code, store_app FROM ranked r
+        WHERE rnk <= qlimit AND NOT EXISTS (
+            SELECT 1 FROM locks k
+            WHERE k.store = r.store AND k."group" = r."group"
+              AND k.store_app = r.store_app)
+    ),
+    numbered AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY store, "group", country_code)
+                   AS n,
+               row_number() OVER (
+                   PARTITION BY store, "group", country_code
+                   ORDER BY store_app) AS rn
+        FROM unlocked
+    )
+    SELECT store, "group", country_code, store_app,
+           cast(floor((rn - 1) / (CASE WHEN n <= 40 THEN n
+               ELSE floor(n / ceil(n / 40.0)) END)) AS INT) AS chunk_seq
+    FROM numbered
+    """,
+)
+def dispatch_store_chunks_q(spark, sf):
+    """The four-queue dispatch cycle — depth throttle, per-queue
+    query budget, SET-NX lock anti-join, per-country chunk split
+    (dramatiq/dispatcher.py:142-273 via
+    operators/dispatch.py::dispatch_all_queues).  Queue (2,2) is
+    throttled full and must contribute no rows; the group-1 budgets
+    cut each queue to its top-200 priority order."""
+    from adscrawler_spark.operators import dispatch as D
+
+    c = _t(spark, sf, "customer")
+    apps = c.select(
+        (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
+        (F.floor(F.col("c_custkey") / 2) % 2 + 1)
+        .cast("int").alias("group"),
+        F.concat(F.lit("C"), (F.col("c_custkey") % 7).cast("string"))
+        .alias("country_code"),
+        F.col("c_custkey").cast("int").alias("store_app"),
+    )
+    locks = apps.filter(F.col("store_app") % 13 == 0).select(
+        "store", "group", "store_app"
+    )
+    pending = {(1, 1): 0, (2, 1): 1340, (1, 2): 1300, (2, 2): 1499}
+    return D.dispatch_all_queues(
+        apps, locks, pending, app_limit=100
+    ).select("store", "group", "country_code", "store_app", "chunk_seq")
