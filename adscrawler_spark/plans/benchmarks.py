@@ -9346,3 +9346,172 @@ def dispatch_store_chunks_q(spark, sf):
     return D.dispatch_all_queues(
         apps, locks, pending, app_limit=100
     ).select("store", "group", "country_code", "store_app", "chunk_seq")
+
+
+# =====================================================================
+# Raw app-details / keywords S3 ingest (process/app_details.py)
+# =====================================================================
+
+@query(
+    "keyword_ranks_latest",
+    """
+    WITH all_data AS (
+        SELECT cast(o_orderkey % 2 + 1 AS INT)        AS store,
+               'C' || cast(o_custkey % 5 AS VARCHAR)  AS country,
+               cast(o_orderkey % 50 AS INT)           AS keyword_id,
+               cast(o_orderkey % 20 + 1 AS INT)       AS rank,
+               o_orderdate + to_hours(o_orderkey % 17) AS crawled_at,
+               cast(o_orderdate AS DATE)              AS crawled_date,
+               'sid' || cast(o_custkey AS VARCHAR)    AS store_id
+        FROM orders WHERE o_orderkey % 31 <> 0
+    ),
+    latest_per_keyword AS (
+        SELECT store, country, keyword_id, rank,
+               max(crawled_at) AS latest_crawled_at
+        FROM all_data GROUP BY store, country, keyword_id, rank
+    )
+    SELECT ar.crawled_date, ar.country, ar.store,
+           ar.rank AS app_rank, ar.keyword_id, ar.store_id
+    FROM all_data ar
+    JOIN latest_per_keyword lp
+      ON ar.keyword_id = lp.keyword_id AND ar.store = lp.store
+     AND ar.country = lp.country AND ar.rank = lp.rank
+     AND ar.crawled_at = lp.latest_crawled_at
+    """,
+)
+def keyword_ranks_latest_q(spark, sf):
+    """Latest-per-(store, country, keyword, rank) keyword dedup —
+    the S3 keyword import's read query
+    (process/app_details.py:379-414 via
+    plans/raw_ingest.py::latest_keyword_ranks)."""
+    from adscrawler_spark.plans import raw_ingest as RI
+
+    o = _t(spark, sf, "orders")
+    raw = o.filter(F.col("o_orderkey") % 31 != 0).select(
+        (F.col("o_orderkey") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("C"), (F.col("o_custkey") % 5).cast("string"))
+        .alias("country"),
+        (F.col("o_orderkey") % 50).cast("int").alias("keyword_id"),
+        (F.col("o_orderkey") % 20 + 1).cast("int").alias("rank"),
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.make_interval(hours=(F.col("o_orderkey") % 17).cast("int"))
+        ).alias("crawled_at"),
+        F.col("o_orderdate").cast("date").alias("crawled_date"),
+        F.concat(F.lit("sid"), F.col("o_custkey").cast("string"))
+        .alias("store_id"),
+    )
+    return RI.latest_keyword_ranks(raw)
+
+
+@query(
+    "keyword_ranks_resolved",
+    """
+    WITH all_data AS (
+        SELECT cast(1 AS INT)                         AS store,
+               'C' || cast(o_custkey % 5 AS VARCHAR)  AS country,
+               cast(o_orderkey % 50 AS INT)           AS keyword_id,
+               cast(o_orderkey % 20 + 1 AS INT)       AS rank,
+               o_orderdate + to_hours(o_orderkey % 17) AS crawled_at,
+               cast(o_orderdate AS DATE)              AS crawled_date,
+               'sid' || cast(o_custkey AS VARCHAR)    AS store_id
+        FROM orders WHERE o_orderkey % 31 <> 0
+    ),
+    latest AS (
+        SELECT ar.crawled_date, ar.country, ar.store,
+               ar.rank AS app_rank, ar.keyword_id, ar.store_id
+        FROM all_data ar
+        JOIN (SELECT store, country, keyword_id, rank,
+                     max(crawled_at) AS latest_crawled_at
+              FROM all_data
+              GROUP BY store, country, keyword_id, rank) lp
+          ON ar.keyword_id = lp.keyword_id AND ar.store = lp.store
+         AND ar.country = lp.country AND ar.rank = lp.rank
+         AND ar.crawled_at = lp.latest_crawled_at
+    ),
+    id_map AS (
+        SELECT 'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               cast(c_custkey AS BIGINT) AS id
+        FROM customer
+    ),
+    countries AS (
+        SELECT 'C' || cast(r AS VARCHAR) AS alpha2,
+               cast(r + 100 AS INT) AS id
+        FROM generate_series(0, 4) AS t(r)
+    )
+    SELECT c.id AS country, l.keyword_id, l.store, l.crawled_date,
+           m.id AS store_app, l.app_rank
+    FROM latest l
+    LEFT JOIN id_map m ON l.store_id = m.store_id
+    LEFT JOIN countries c ON l.country = c.alpha2
+    """,
+)
+def keyword_ranks_resolved_q(spark, sf):
+    """Keyword import dimension resolution — alpha2 → country id,
+    store_id → store_app pk (process/app_details.py:337-360 via
+    plans/raw_ingest.py::resolve_keyword_ranks; the map is complete
+    here — the new-app surrogate back-fill branch is pinned by
+    tests/test_raw_ingest.py)."""
+    from adscrawler_spark.plans import raw_ingest as RI
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    raw = o.filter(F.col("o_orderkey") % 31 != 0).select(
+        F.lit(1).cast("int").alias("store"),
+        F.concat(F.lit("C"), (F.col("o_custkey") % 5).cast("string"))
+        .alias("country"),
+        (F.col("o_orderkey") % 50).cast("int").alias("keyword_id"),
+        (F.col("o_orderkey") % 20 + 1).cast("int").alias("rank"),
+        (
+            F.col("o_orderdate").cast("timestamp")
+            + F.make_interval(hours=(F.col("o_orderkey") % 17).cast("int"))
+        ).alias("crawled_at"),
+        F.col("o_orderdate").cast("date").alias("crawled_date"),
+        F.concat(F.lit("sid"), F.col("o_custkey").cast("string"))
+        .alias("store_id"),
+    )
+    id_map = c.select(
+        F.concat(F.lit("sid"), F.col("c_custkey").cast("string"))
+        .alias("store_id"),
+        F.col("c_custkey").cast("long").alias("id"),
+    )
+    countries = spark.createDataFrame(
+        [(f"C{i}", i + 100) for i in range(5)], "alpha2 string, id int"
+    )
+    return RI.resolve_keyword_ranks(
+        RI.latest_keyword_ranks(raw), id_map, countries, store=1
+    )
+
+
+@query(
+    "app_details_resolve",
+    """
+    SELECT 'sid' || cast(o_orderkey AS VARCHAR) AS store_id,
+           'name' || cast(o_orderkey AS VARCHAR) AS name,
+           cast(1 AS INT) AS crawl_result,
+           cast(o_custkey AS BIGINT) AS store_app
+    FROM orders
+    WHERE o_orderkey % 4 = 1 AND o_orderkey % 5 <> 0
+    """,
+)
+def app_details_resolve_q(spark, sf):
+    """The chunked app-details import resolve — crawl_result=1
+    filter, store_app pk from store_app_db_id, new-app-only icon
+    columns dropped, unresolved rows dropped
+    (process/app_details.py:252-290 via
+    plans/raw_ingest.py::resolve_app_details)."""
+    from adscrawler_spark.plans import raw_ingest as RI
+
+    o = _t(spark, sf, "orders")
+    details = o.select(
+        F.concat(F.lit("sid"), F.col("o_orderkey").cast("string"))
+        .alias("store_id"),
+        F.concat(F.lit("name"), F.col("o_orderkey").cast("string"))
+        .alias("name"),
+        (F.col("o_orderkey") % 4).cast("int").alias("crawl_result"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.col("o_custkey")
+        ).alias("store_app_db_id"),
+        F.lit("http://x/100.png").alias("icon_url_100"),
+    )
+    return RI.resolve_app_details(details)
