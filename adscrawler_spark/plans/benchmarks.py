@@ -9515,3 +9515,148 @@ def app_details_resolve_q(spark, sf):
         F.lit("http://x/100.png").alias("icon_url_100"),
     )
     return RI.resolve_app_details(details)
+
+
+# =====================================================================
+# APK inventory reconciliation (packages/apks/cleanup_apks.py)
+# =====================================================================
+
+_APK_SYNTH_SQL = """
+    s AS (
+        SELECT DISTINCT
+               'app' || cast(p_partkey % 80 AS VARCHAR) AS store_id,
+               cast(100 + p_partkey % 6 AS VARCHAR)     AS versionstr,
+               's3://a/apks/android/app' || cast(p_partkey % 80 AS VARCHAR)
+                   || '/' || cast(100 + p_partkey % 6 AS VARCHAR)
+                   || '/f.apk'                          AS s3_key,
+               cast('2026-01-0' || cast(p_partkey % 9 + 1 AS VARCHAR)
+                   AS VARCHAR)                          AS last_modified
+        FROM part
+    ),
+    vc AS (
+        SELECT cast(o_orderkey AS BIGINT)               AS id,
+               cast(o_custkey AS BIGINT)                AS store_app,
+               'app' || cast(o_orderkey % 95 AS VARCHAR) AS store_id,
+               cast(100 + o_orderkey % 8 AS VARCHAR)    AS version_code,
+               cast(CASE WHEN o_orderkey % 4 = 0 THEN -1
+                    ELSE o_orderkey % 3 END AS INT)     AS crawl_result,
+               '2026-01-01'                             AS created_at
+        FROM orders
+    )"""
+
+
+@query(
+    "apk_cleanup_deletions",
+    "WITH " + _APK_SYNTH_SQL + """
+    SELECT DISTINCT s3_key, reason FROM (
+        SELECT s3_key, 'unrecorded' AS reason FROM s
+        WHERE store_id NOT IN (SELECT store_id FROM vc)
+        UNION ALL
+        SELECT s3_key, 'incorrectly_recorded' FROM s
+        WHERE store_id NOT IN
+            (SELECT store_id FROM vc WHERE crawl_result = 1)
+        UNION ALL
+        SELECT s.s3_key, 'no_version_code'
+        FROM s LEFT JOIN vc ON s.store_id = vc.store_id
+           AND s.versionstr = vc.version_code
+        WHERE vc.version_code IS NULL
+        UNION ALL
+        SELECT s.s3_key, 'no_successful_crawl'
+        FROM s LEFT JOIN vc ON s.store_id = vc.store_id
+           AND s.versionstr = vc.version_code
+        WHERE vc.crawl_result IS NULL OR vc.crawl_result <> 1
+    )
+    """,
+)
+def apk_cleanup_deletions_q(spark, sf):
+    """S3↔DB disagreement classes for the APK cleanup — unrecorded /
+    incorrectly-recorded / no-version-code / no-successful-crawl
+    delete decisions (packages/apks/cleanup_apks.py:114-178 via
+    operators/apk_inventory.py::file_cleanup_classes)."""
+    from adscrawler_spark.operators import apk_inventory as AI
+
+    p = _t(spark, sf, "part")
+    o = _t(spark, sf, "orders")
+    sdf = p.select(
+        F.concat(F.lit("app"), (F.col("p_partkey") % 80).cast("string"))
+        .alias("store_id"),
+        (F.col("p_partkey") % 6 + 100).cast("string").alias("versionstr"),
+        F.concat(
+            F.lit("s3://a/apks/android/app"),
+            (F.col("p_partkey") % 80).cast("string"), F.lit("/"),
+            (F.col("p_partkey") % 6 + 100).cast("string"),
+            F.lit("/f.apk"),
+        ).alias("s3_key"),
+        F.concat(
+            F.lit("2026-01-0"), (F.col("p_partkey") % 9 + 1).cast("string")
+        ).alias("last_modified"),
+    ).dropDuplicates()
+    vcdf = o.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("store_app"),
+        F.concat(F.lit("app"), (F.col("o_orderkey") % 95).cast("string"))
+        .alias("store_id"),
+        (F.col("o_orderkey") % 8 + 100).cast("string").alias("version_code"),
+        F.when(F.col("o_orderkey") % 4 == 0, -1)
+        .otherwise(F.col("o_orderkey") % 3).cast("int")
+        .alias("crawl_result"),
+        F.lit("2026-01-01").alias("created_at"),
+    )
+    deletions, _ = AI.file_cleanup_classes(sdf, vcdf)
+    return deletions
+
+
+@query(
+    "s3_package_inventory",
+    "WITH " + _APK_SYNTH_SQL + """,
+    tagged AS (
+        SELECT *, 'loki' AS myregion FROM s
+        UNION ALL
+        SELECT *, 'thirdgate' AS myregion FROM s WHERE versionstr = '100'
+    )
+    SELECT vc.store_app, vc.id AS version_code_id, t.versionstr,
+           t.myregion, t.s3_key AS file_key, t.last_modified,
+           DATE '2026-07-09' AS batch_date
+    FROM tagged t
+    JOIN vc ON t.store_id = vc.store_id
+           AND t.versionstr = vc.version_code
+    """,
+)
+def s3_package_inventory_q(spark, sf):
+    """The day's merged multi-region package inventory partition —
+    region-tagged union joined to version_codes, unmatched keys
+    dropped (packages/apks/cleanup_apks.py:232-287 via
+    operators/apk_inventory.py::package_inventory; write side is the
+    engine's atomic partition swap)."""
+    from adscrawler_spark.operators import apk_inventory as AI
+
+    p = _t(spark, sf, "part")
+    o = _t(spark, sf, "orders")
+    sdf = p.select(
+        F.concat(F.lit("app"), (F.col("p_partkey") % 80).cast("string"))
+        .alias("store_id"),
+        (F.col("p_partkey") % 6 + 100).cast("string").alias("versionstr"),
+        F.concat(
+            F.lit("s3://a/apks/android/app"),
+            (F.col("p_partkey") % 80).cast("string"), F.lit("/"),
+            (F.col("p_partkey") % 6 + 100).cast("string"),
+            F.lit("/f.apk"),
+        ).alias("s3_key"),
+        F.concat(
+            F.lit("2026-01-0"), (F.col("p_partkey") % 9 + 1).cast("string")
+        ).alias("last_modified"),
+    ).dropDuplicates()
+    vcdf = o.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("store_app"),
+        F.concat(F.lit("app"), (F.col("o_orderkey") % 95).cast("string"))
+        .alias("store_id"),
+        (F.col("o_orderkey") % 8 + 100).cast("string").alias("version_code"),
+        F.lit(1).alias("crawl_result"),
+        F.lit("2026-01-01").alias("created_at"),
+    )
+    return AI.package_inventory(
+        {"loki": sdf, "thirdgate": sdf.filter(F.col("versionstr") == "100")},
+        vcdf,
+        "2026-07-09",
+    )
