@@ -9660,3 +9660,202 @@ def s3_package_inventory_q(spark, sf):
         vcdf,
         "2026-07-09",
     )
+
+
+# =====================================================================
+# Icon inventory (cleanup_app_icons.py, process_icons.py)
+# =====================================================================
+
+_ICON_SYNTH_SQL = """
+    listing AS (
+        SELECT DISTINCT
+            'app-icons/app' || cast(p_partkey % 60 AS VARCHAR) || '/h'
+                || cast(p_partkey % 5 AS VARCHAR) || '_'
+                || CASE WHEN p_partkey % 2 = 0 THEN '128' ELSE '64' END
+                || '.png'                                   AS s3_key,
+            '2026-01-0' || cast(p_partkey % 9 + 1 AS VARCHAR)
+                                                            AS last_modified
+        FROM part
+    ),
+    parsed AS (
+        SELECT s3_key, last_modified,
+               split_part(s3_key, '/', 3)  AS filename,
+               split_part(s3_key, '/', 2)  AS store_id,
+               CASE WHEN s3_key LIKE '%\\_128.png' ESCAPE '\\' THEN '128'
+                    WHEN s3_key LIKE '%\\_64.png' ESCAPE '\\' THEN '64'
+               END AS size_key
+        FROM listing
+    ),
+    latest AS (
+        SELECT store_id, size_key, filename FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY store_id, size_key
+                ORDER BY last_modified DESC, s3_key ASC) AS rn
+            FROM parsed WHERE size_key IS NOT NULL)
+        WHERE rn = 1
+    ),
+    s3_icons AS (
+        SELECT store_id,
+               max(CASE WHEN size_key = '128' THEN filename END)
+                   AS filename_128,
+               max(CASE WHEN size_key = '64' THEN filename END)
+                   AS filename_64
+        FROM latest GROUP BY store_id
+    )"""
+
+
+@query(
+    "icon_latest_variants",
+    "WITH " + _ICON_SYNTH_SQL + """
+    SELECT store_id, filename_128, filename_64 FROM s3_icons
+    """,
+)
+def icon_latest_variants_q(spark, sf):
+    """The app-icons S3 walk — most-recent file per (store_id, size)
+    pivoted to one row per store_id, first-listed key winning
+    timestamp ties (cleanup_app_icons.py:56-96 via
+    operators/icon_inventory.py::latest_icon_variants)."""
+    from adscrawler_spark.operators import icon_inventory as II
+
+    p = _t(spark, sf, "part")
+    listing = p.select(
+        F.concat(
+            F.lit("app-icons/app"), (F.col("p_partkey") % 60).cast("string"),
+            F.lit("/h"), (F.col("p_partkey") % 5).cast("string"),
+            F.lit("_"),
+            F.when(F.col("p_partkey") % 2 == 0, "128").otherwise("64"),
+            F.lit(".png"),
+        ).alias("s3_key"),
+        F.concat(
+            F.lit("2026-01-0"), (F.col("p_partkey") % 9 + 1).cast("string")
+        ).alias("last_modified"),
+    ).dropDuplicates()
+    return II.latest_icon_variants(listing)
+
+
+@query(
+    "icon_cross_reference_restores",
+    "WITH " + _ICON_SYNTH_SQL + """,
+    apps AS (
+        SELECT cast(c_custkey AS BIGINT) AS id,
+               'app' || cast(c_custkey % 90 AS VARCHAR) AS store_id,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    WHEN c_custkey % 3 = 1 THEN ''
+                    ELSE 'x' || cast(c_custkey AS VARCHAR) || '_128.png'
+               END AS icon_128,
+               CASE WHEN c_custkey % 2 = 0 THEN NULL
+                    ELSE 'x' || cast(c_custkey AS VARCHAR) || '_64.png'
+               END AS icon_64
+        FROM customer
+    )
+    SELECT a.id,
+           CASE WHEN (a.icon_128 IS NULL OR a.icon_128 = '')
+                 AND s.filename_128 IS NOT NULL
+                THEN s.filename_128 END AS icon_128,
+           CASE WHEN (a.icon_64 IS NULL OR a.icon_64 = '')
+                 AND s.filename_64 IS NOT NULL
+                THEN s.filename_64 END AS icon_64
+    FROM apps a JOIN s3_icons s ON a.store_id = s.store_id
+    WHERE ((a.icon_128 IS NULL OR a.icon_128 = '')
+           AND s.filename_128 IS NOT NULL)
+       OR ((a.icon_64 IS NULL OR a.icon_64 = '')
+           AND s.filename_64 IS NOT NULL)
+    """,
+)
+def icon_cross_reference_restores_q(spark, sf):
+    """DB-from-S3 icon restore decisions — NULL/empty DB columns
+    filled from the latest S3 variants
+    (cleanup_app_icons.py:124-177 via
+    operators/icon_inventory.py::icon_cross_reference; the two
+    nullify sets are pinned by tests/test_icon_inventory.py)."""
+    from adscrawler_spark.operators import icon_inventory as II
+
+    p = _t(spark, sf, "part")
+    c = _t(spark, sf, "customer")
+    listing = p.select(
+        F.concat(
+            F.lit("app-icons/app"), (F.col("p_partkey") % 60).cast("string"),
+            F.lit("/h"), (F.col("p_partkey") % 5).cast("string"),
+            F.lit("_"),
+            F.when(F.col("p_partkey") % 2 == 0, "128").otherwise("64"),
+            F.lit(".png"),
+        ).alias("s3_key"),
+        F.concat(
+            F.lit("2026-01-0"), (F.col("p_partkey") % 9 + 1).cast("string")
+        ).alias("last_modified"),
+    ).dropDuplicates()
+    apps = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat(F.lit("app"), (F.col("c_custkey") % 90).cast("string"))
+        .alias("store_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("x"), F.col("c_custkey").cast("string"),
+                     F.lit("_128.png"))
+        ).alias("icon_128"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("x"), F.col("c_custkey").cast("string"),
+                     F.lit("_64.png"))
+        ).alias("icon_64"),
+    )
+    restores, _, _ = II.icon_cross_reference(
+        apps, II.latest_icon_variants(listing)
+    )
+    return restores
+
+
+@query(
+    "icon_fetch_updates",
+    """
+    WITH apps AS (
+        SELECT cast(c_custkey AS BIGINT) AS id,
+               'http://cdn/icons/' || cast(c_custkey AS VARCHAR)
+                   || '.png' AS icon_url_512,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN 'have_128.png' END AS icon_128,
+               CASE WHEN c_custkey % 4 IN (0, 1)
+                    THEN 'have_64.png' END AS icon_64
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    todo AS (
+        SELECT * FROM apps
+        WHERE icon_url_512 IS NOT NULL
+          AND (icon_128 IS NULL OR icon_64 IS NULL)
+    )
+    SELECT id,
+           md5(icon_url_512) || '_128.png' AS icon_128,
+           md5(icon_url_512) || '_64.png'  AS icon_64
+    FROM todo
+    WHERE substr(md5(icon_url_512), 1, 1) NOT IN ('0', '1', '2')
+    """,
+)
+def icon_fetch_updates_q(spark, sf):
+    """The missing-variant refresh plan — needs-update filter plus a
+    deterministic fetch stand-in (process_icons.py:222-271 via
+    operators/icon_inventory.py::build_icon_updates; the real
+    download/resize/phash is the multimodal codec plug-point, so the
+    battery swaps in an md5-derived fetcher with a deterministic
+    failure residue)."""
+    from adscrawler_spark.operators import icon_inventory as II
+
+    c = _t(spark, sf, "customer")
+    apps = c.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat(F.lit("http://cdn/icons/"),
+                 F.col("c_custkey").cast("string"), F.lit(".png"))
+        .alias("icon_url_512"),
+        F.when(F.col("c_custkey") % 4 == 0, "have_128.png").alias("icon_128"),
+        F.when(F.col("c_custkey") % 4 <= 1, "have_64.png").alias("icon_64"),
+    )
+
+    def md5_fetcher(url_col):
+        clean = II.sanitize_icon_url(url_col)
+        ok = ~F.substring(F.md5(clean), 1, 1).isin("0", "1", "2")
+        return (
+            F.when(ok, F.concat(F.md5(clean), F.lit("_128.png"))),
+            F.when(ok, F.concat(F.md5(clean), F.lit("_64.png"))),
+        )
+
+    return II.build_icon_updates(apps, fetcher=md5_fetcher)
