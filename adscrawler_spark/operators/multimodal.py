@@ -228,3 +228,139 @@ def sample_frames(media: DataFrame, every_n: int = 5, fps: int = 10) -> DataFram
         .select("media_id", "content")
         .mapInPandas(run, FRAME_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------
+# Creative phash pipeline (mitm_ad_parser/creative_processor.py)
+# ---------------------------------------------------------------------
+
+# get_phash (creative_processor.py:80-84): formats whose phash comes
+# from multiple seeked frames rather than a single decode.
+SEEKABLE_FORMATS = ("mp4", "webm", "gif")
+PHASH_SECONDS = (1, 3, 5, 10)
+
+
+def majority_hash(df: DataFrame, group_col: str, hash_col: str) -> DataFrame:
+    """average_hashes (creative_processor.py:50-56): per group,
+    majority-vote each of the 64 hash bits (ties round up, matching
+    the reference's ``bits >= len/2``) and re-emit the 16-hex digest.
+
+    JVM-side: the hex splits into two 32-bit halves, each bit becomes
+    a conditional sum (64 partial-aggregable terms, one shuffle), and
+    the majority longs reassemble with format_string — no Python in
+    the hot path, so the vote scales like any other groupBy."""
+    hi = F.conv(F.substring(F.col(hash_col), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.col(hash_col), 9, 8), 16, 10).cast("long")
+    tmp = df.withColumn("_hi", hi).withColumn("_lo", lo)
+    aggs = [F.count("*").alias("_n")]
+    for half in ("_hi", "_lo"):
+        for i in range(32):
+            mask = 1 << i
+            aggs.append(
+                F.sum(
+                    (F.col(half).bitwiseAND(F.lit(mask)) != 0).cast("int")
+                ).alias(f"{half}{i}")
+            )
+    counted = tmp.groupBy(group_col).agg(*aggs)
+    maj = {}
+    for half in ("_hi", "_lo"):
+        expr = F.lit(0).cast("long")
+        for i in range(32):
+            expr = expr + F.when(
+                F.col(f"{half}{i}") * 2 >= F.col("_n"), F.lit(1 << i)
+            ).otherwise(0).cast("long")
+        maj[half] = expr
+    return counted.select(
+        F.col(group_col),
+        F.format_string("%08x%08x", maj["_hi"], maj["_lo"]).alias(hash_col),
+    )
+
+
+def frames_at_seconds(
+    media: DataFrame, seconds: tuple[int, ...] = PHASH_SECONDS
+) -> DataFrame:
+    """extract_frame_at over fixed seek points
+    (creative_processor.py:23-48): one row per (media_id, second)
+    that exists in the stream; a second past the end is the
+    reference's failed-extraction case and yields no row.  The
+    ffmpeg decode is the codec plug-point — frames are deterministic
+    payload slices, as in sample_frames."""
+    secs = list(seconds)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, _sr, nf, payload = _parse_header(bytes(content))
+                for s in secs:
+                    if s >= nf:  # seek past end -> extraction fails
+                        continue
+                    lo = (s * 11) % max(1, len(payload) - 8)
+                    rows.append((mid, s, payload[lo:lo + 8]))
+            yield pd.DataFrame(rows, columns=["media_id", "second", "frame"])
+
+    schema = StructType([
+        StructField("media_id", StringType()),
+        StructField("second", IntegerType()),
+        StructField("frame", BinaryType()),
+    ])
+    return media.select("media_id", "content").mapInPandas(run, schema)
+
+
+def creative_phashes(
+    creatives: DataFrame,
+    cached_assets: DataFrame | None = None,
+    seconds: tuple[int, ...] = PHASH_SECONDS,
+) -> DataFrame:
+    """get_phash (creative_processor.py:70-90) as one plan over all
+    creatives: reuse the cached phash when the asset table already
+    has one; else seekable formats (mp4/webm/gif) take the majority
+    vote over frame phashes at the seek points; everything else (and
+    seekable files whose every seek failed) takes the single-decode
+    phash.  ``creatives`` carries (md5_hash, file_extension,
+    content); ``cached_assets`` carries (md5_hash, phash).
+
+    The reference resolves one file per call against a collected
+    cache; here the cache is a join and each tier is a column branch
+    — no per-file round trips."""
+    base = creatives.withColumnRenamed("md5_hash", "media_id")
+    frames = frames_at_seconds(
+        base.filter(F.col("file_extension").isin(*SEEKABLE_FORMATS)), seconds
+    )
+    multi = majority_hash(
+        frames.withColumn(
+            "frame_phash",
+            phash(
+                F.concat(
+                    F.lit(pack_media(8, 8, 0, 1, b"")[: _HDR.size]),
+                    F.col("frame"),
+                )
+            ),
+        ).select("media_id", "frame_phash"),
+        "media_id",
+        "frame_phash",
+    ).withColumnRenamed("frame_phash", "multi_phash")
+    single = base.withColumn("single_phash", phash(F.col("content")))
+    out = single.join(multi, "media_id", "left")
+    if cached_assets is not None:
+        out = out.join(
+            cached_assets.select(
+                F.col("md5_hash").alias("media_id"),
+                F.col("phash").alias("cached_phash"),
+            ),
+            "media_id",
+            "left",
+        )
+    else:
+        out = out.withColumn("cached_phash", F.lit(None).cast("string"))
+    return out.select(
+        F.col("media_id").alias("md5_hash"),
+        F.coalesce(
+            F.col("cached_phash"),
+            F.when(
+                F.col("file_extension").isin(*SEEKABLE_FORMATS),
+                F.col("multi_phash"),
+            ),
+            F.col("single_phash"),
+        ).alias("phash"),
+    )

@@ -9859,3 +9859,45 @@ def icon_fetch_updates_q(spark, sf):
         )
 
     return II.build_icon_updates(apps, fetcher=md5_fetcher)
+
+
+@query(
+    "phash_majority_vote",
+    """
+    WITH hashes AS (
+        SELECT 'g' || cast(o_custkey % 40 AS VARCHAR) AS gid,
+               substr(md5('h' || cast(o_orderkey AS VARCHAR)), 1, 16) AS h
+        FROM orders WHERE o_orderkey % 6 <> 0
+    ),
+    longs AS (
+        SELECT gid, ('0x' || h)::UBIGINT AS v FROM hashes
+    ),
+    votes AS (
+        SELECT gid, bit,
+               CASE WHEN 2 * sum(cast((v >> bit) & 1 AS BIGINT))
+                         >= count(*)
+                    THEN (1::UBIGINT << bit) ELSE 0 END AS contrib
+        FROM longs CROSS JOIN generate_series(0, 63) t(bit)
+        GROUP BY gid, bit
+    )
+    SELECT gid, lower(lpad(hex(cast(sum(contrib) AS UBIGINT)), 16, '0')) AS h
+    FROM votes GROUP BY gid
+    """,
+)
+def phash_majority_vote_q(spark, sf):
+    """Bit-majority hash combine — the reference's multi-frame
+    average_hashes vote (mitm_ad_parser/creative_processor.py:50-56
+    via operators/multimodal.py::majority_hash): 64 conditional sums
+    per group, ties round up, all JVM-side."""
+    from adscrawler_spark.operators import multimodal as MM
+
+    o = _t(spark, sf, "orders")
+    hashes = o.filter(F.col("o_orderkey") % 6 != 0).select(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 40).cast("string"))
+        .alias("gid"),
+        F.substring(
+            F.md5(F.concat(F.lit("h"), F.col("o_orderkey").cast("string"))),
+            1, 16,
+        ).alias("h"),
+    )
+    return MM.majority_hash(hashes, "gid", "h")
