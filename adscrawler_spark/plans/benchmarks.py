@@ -9901,3 +9901,355 @@ def phash_majority_vote_q(spark, sf):
         ).alias("h"),
     )
     return MM.majority_hash(hashes, "gid", "h")
+
+
+# =====================================================================
+# Live app-details persistence (app_stores/scrape_stores.py:443-1076)
+# =====================================================================
+
+@query(
+    "live_details_merge",
+    """
+    WITH existing AS (
+        SELECT 1 AS store, 'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               'old' || cast(c_custkey AS VARCHAR) AS name,
+               'u' || cast(c_custkey AS VARCHAR) || '.old.com' AS url,
+               cast(1 AS INT) AS crawl_result,
+               '2026-01-01' AS crawled_at
+        FROM customer
+    ),
+    results AS (
+        SELECT 1 AS store, 'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               'new' || cast(c_custkey AS VARCHAR) AS name,
+               'u' || cast(c_custkey AS VARCHAR) || '.new.com' AS url,
+               cast(CASE WHEN c_custkey % 3 = 0 THEN 4 ELSE 1 END AS INT)
+                   AS crawl_result,
+               cast(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS ahcr,
+               '2026-02-02' AS crawled_at
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    updates AS (
+        SELECT store, store_id,
+               CASE WHEN crawl_result = 1 THEN name END AS name,
+               CASE WHEN crawl_result = 1 AND ahcr = 1 THEN url END AS url,
+               crawl_result, crawled_at
+        FROM results
+    )
+    SELECT e.store, e.store_id,
+           coalesce(u.name, e.name)                 AS name,
+           coalesce(u.url, e.url)                   AS url,
+           coalesce(u.crawl_result, e.crawl_result) AS crawl_result,
+           coalesce(u.crawled_at, e.crawled_at)     AS crawled_at
+    FROM existing e
+    LEFT JOIN updates u
+      ON e.store = u.store AND e.store_id = u.store_id
+    """,
+)
+def live_details_merge_q(spark, sf):
+    """The store_apps live-details merge — bad-crawl rows update only
+    the minimal projection, failed-additional-HTML rows preserve the
+    HTML-dependent columns, good rows overwrite
+    (scrape_stores.py:870-951 via
+    plans/live_details.py::live_details_updates + merge_store_apps;
+    store 2 ladder — url is HTML-dependent)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    c = _t(spark, sf, "customer")
+    sid = F.concat(F.lit("sid"), F.col("c_custkey").cast("string"))
+    existing = c.select(
+        F.lit(1).alias("store"), sid.alias("store_id"),
+        F.concat(F.lit("old"), F.col("c_custkey").cast("string"))
+        .alias("name"),
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string"),
+                 F.lit(".old.com")).alias("url"),
+        F.lit(1).cast("int").alias("crawl_result"),
+        F.lit("2026-01-01").alias("crawled_at"),
+    )
+    results = c.filter(F.col("c_custkey") % 5 != 0).select(
+        F.lit(1).alias("store"), sid.alias("store_id"),
+        F.concat(F.lit("new"), F.col("c_custkey").cast("string"))
+        .alias("name"),
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string"),
+                 F.lit(".new.com")).alias("url"),
+        F.when(F.col("c_custkey") % 3 == 0, 4).otherwise(1)
+        .cast("int").alias("crawl_result"),
+        F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0)
+        .cast("int").alias("additional_html_crawl_result"),
+        F.lit("2026-02-02").alias("crawled_at"),
+    )
+    updates = LD.live_details_updates(results, store=2)
+    return LD.merge_store_apps(existing, updates)
+
+
+@query(
+    "developer_dim_upserted",
+    """
+    WITH devs AS (
+        SELECT 'D' || cast(n_nationkey AS VARCHAR) AS id,
+               1 AS store,
+               'dev' || cast(n_nationkey AS VARCHAR) AS developer_id,
+               n_name AS name
+        FROM nation
+    ),
+    apps AS (
+        SELECT DISTINCT 1 AS store,
+               'dev' || cast(c_custkey % 40 AS VARCHAR) AS developer_id,
+               'DN' || cast(c_custkey % 40 AS VARCHAR)  AS developer_name
+        FROM customer
+    )
+    SELECT id, store, developer_id, name FROM devs
+    UNION ALL
+    SELECT md5(cast(store AS VARCHAR) || '|' || developer_id) AS id,
+           store, developer_id, developer_name AS name
+    FROM apps
+    WHERE developer_id NOT IN (SELECT developer_id FROM devs)
+    """,
+)
+def developer_dim_upserted_q(spark, sf):
+    """Developer dimension upsert — missing (store, developer_id)
+    pairs minted with deterministic surrogates
+    (scrape_stores.py:539-563 via
+    plans/live_details.py::developer_dim_upsert)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    devs = n.select(
+        F.concat(F.lit("D"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.lit(1).alias("store"),
+        F.concat(F.lit("dev"), F.col("n_nationkey").cast("string"))
+        .alias("developer_id"),
+        F.col("n_name").alias("name"),
+    )
+    apps = c.select(
+        F.lit(1).alias("store"),
+        F.concat(F.lit("dev"), (F.col("c_custkey") % 40).cast("string"))
+        .alias("developer_id"),
+        F.concat(F.lit("DN"), (F.col("c_custkey") % 40).cast("string"))
+        .alias("developer_name"),
+    )
+    return LD.developer_dim_upsert(
+        devs, apps,
+        surrogate=lambda *cs: F.md5(F.concat_ws("|", *cs)),
+    )
+
+
+@query(
+    "app_urls_map_resolved",
+    """
+    WITH apps AS (
+        SELECT cast(c_custkey AS BIGINT) AS store_app,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'sub' || cast(c_custkey % 20 AS VARCHAR) || '.'
+                    ELSE '' END
+                   || 'ex' || cast(c_custkey % 30 AS VARCHAR) || '.com'
+                   AS url,
+               'ex' || cast(c_custkey % 30 AS VARCHAR) || '.com'
+                   AS root_url
+        FROM customer
+    ),
+    dim0 AS (
+        SELECT 'R' || cast(n_nationkey AS VARCHAR) AS id,
+               'ex' || cast(n_nationkey AS VARCHAR) || '.com'
+                   AS domain_name,
+               cast(NULL AS VARCHAR) AS root_domain_id
+        FROM nation
+        UNION ALL
+        SELECT 'S' || cast(n_nationkey AS VARCHAR),
+               'old.ex' || cast(n_nationkey AS VARCHAR) || '.com',
+               cast(NULL AS VARCHAR)
+        FROM nation WHERE n_nationkey < 5
+    ),
+    roots AS (
+        SELECT md5(root_url) AS id, root_url AS domain_name,
+               cast(NULL AS VARCHAR) AS root_domain_id
+        FROM (SELECT DISTINCT root_url FROM apps)
+        WHERE root_url NOT IN (SELECT domain_name FROM dim0)
+    ),
+    d1 AS (SELECT * FROM dim0 UNION ALL SELECT * FROM roots),
+    backfilled AS (
+        SELECT s.id, s.domain_name, r.id AS root_domain_id
+        FROM d1 s JOIN d1 r
+          ON r.domain_name = split_part(s.domain_name, '.', 2) || '.'
+              || split_part(s.domain_name, '.', 3)
+        WHERE s.root_domain_id IS NULL
+          AND s.domain_name LIKE '%.%.%'
+    ),
+    d2 AS (
+        SELECT * FROM d1
+        WHERE domain_name NOT IN (SELECT domain_name FROM backfilled)
+        UNION ALL SELECT * FROM backfilled
+    ),
+    subs AS (
+        SELECT md5(a.url) AS id, a.url AS domain_name, r.id
+            AS root_domain_id
+        FROM (SELECT DISTINCT url, root_url FROM apps
+              WHERE url <> root_url) a
+        LEFT JOIN d2 r ON r.domain_name = a.root_url
+        WHERE a.url NOT IN (SELECT domain_name FROM d2)
+    ),
+    d3 AS (SELECT * FROM d2 UNION ALL SELECT * FROM subs)
+    SELECT DISTINCT a.store_app, d.id AS pub_domain
+    FROM apps a LEFT JOIN d3 d ON a.url = d.domain_name
+    """,
+)
+def app_urls_map_resolved_q(spark, sf):
+    """The full app-domain chain — root insert, stale-subdomain
+    backfill, subdomain insert, then the (store_app, pub_domain) map
+    (scrape_stores.py:565-692 via
+    plans/live_details.py::domain_dim_upsert + app_urls_map_rows;
+    deterministic md5 surrogates stand in for serial pks)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    apps = c.select(
+        F.col("c_custkey").cast("long").alias("store_app"),
+        F.concat(
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(F.lit("sub"),
+                         (F.col("c_custkey") % 20).cast("string"),
+                         F.lit(".")),
+            ).otherwise(""),
+            F.lit("ex"), (F.col("c_custkey") % 30).cast("string"),
+            F.lit(".com"),
+        ).alias("url"),
+        F.concat(F.lit("ex"), (F.col("c_custkey") % 30).cast("string"),
+                 F.lit(".com")).alias("root_url"),
+    )
+    dim0 = n.select(
+        F.concat(F.lit("R"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("ex"), F.col("n_nationkey").cast("string"),
+                 F.lit(".com")).alias("domain_name"),
+        F.lit(None).cast("string").alias("root_domain_id"),
+    ).unionByName(
+        n.filter(F.col("n_nationkey") < 5).select(
+            F.concat(F.lit("S"), F.col("n_nationkey").cast("string"))
+            .alias("id"),
+            F.concat(F.lit("old.ex"), F.col("n_nationkey").cast("string"),
+                     F.lit(".com")).alias("domain_name"),
+            F.lit(None).cast("string").alias("root_domain_id"),
+        )
+    )
+    domains = LD.domain_dim_upsert(
+        dim0, apps, surrogate=lambda *cs: F.md5(F.concat_ws("|", *cs))
+    )
+    return LD.app_urls_map_rows(apps, domains)
+
+
+@query(
+    "app_descriptions_upsert",
+    """
+    WITH langs AS (
+        SELECT cast(r_regionkey AS INT) AS id,
+               'l' || cast(r_regionkey AS VARCHAR) AS language_slug
+        FROM region
+    ),
+    apps AS (
+        SELECT cast(o_custkey AS BIGINT) AS store_app,
+               'l' || cast(o_orderkey % 8 AS VARCHAR)
+                   AS store_language_code,
+               'd' || cast(o_orderkey % 50 AS VARCHAR) AS description
+        FROM orders
+    )
+    SELECT DISTINCT a.store_app, l.id AS language_id, a.description,
+           '' AS description_short
+    FROM apps a JOIN langs l ON a.store_language_code = l.language_slug
+    """,
+)
+def app_descriptions_upsert_q(spark, sf):
+    """Description upsert rows — language resolution with unknown
+    codes dropped, empty short-description default, full-key dedup
+    (scrape_stores.py:953-989 via
+    plans/live_details.py::descriptions_upsert_rows)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    r = _t(spark, sf, "region")
+    o = _t(spark, sf, "orders")
+    langs = r.select(
+        F.col("r_regionkey").cast("int").alias("id"),
+        F.concat(F.lit("l"), F.col("r_regionkey").cast("string"))
+        .alias("language_slug"),
+    )
+    apps = o.select(
+        F.col("o_custkey").cast("long").alias("store_app"),
+        F.concat(F.lit("l"), (F.col("o_orderkey") % 8).cast("string"))
+        .alias("store_language_code"),
+        F.concat(F.lit("d"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("description"),
+    )
+    return LD.descriptions_upsert_rows(apps, langs)
+
+
+@query(
+    "app_country_evidence",
+    """
+    WITH countries(alpha2, id) AS (
+        VALUES ('US', 1), ('DE', 2), ('FR', 3)
+    ),
+    apps AS (
+        SELECT cast(c_custkey AS BIGINT) AS store_app,
+               CASE WHEN c_custkey % 4 = 0 THEN NULL
+                    WHEN c_custkey % 4 = 1 THEN ''
+                    WHEN c_custkey % 4 = 2
+                    THEN 'US addr ' || cast(c_custkey AS VARCHAR)
+               END AS developer_address,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN 'DE addr ' || cast(c_custkey AS VARCHAR)
+                    WHEN c_custkey % 4 = 1
+                    THEN 'FR addr ' || cast(c_custkey AS VARCHAR)
+               END AS developer_legal_address
+        FROM customer
+    ),
+    evidence AS (
+        SELECT store_app,
+               coalesce(
+                   CASE WHEN trim(developer_address)
+                             NOT IN ('', 'nan', 'None')
+                        THEN trim(developer_address) END,
+                   CASE WHEN trim(developer_legal_address)
+                             NOT IN ('', 'nan', 'None')
+                        THEN trim(developer_legal_address) END
+               ) AS raw_address
+        FROM apps
+    )
+    SELECT e.store_app, e.raw_address, c.id AS country_id
+    FROM evidence e
+    LEFT JOIN countries c ON upper(substr(e.raw_address, 1, 2)) = c.alpha2
+    WHERE e.raw_address IS NOT NULL
+    """,
+)
+def app_country_evidence_q(spark, sf):
+    """Country-evidence rows — the address preference ladder
+    (developer over legal, blank/nan/None as missing) with an
+    injectable resolver (scrape_stores.py:991-1051 via
+    plans/live_details.py::country_evidence_rows; the battery
+    resolver is the deterministic 2-char prefix — the real P11
+    resolver has its own parity tests)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    c = _t(spark, sf, "customer")
+    apps = c.select(
+        F.col("c_custkey").cast("long").alias("store_app"),
+        F.when(F.col("c_custkey") % 4 == 1, F.lit(""))
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.lit("US addr "), F.col("c_custkey").cast("string")),
+        ).alias("developer_address"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("DE addr "), F.col("c_custkey").cast("string")),
+        ).when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(F.lit("FR addr "), F.col("c_custkey").cast("string")),
+        ).alias("developer_legal_address"),
+    )
+    countries = spark.createDataFrame(
+        [("US", 1), ("DE", 2), ("FR", 3)], "alpha2 string, id int"
+    )
+    return LD.country_evidence_rows(
+        apps, countries,
+        resolver=lambda col: F.upper(F.substring(col, 1, 2)),
+    )
