@@ -10253,3 +10253,58 @@ def app_country_evidence_q(spark, sf):
         apps, countries,
         resolver=lambda col: F.upper(F.substring(col, 1, 2)),
     )
+
+
+@query(
+    "new_apps_registered",
+    """
+    WITH store_apps AS (
+        SELECT cast(n_nationkey AS BIGINT) AS id, 1 AS store,
+               'com.app' || cast(n_nationkey AS VARCHAR) AS store_id
+        FROM nation
+    ),
+    scraped AS (
+        SELECT DISTINCT 1 AS store,
+               'com.app' || cast(o_custkey % 120 AS VARCHAR) AS store_id
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new_apps AS (
+        SELECT store, store_id,
+               ('0x' || substr(md5(cast(store AS VARCHAR) || '|'
+                   || store_id), 1, 15))::BIGINT AS id
+        FROM scraped
+        WHERE store_id NOT IN (SELECT store_id FROM store_apps)
+    )
+    SELECT id, store, store_id FROM store_apps
+    UNION ALL
+    SELECT id, store, store_id FROM new_apps
+    """,
+)
+def new_apps_registered_q(spark, sf):
+    """New-app registration — scraped (store, store_id) pairs not in
+    store_apps are minted deterministic pks and appended
+    (app_stores/utils.py:121-177 via
+    plans/live_details.py::register_new_apps; the crawl-source log
+    rows and the bad-ios-id guard are pinned by
+    tests/test_live_details.py)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    store_apps = n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.lit(1).alias("store"),
+        F.concat(F.lit("com.app"), F.col("n_nationkey").cast("string"))
+        .alias("store_id"),
+    )
+    scraped = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.concat(F.lit("com.app"), (F.col("o_custkey") % 120).cast("string"))
+        .alias("store_id"),
+    )
+    updated, _ = LD.register_new_apps(
+        store_apps, scraped, "rankings", store=1,
+        surrogate=lambda *cs: F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cs)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return updated

@@ -378,3 +378,77 @@ def crawl_log_rows(apps: DataFrame, countries: DataFrame) -> DataFrame:
         "country",
         "left",
     ).select("crawl_result", "store_app", "country_id", "crawled_at")
+
+
+# ---------------------------------------------------------------------
+# New-app registration (app_stores/utils.py:121-177) and rank resolve
+# (scrape_stores.py:468-493)
+# ---------------------------------------------------------------------
+
+BAD_IOS_ID_PATTERN = r"^[0-9].*\."
+
+
+def invalid_store_ids(scraped: DataFrame) -> DataFrame:
+    """check_and_insert_new_apps' fail-fast guard: store-2 ids that
+    look like bundle ids with a leading digit and a dot
+    (utils.py:135-138).  Returns the offending rows — the caller
+    raises if any exist, mirroring the reference's ValueError."""
+    return scraped.filter(
+        (F.col("store") == 2)
+        & F.col("store_id").rlike(BAD_IOS_ID_PATTERN)
+    ).select("store", "store_id")
+
+
+def register_new_apps(
+    store_apps: DataFrame,
+    scraped: DataFrame,
+    crawl_source: str,
+    store: int,
+    surrogate: Callable[..., Column] = _default_surrogate,
+    validate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """check_and_insert_new_apps: stamp the store, reject bad ios
+    ids, insert (store, store_id) pairs not yet registered, and log
+    each insert's crawl_source.  Returns (updated store_apps,
+    store_app_sources log rows).
+
+    The reference collects the scraped ids to the driver and anti-
+    joins in Postgres; here both sides stay distributed and the new
+    pk is a deterministic surrogate."""
+    if store not in (1, 2):
+        raise ValueError(f"Invalid store: {store}")
+    scraped = scraped.withColumn("store", F.lit(store))
+    if validate and invalid_store_ids(scraped).limit(1).count() > 0:
+        raise ValueError("Found bad store_ids")
+    new_apps = (
+        scraped.select("store", "store_id")
+        .dropDuplicates()
+        .join(
+            store_apps.select("store", "store_id"),
+            ["store", "store_id"],
+            "left_anti",
+        )
+        .withColumn("id", surrogate(F.col("store"), F.col("store_id")))
+    )
+    updated = store_apps.unionByName(
+        new_apps.select(*store_apps.columns), allowMissingColumns=True
+    )
+    sources = new_apps.select(
+        "store",
+        F.col("id").alias("store_app"),
+        F.lit(crawl_source).alias("crawl_source"),
+    )
+    return updated, sources
+
+
+def resolve_app_ranks(ranked: DataFrame, store_apps: DataFrame) -> DataFrame:
+    """save_app_ranks' resolve (scrape_stores.py:468-487): m:1 join
+    the store_app pk onto the scraped rank rows and uppercase the
+    country — the rankings ingestion (plans/app_metrics /
+    process_store_rankings counterpart) consumes the result."""
+    dim = store_apps.select("store", "store_id",
+                            F.col("id").alias("store_app"))
+    return (
+        ranked.join(dim, ["store", "store_id"], "left")
+        .withColumn("country", F.upper(F.col("country")))
+    )

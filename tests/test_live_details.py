@@ -195,3 +195,41 @@ def test_crawl_log_rows(spark):
     )
     r = LD.crawl_log_rows(apps, countries).collect()[0]
     assert (r.crawl_result, r.store_app, r.country_id) == (1, 10, 1)
+
+
+def test_register_new_apps(spark):
+    store_apps = spark.createDataFrame(
+        [(100, 1, "com.a")], "id long, store int, store_id string")
+    scraped = spark.createDataFrame(
+        [("com.a",), ("com.b",), ("com.b",), ("com.c",)], "store_id string")
+    updated, sources = LD.register_new_apps(
+        store_apps, scraped, "rankings", store=1)
+    ids = {r.store_id: r.id for r in updated.collect()}
+    assert set(ids) == {"com.a", "com.b", "com.c"}
+    assert ids["com.a"] == 100
+    src = {r.store_app: r.crawl_source for r in sources.collect()}
+    assert set(src) == {ids["com.b"], ids["com.c"]}
+    assert set(src.values()) == {"rankings"}
+
+
+def test_register_new_apps_rejects_bad_ios_ids(spark):
+    store_apps = spark.createDataFrame(
+        [(100, 2, "123456")], "id long, store int, store_id string")
+    scraped = spark.createDataFrame(
+        [("123456",), ("9com.bad.bundle",)], "store_id string")
+    with pytest.raises(ValueError, match="bad store_ids"):
+        LD.register_new_apps(store_apps, scraped, "rankings", store=2)
+    with pytest.raises(ValueError, match="Invalid store"):
+        LD.register_new_apps(store_apps, scraped, "rankings", store=3)
+
+
+def test_resolve_app_ranks(spark):
+    store_apps = spark.createDataFrame(
+        [(100, 1, "com.a")], "id long, store int, store_id string")
+    ranked = spark.createDataFrame(
+        [(1, "com.a", "us", 3), (1, "com.x", "de", 4)],
+        "store int, store_id string, country string, rank int")
+    out = {r.store_id: r for r in
+           LD.resolve_app_ranks(ranked, store_apps).collect()}
+    assert out["com.a"].store_app == 100 and out["com.a"].country == "US"
+    assert out["com.x"].store_app is None and out["com.x"].country == "DE"
