@@ -10308,3 +10308,370 @@ def new_apps_registered_q(spark, sf):
         ).cast("long"),
     )
     return updated
+
+
+# =====================================================================
+# Company metadata enrichment (tools/get_company_logos.py)
+# =====================================================================
+
+@query(
+    "company_logo_pick",
+    """
+    WITH imgs AS (
+        SELECT 'd' || cast(p_partkey % 40 AS VARCHAR) AS domain,
+               'u' || cast(p_partkey AS VARCHAR) AS candidate_url,
+               cast(p_partkey AS INT) AS fetch_order,
+               (p_partkey % 7 <> 0) AS ok,
+               cast(150 + (p_partkey % 50) * 20 AS BIGINT) AS size_bytes,
+               cast((p_partkey % 13) * 40 AS INT) AS width,
+               cast(((p_partkey % 11) + 1) * 36 AS INT) AS height,
+               CASE WHEN p_partkey % 3 = 0 THEN 'PNG'
+                    WHEN p_partkey % 3 = 1 THEN 'JPEG' END AS fmt
+        FROM part
+    ),
+    usable AS (
+        SELECT *,
+               (CASE WHEN greatest(width, height) * 1.0 / least(width, height)
+                      BETWEEN 0.9 AND 1.1 THEN 3 ELSE 1 END)
+                 * width * height AS score
+        FROM imgs
+        WHERE ok AND size_bytes > 200 AND width > 0 AND height > 0
+    ),
+    named AS (
+        SELECT domain, candidate_url,
+               'logo_' || cast(width AS VARCHAR) || 'x'
+                 || cast(height AS VARCHAR) || '.'
+                 || coalesce(lower(fmt), 'png') AS filename,
+               row_number() OVER (PARTITION BY domain
+                   ORDER BY score DESC, fetch_order ASC) AS rn
+        FROM usable
+    )
+    SELECT domain, candidate_url, filename,
+           'company-logos/' || domain || '/' || filename AS logo_url
+    FROM named WHERE rn = 1
+    """,
+)
+def company_logo_pick_q(spark, sf):
+    """Best-logo choice over fetched image candidates — the 200-byte
+    and zero-dimension gates, the 3x square bonus, and the strictly-
+    greater first-wins tie rule (tools/get_company_logos.py:157-190,
+    323-349 via operators/company_logos.py::pick_best_logos)."""
+    from adscrawler_spark.operators import company_logos as CL
+
+    p = _t(spark, sf, "part")
+    imgs = p.select(
+        F.concat(F.lit("d"), (F.col("p_partkey") % 40).cast("string"))
+        .alias("domain"),
+        F.concat(F.lit("u"), F.col("p_partkey").cast("string"))
+        .alias("candidate_url"),
+        F.col("p_partkey").cast("int").alias("fetch_order"),
+        (F.col("p_partkey") % 7 != 0).alias("ok"),
+        (F.lit(150) + (F.col("p_partkey") % 50) * 20).cast("bigint")
+        .alias("size_bytes"),
+        ((F.col("p_partkey") % 13) * 40).cast("int").alias("width"),
+        (((F.col("p_partkey") % 11) + 1) * 36).cast("int").alias("height"),
+        F.when(F.col("p_partkey") % 3 == 0, "PNG")
+        .when(F.col("p_partkey") % 3 == 1, "JPEG").alias("fmt"),
+    )
+    return CL.pick_best_logos(imgs)
+
+
+@query(
+    "companies_metadata_refresh",
+    """
+    WITH companies AS (
+        SELECT cast(c_custkey AS BIGINT) AS company_id,
+               'c' || cast(c_custkey AS VARCHAR) || '.com' AS company_domain,
+               c_name AS company_name,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    WHEN c_custkey % 3 = 1 THEN ''
+                    ELSE 'company-logos/c' || cast(c_custkey AS VARCHAR)
+                         || '.com/logo.png' END AS company_logo_url,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN 'company/c' || cast(c_custkey AS VARCHAR)
+               END AS company_linkedin_url,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    WHEN c_custkey % 5 = 1 THEN ''
+                    ELSE 'gh' || cast(c_custkey AS VARCHAR)
+               END AS company_github_user
+        FROM customer
+    ),
+    resolved AS (
+        SELECT cast(c_custkey AS BIGINT) AS company_id, 'US' AS country
+        FROM customer WHERE c_custkey % 4 <> 0
+    ),
+    flagged AS (
+        SELECT c.company_id, c.company_domain, c.company_name,
+               c.company_logo_url, c.company_linkedin_url,
+               c.company_github_user,
+               NOT (c.company_logo_url IS NOT NULL
+                    AND c.company_logo_url <> '') AS needs_logo,
+               r.country IS NULL AS needs_country,
+               NOT (c.company_github_user IS NOT NULL
+                    AND c.company_github_user <> '') AS needs_github
+        FROM companies c LEFT JOIN resolved r USING (company_id)
+    )
+    SELECT * FROM flagged
+    WHERE needs_logo OR needs_country OR needs_github
+    """,
+)
+def companies_metadata_refresh_q(spark, sf):
+    """refresh_metadata's missing-only company selection — logo /
+    resolved-country / github flags over a left join
+    (tools/get_company_logos.py:823-855 via
+    operators/company_logos.py::companies_needing_refresh)."""
+    from adscrawler_spark.operators import company_logos as CL
+
+    c = _t(spark, sf, "customer")
+    companies = c.select(
+        F.col("c_custkey").cast("long").alias("company_id"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string"), F.lit(".com"))
+        .alias("company_domain"),
+        F.col("c_name").alias("company_name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("company-logos/c"), F.col("c_custkey").cast("string"),
+                F.lit(".com/logo.png"),
+            )
+        ).alias("company_logo_url"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("company/c"), F.col("c_custkey").cast("string")),
+        ).alias("company_linkedin_url"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("gh"), F.col("c_custkey").cast("string")))
+        .alias("company_github_user"),
+    )
+    resolved = c.filter(F.col("c_custkey") % 4 != 0).select(
+        F.col("c_custkey").cast("long").alias("company_id"),
+        F.lit("US").alias("country"),
+    )
+    return CL.companies_needing_refresh(companies, resolved)
+
+
+@query(
+    "company_probe_ladder",
+    """
+    WITH raw_probes AS (
+        SELECT 'd' || cast(p_partkey % 80 AS VARCHAR) AS domain,
+               cast(p_partkey % 5 AS INT) AS suffix_idx,
+               CASE WHEN p_partkey % 7 = 0
+                    THEN 'f' || cast(p_partkey AS VARCHAR) || '.png'
+               END AS filename,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN 'company/p' || cast(p_partkey AS VARCHAR)
+               END AS linkedin_path,
+               CASE WHEN p_partkey % 4 = 0
+                    THEN 'gh' || cast(p_partkey AS VARCHAR)
+               END AS github_user,
+               row_number() OVER (PARTITION BY p_partkey % 80, p_partkey % 5
+                   ORDER BY p_partkey) AS dd
+        FROM part
+    ),
+    probes AS (SELECT * FROM raw_probes WHERE dd = 1),
+    guesses AS (
+        SELECT DISTINCT 'd' || cast(c_custkey % 80 AS VARCHAR) AS domain,
+               CASE WHEN c_custkey % 80 % 2 = 0 THEN 'g.png' END AS filename,
+               'company/guess' || cast(c_custkey % 80 AS VARCHAR)
+                 AS linkedin_path
+        FROM customer
+    ),
+    winner AS (
+        SELECT domain, filename, linkedin_path, github_user
+        FROM (
+            SELECT domain, filename, linkedin_path, github_user,
+                   row_number() OVER (PARTITION BY domain
+                       ORDER BY suffix_idx ASC) AS rn
+            FROM probes WHERE filename IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    last_probe AS (
+        SELECT domain, linkedin_path AS last_linkedin_path,
+               github_user AS last_github_user
+        FROM (
+            SELECT domain, linkedin_path, github_user,
+                   row_number() OVER (PARTITION BY domain
+                       ORDER BY suffix_idx DESC) AS rn
+            FROM probes
+        ) WHERE rn = 1
+    ),
+    fallback AS (
+        SELECT p.domain, g.filename,
+               coalesce(l.last_linkedin_path, g.linkedin_path)
+                 AS linkedin_path,
+               l.last_github_user AS github_user
+        FROM (SELECT DISTINCT domain FROM probes) p
+        LEFT JOIN last_probe l USING (domain)
+        LEFT JOIN guesses g USING (domain)
+        WHERE p.domain NOT IN (SELECT domain FROM winner)
+    )
+    SELECT * FROM winner UNION ALL SELECT * FROM fallback
+    """,
+)
+def company_probe_ladder_q(spark, sf):
+    """The site-probe ladder collapse — first suffix with a logo wins,
+    failed domains fall back to the LinkedIn guess with last-probe
+    discoveries riding along (tools/get_company_logos.py:752-790 via
+    operators/company_logos.py::resolve_probe_ladder)."""
+    from adscrawler_spark.operators import company_logos as CL
+    from pyspark.sql import Window as W
+
+    p = _t(spark, sf, "part")
+    c = _t(spark, sf, "customer")
+    raw = p.select(
+        F.concat(F.lit("d"), (F.col("p_partkey") % 80).cast("string"))
+        .alias("domain"),
+        (F.col("p_partkey") % 5).cast("int").alias("suffix_idx"),
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(F.lit("f"), F.col("p_partkey").cast("string"),
+                     F.lit(".png")),
+        ).alias("filename"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit("company/p"), F.col("p_partkey").cast("string")),
+        ).alias("linkedin_path"),
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(F.lit("gh"), F.col("p_partkey").cast("string")),
+        ).alias("github_user"),
+        F.col("p_partkey").alias("_ord"),
+    )
+    probes = (
+        raw.withColumn(
+            "dd",
+            F.row_number().over(
+                W.partitionBy("domain", "suffix_idx").orderBy("_ord")
+            ),
+        )
+        .filter(F.col("dd") == 1)
+        .drop("dd", "_ord")
+    )
+    guesses = c.select(
+        F.concat(F.lit("d"), (F.col("c_custkey") % 80).cast("string"))
+        .alias("domain"),
+        F.when(F.col("c_custkey") % 80 % 2 == 0, F.lit("g.png"))
+        .alias("filename"),
+        F.concat(F.lit("company/guess"), (F.col("c_custkey") % 80).cast("string"))
+        .alias("linkedin_path"),
+    ).dropDuplicates()
+    return CL.resolve_probe_ladder(probes, guesses)
+
+
+@query(
+    "company_country_evidence",
+    """
+    WITH about AS (
+        SELECT cast(c_custkey AS BIGINT) AS company_id,
+               CASE WHEN c_custkey % 5 = 0 THEN 'US'
+                    WHEN c_custkey % 5 = 1 THEN 'XX' END AS code,
+               CASE WHEN c_custkey % 3 = 0 THEN 'City DE'
+                    WHEN c_custkey % 3 = 1
+                    THEN 'Nowhere ' || cast(c_custkey AS VARCHAR)
+               END AS hq,
+               (c_custkey % 4 <> 3) AS has_locs,
+               CASE WHEN c_custkey % 2 = 0 THEN 'Plaza FR'
+                    ELSE 'unknown spot' END AS loc1,
+               CASE WHEN c_custkey % 3 = 0 THEN 'Dock GB' ELSE '' END AS loc2
+        FROM customer
+    ),
+    cmap AS (
+        SELECT * FROM (VALUES ('US', 1), ('DE', 2), ('FR', 3), ('GB', 4))
+            AS t(alpha2, country_id)
+    ),
+    tiers AS (
+        SELECT company_id, 0 AS tier,
+               'headquarters: ' || coalesce(hq, code) AS raw_value,
+               upper(code) AS alpha2
+        FROM about WHERE code IS NOT NULL
+        UNION ALL
+        SELECT company_id, 1, 'headquarters: ' || hq,
+               CASE WHEN regexp_extract(hq, '([A-Z]{2})$', 1) <> ''
+                    THEN regexp_extract(hq, '([A-Z]{2})$', 1) END
+        FROM about WHERE hq IS NOT NULL AND hq <> ''
+        UNION ALL
+        SELECT company_id, 2, 'location: ' || loc1,
+               CASE WHEN regexp_extract(loc1, '([A-Z]{2})$', 1) <> ''
+                    THEN regexp_extract(loc1, '([A-Z]{2})$', 1) END
+        FROM about WHERE has_locs AND loc1 <> ''
+        UNION ALL
+        SELECT company_id, 3, 'location: ' || loc2,
+               CASE WHEN regexp_extract(loc2, '([A-Z]{2})$', 1) <> ''
+                    THEN regexp_extract(loc2, '([A-Z]{2})$', 1) END
+        FROM about WHERE has_locs AND loc2 <> ''
+        UNION ALL
+        SELECT company_id, 1000000, 'location: ' || coalesce(loc2, ''),
+               NULL
+        FROM about WHERE has_locs
+    ),
+    resolved AS (
+        SELECT t.company_id, t.tier, t.raw_value, m.country_id
+        FROM tiers t LEFT JOIN cmap m ON t.alpha2 = m.alpha2
+    ),
+    first_hit AS (
+        SELECT company_id, raw_value, country_id
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY company_id
+                       ORDER BY tier ASC) AS rn
+            FROM resolved WHERE country_id IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    last_exec AS (
+        SELECT company_id, raw_value, country_id
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY company_id
+                       ORDER BY tier DESC) AS rn
+            FROM resolved
+        ) WHERE rn = 1
+    )
+    SELECT company_id, 'linkedin' AS source, raw_value, country_id
+    FROM first_hit
+    UNION ALL
+    SELECT company_id, 'linkedin', raw_value, country_id FROM last_exec
+    WHERE company_id NOT IN (SELECT company_id FROM first_hit)
+    """,
+)
+def company_country_evidence_q(spark, sf):
+    """The LinkedIn country-evidence ladder's final keyed-upsert
+    state — JSON-LD code, headquarters guess, locations walk, and
+    the last-location NULL fallback (tools/get_company_logos.py:
+    429-511 via operators/company_logos.py::linkedin_country_evidence;
+    resolver injected as a trailing-alpha2 guess so the oracle stays
+    SQL-expressible — the real P11 resolver has its own parity
+    tests)."""
+    from adscrawler_spark.operators import company_logos as CL
+
+    c = _t(spark, sf, "customer")
+    about = c.select(
+        F.col("c_custkey").cast("long").alias("company_id"),
+        F.when(F.col("c_custkey") % 5 == 0, "US")
+        .when(F.col("c_custkey") % 5 == 1, "XX").alias("hq_country_code"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("City DE"))
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lit("Nowhere "), F.col("c_custkey").cast("string")),
+        ).alias("headquarters"),
+        F.when(
+            F.col("c_custkey") % 4 != 3,
+            F.array(
+                F.when(F.col("c_custkey") % 2 == 0, F.lit("Plaza FR"))
+                .otherwise(F.lit("unknown spot")),
+                F.when(F.col("c_custkey") % 3 == 0, F.lit("Dock GB"))
+                .otherwise(F.lit("")),
+            ),
+        ).alias("locations"),
+    )
+    countries = spark.createDataFrame(
+        [(1, "US"), (2, "DE"), (3, "FR"), (4, "GB")],
+        "country_id int, alpha2 string",
+    )
+    ex = F.regexp_extract
+    return CL.linkedin_country_evidence(
+        about, countries,
+        resolver=lambda col: F.when(
+            ex(col, "([A-Z]{2})$", 1) != "", ex(col, "([A-Z]{2})$", 1)
+        ),
+    )
