@@ -1,0 +1,185 @@
+"""IP → geography/ASN enrichment — the relational core of the
+reference's geo tool (tools/geo.py).
+
+The reference resolves one ip at a time through two MaxMind mmdb
+readers (tools/geo.py:52-98: city + ASN, longest-prefix-match inside
+the reader) and wraps the pair in ``get_geo``'s fallback ladder
+(tools/geo.py:101-129): a miss in EITHER database returns the
+None-valued column set, an unparseable address returns empty strings.
+
+Spark-first: the mmdb point-lookup becomes a distributed range join.
+A naive ``ip BETWEEN start AND end`` theta-join is a broadcast
+nested-loop (quadratic at 100 TB); instead each CIDR block is
+exploded into the /16 buckets it spans, turning the lookup into an
+equi-join on bucket plus a residual range filter — both sides hash-
+partition on the bucket key, so the plan is shuffle-bounded and
+skew-safe at any scale.  Fine blocks (/16 and longer — virtually the
+whole GeoLite2 table) expand to exactly one bucket; the rare coarse
+block expands to 2^(16-prefix) rows, a bounded, data-independent
+blow-up.  Overlapping blocks resolve longest-prefix-wins, matching
+the mmdb trie semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKET_BITS = 16
+
+_IPV4_PAT = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad → 32-bit integer (NULL when the shape or octet
+    range is invalid — the addresses geoip2 would reject with an
+    exception, tools/geo.py:125-128)."""
+    p = F.split(col, r"\.")
+    octets_ok = (
+        col.rlike(_IPV4_PAT)
+        & (p[0].cast("int") <= 255)
+        & (p[1].cast("int") <= 255)
+        & (p[2].cast("int") <= 255)
+        & (p[3].cast("int") <= 255)
+    )
+    val = (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+    return F.when(octets_ok, val)
+
+
+def long_to_ip(col: Column) -> Column:
+    """32-bit integer → dotted quad."""
+    return F.concat_ws(
+        ".",
+        (col / 16777216).cast("long").cast("string"),
+        ((col / 65536) % 256).cast("long").cast("string"),
+        ((col / 256) % 256).cast("long").cast("string"),
+        (col % 256).cast("string"),
+    )
+
+
+def explode_cidr_buckets(blocks: DataFrame) -> DataFrame:
+    """Parse a ``network`` CIDR column into (start_ip, end_ip,
+    prefix_len) and explode each block into the /16 buckets it
+    spans.  All arithmetic is JVM-side; span = 2^(32-prefix) is
+    exact in double up to 2^53."""
+    parts = F.split(F.col("network"), "/")
+    plen = parts[1].cast("int")
+    base = ip_to_long(parts[0])
+    span = F.pow(F.lit(2.0), 32 - plen).cast("long")
+    start = F.floor(base / span) * span
+    end = start + span - 1
+    shift = F.lit(1 << BUCKET_BITS)
+    return (
+        blocks.withColumn("prefix_len", plen)
+        .withColumn("start_ip", start)
+        .withColumn("end_ip", end)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_ip") / shift),
+                    F.floor(F.col("end_ip") / shift),
+                )
+            ),
+        )
+    )
+
+
+def _range_join_longest_prefix(
+    ips: DataFrame, blocks: DataFrame, keep: list[str]
+) -> DataFrame:
+    """Equi-join on /16 bucket + residual BETWEEN, longest prefix
+    winning on overlap (the mmdb trie rule).  ``ips`` must carry
+    (ip, ip_int); returns ips' columns plus ``keep`` (NULL on miss)."""
+    b = explode_cidr_buckets(blocks)
+    probe = ips.withColumn(
+        "bucket", F.floor(F.col("ip_int") / F.lit(1 << BUCKET_BITS))
+    )
+    joined = probe.join(
+        b,
+        (probe["bucket"] == b["bucket"])
+        & (probe["ip_int"] >= b["start_ip"])
+        & (probe["ip_int"] <= b["end_ip"]),
+        "left",
+    )
+    w = Window.partitionBy(probe["ip"]).orderBy(
+        F.desc_nulls_last("prefix_len"), F.asc_nulls_last("network")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select([probe[c] for c in ips.columns] + [F.col(c) for c in keep])
+    )
+
+
+CITY_COLS = [
+    "country_name", "country_iso", "state_name", "state_iso",
+    "city_name", "zip", "latitude", "longitude",
+]
+ASN_COLS = ["asn", "org"]
+
+
+def lookup_ips(
+    ips: DataFrame, city_blocks: DataFrame, asn_blocks: DataFrame
+) -> DataFrame:
+    """lookup_ip (tools/geo.py:52-98) as two bucketed range joins.
+    The reference runs both readers inside one try whose
+    AddressNotFoundError handler returns None — a miss in EITHER
+    database nulls the whole row's enrichment (the city reader runs
+    first, so its miss short-circuits; pure lookups make computing
+    both then gating equivalent).  ``cidr`` is the matched city
+    block's network (str(response.traits.network)).
+
+    ``ips``: one ``ip`` string column (pre-validated dotted quads).
+    ``city_blocks``: network + CITY_COLS.  ``asn_blocks``: network +
+    ASN_COLS.  Returns ip + CITY_COLS + cidr + ASN_COLS with the
+    all-or-nothing NULL rule applied.
+    """
+    base = ips.select("ip").distinct().withColumn(
+        "ip_int", ip_to_long(F.col("ip"))
+    )
+    with_city = _range_join_longest_prefix(
+        base, city_blocks, CITY_COLS + ["network"]
+    ).withColumnRenamed("network", "cidr")
+    with_both = _range_join_longest_prefix(
+        with_city, asn_blocks, ASN_COLS
+    )
+    hit = F.col("cidr").isNotNull() & F.col("asn").isNotNull()
+    out_cols = CITY_COLS + ["cidr"] + ASN_COLS
+    return with_both.select(
+        "ip",
+        *[F.when(hit, F.col(c)).alias(c) for c in out_cols],
+    )
+
+
+def get_geo(
+    ips: DataFrame, city_blocks: DataFrame, asn_blocks: DataFrame
+) -> DataFrame:
+    """get_geo (tools/geo.py:101-129): the four-column public shape.
+    Unparseable addresses (the reader-exception path) yield empty
+    strings; parseable-but-unmatched addresses yield NULLs; hits
+    yield (country_iso, state_iso, city_name, org)."""
+    valid = ips.withColumn("ip_int", ip_to_long(F.col("ip")))
+    looked = lookup_ips(
+        valid.filter(F.col("ip_int").isNotNull()).select("ip"),
+        city_blocks,
+        asn_blocks,
+    ).select("ip", "country_iso", "state_iso", "city_name", "org")
+    out = valid.select("ip", F.col("ip_int").isNotNull().alias("_ok")).join(
+        looked, "ip", "left"
+    )
+    pick = lambda c: (  # noqa: E731
+        F.when(~F.col("_ok"), F.lit("")).otherwise(F.col(c)).alias(c)
+    )
+    return out.select(
+        "ip",
+        pick("country_iso"),
+        pick("state_iso"),
+        pick("city_name"),
+        pick("org"),
+    )

@@ -10675,3 +10675,178 @@ def company_country_evidence_q(spark, sf):
             ex(col, "([A-Z]{2})$", 1) != "", ex(col, "([A-Z]{2})$", 1)
         ),
     )
+
+
+# =====================================================================
+# Geo-IP enrichment (tools/geo.py) — bucketed CIDR range join
+# =====================================================================
+
+_GEO_SYNTH_SQL = """
+    city_fine AS (
+        SELECT DISTINCT p_partkey % 600 AS k FROM part
+    ),
+    city_blocks AS (
+        SELECT '10.' || cast(k // 256 AS VARCHAR) || '.'
+                 || cast(k % 256 AS VARCHAR) || '.0/24' AS network,
+               24 AS plen,
+               cast(167772160 + k * 256 AS BIGINT) AS start_ip,
+               cast(167772160 + k * 256 + 255 AS BIGINT) AS end_ip,
+               'Country ' || cast(k % 7 AS VARCHAR) AS country_name,
+               'C' || cast(k % 7 AS VARCHAR) AS country_iso,
+               'State ' || cast(k % 13 AS VARCHAR) AS state_name,
+               'S' || cast(k % 13 AS VARCHAR) AS state_iso,
+               'City ' || cast(k AS VARCHAR) AS city_name,
+               cast(10000 + k AS VARCHAR) AS zip,
+               cast(k AS DOUBLE) + 0.5 AS latitude,
+               -(cast(k AS DOUBLE) + 0.25) AS longitude
+        FROM city_fine
+        UNION ALL
+        SELECT '10.' || cast(n_nationkey * 4 AS VARCHAR) || '.0.0/14',
+               14,
+               cast(167772160 + n_nationkey * 4 * 65536 AS BIGINT),
+               cast(167772160 + (n_nationkey * 4 + 4) * 65536 - 1 AS BIGINT),
+               'CoarseCountry ' || cast(n_nationkey AS VARCHAR),
+               'X' || cast(n_nationkey AS VARCHAR),
+               'CoarseState ' || cast(n_nationkey AS VARCHAR),
+               'Y' || cast(n_nationkey AS VARCHAR),
+               'CoarseCity ' || cast(n_nationkey AS VARCHAR),
+               cast(90000 + n_nationkey AS VARCHAR),
+               cast(n_nationkey AS DOUBLE) + 0.5,
+               -(cast(n_nationkey AS DOUBLE) + 0.25)
+        FROM nation
+    ),
+    asn_blocks AS (
+        SELECT DISTINCT
+               '10.' || cast(s_suppkey % 80 AS VARCHAR) || '.0.0/16'
+                 AS network,
+               cast(167772160 + (s_suppkey % 80) * 65536 AS BIGINT)
+                 AS start_ip,
+               cast(167772160 + (s_suppkey % 80 + 1) * 65536 - 1 AS BIGINT)
+                 AS end_ip,
+               cast(1000 + s_suppkey % 80 AS INT) AS asn,
+               'AS-Org ' || cast(s_suppkey % 80 AS VARCHAR) AS org
+        FROM supplier
+    ),
+    ip_vals AS (
+        SELECT DISTINCT (o_orderkey * 131) % 7864320 AS v FROM orders
+    ),
+    ips AS (
+        SELECT '10.' || cast(v // 65536 AS VARCHAR) || '.'
+                 || cast((v // 256) % 256 AS VARCHAR) || '.'
+                 || cast(v % 256 AS VARCHAR) AS ip,
+               cast(167772160 + v AS BIGINT) AS ip_int
+        FROM ip_vals
+    ),
+    best_city AS (
+        SELECT * FROM (
+            SELECT i.ip, i.ip_int, c.network, c.country_name,
+                   c.country_iso, c.state_name, c.state_iso, c.city_name,
+                   c.zip, c.latitude, c.longitude,
+                   row_number() OVER (PARTITION BY i.ip
+                       ORDER BY c.plen DESC, c.network ASC) AS rn
+            FROM ips i LEFT JOIN city_blocks c
+              ON i.ip_int BETWEEN c.start_ip AND c.end_ip
+        ) WHERE rn = 1
+    ),
+    looked AS (
+        -- the synthetic ASN blocks are exactly /16-aligned, so the
+        -- range probe collapses to an equi-join on the /16 index
+        -- (DuckDB's IEJoin degrades to a nested loop behind the
+        -- windowed best_city subquery otherwise)
+        SELECT b.*, a.asn, a.org
+        FROM best_city b LEFT JOIN asn_blocks a
+          ON b.ip_int // 65536 = a.start_ip // 65536
+    )
+"""
+
+
+@query(
+    "geo_ip_lookup",
+    "WITH " + _GEO_SYNTH_SQL + """
+    SELECT ip,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN country_name END AS country_name,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN country_iso END AS country_iso,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN state_name END AS state_name,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN state_iso END AS state_iso,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN city_name END AS city_name,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN zip END AS zip,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN latitude END AS latitude,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN longitude END AS longitude,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN network END AS cidr,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN asn END AS asn,
+           CASE WHEN network IS NOT NULL AND asn IS NOT NULL
+                THEN org END AS org
+    FROM looked
+    """,
+)
+def geo_ip_lookup_q(spark, sf):
+    """lookup_ip over synthetic GeoLite2-shaped city+ASN block tables
+    — the mmdb point lookup as a /16-bucketed equi-join with residual
+    range filter and longest-prefix-wins overlap resolution, the
+    either-reader-misses → all-NULL rule kept (tools/geo.py:52-98 via
+    operators/geoip.py::lookup_ips).  The oracle states the same
+    lookup as a BETWEEN theta-join — fine at sf, quadratic at 100 TB,
+    which is exactly why the engine buckets."""
+    from adscrawler_spark.operators import geoip as G
+
+    p = _t(spark, sf, "part")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    k = F.col("k")
+    fine = p.select((F.col("p_partkey") % 600).alias("k")).distinct().select(
+        F.concat(
+            F.lit("10."), (k / 256).cast("long").cast("string"), F.lit("."),
+            (k % 256).cast("string"), F.lit(".0/24"),
+        ).alias("network"),
+        F.concat(F.lit("Country "), (k % 7).cast("string"))
+        .alias("country_name"),
+        F.concat(F.lit("C"), (k % 7).cast("string")).alias("country_iso"),
+        F.concat(F.lit("State "), (k % 13).cast("string")).alias("state_name"),
+        F.concat(F.lit("S"), (k % 13).cast("string")).alias("state_iso"),
+        F.concat(F.lit("City "), k.cast("string")).alias("city_name"),
+        (k + 10000).cast("string").alias("zip"),
+        (k.cast("double") + 0.5).alias("latitude"),
+        (-(k.cast("double") + 0.25)).alias("longitude"),
+    )
+    nk = F.col("n_nationkey")
+    coarse = n.select(
+        F.concat(F.lit("10."), (nk * 4).cast("string"), F.lit(".0.0/14"))
+        .alias("network"),
+        F.concat(F.lit("CoarseCountry "), nk.cast("string"))
+        .alias("country_name"),
+        F.concat(F.lit("X"), nk.cast("string")).alias("country_iso"),
+        F.concat(F.lit("CoarseState "), nk.cast("string")).alias("state_name"),
+        F.concat(F.lit("Y"), nk.cast("string")).alias("state_iso"),
+        F.concat(F.lit("CoarseCity "), nk.cast("string")).alias("city_name"),
+        (nk + 90000).cast("string").alias("zip"),
+        (nk.cast("double") + 0.5).alias("latitude"),
+        (-(nk.cast("double") + 0.25)).alias("longitude"),
+    )
+    city_blocks = fine.unionByName(coarse)
+    sk = F.col("s_suppkey") % 80
+    asn_blocks = s.select(
+        F.concat(F.lit("10."), sk.cast("string"), F.lit(".0.0/16"))
+        .alias("network"),
+        (sk + 1000).cast("int").alias("asn"),
+        F.concat(F.lit("AS-Org "), sk.cast("string")).alias("org"),
+    ).distinct()
+    v = (F.col("o_orderkey") * 131) % 7864320
+    ips = o.select(
+        F.concat(
+            F.lit("10."), (v / 65536).cast("long").cast("string"), F.lit("."),
+            ((v / 256).cast("long") % 256).cast("string"), F.lit("."),
+            (v % 256).cast("string"),
+        ).alias("ip")
+    )
+    return G.lookup_ips(ips, city_blocks, asn_blocks)

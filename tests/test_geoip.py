@@ -1,0 +1,135 @@
+"""Tests for operators/geoip.py — the bucketed CIDR range join and
+the reference's get_geo fallback ladder (tools/geo.py:52-129)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adscrawler_spark.operators import geoip as G
+
+
+def _city_blocks(spark):
+    rows = [
+        # network, country_name, country_iso, state_name, state_iso,
+        # city_name, zip, latitude, longitude
+        ("10.0.0.0/8", "United States", "US", "California", "CA",
+         "Mountain View", "94040", 37.4, -122.1),
+        ("10.1.0.0/16", "United States", "US", "Texas", "TX",
+         "Austin", "78701", 30.3, -97.7),
+        ("10.1.2.0/24", "United States", "US", "Texas", "TX",
+         "Dallas", "75201", 32.8, -96.8),
+        ("192.168.0.0/14", "Germany", "DE", "Berlin", "BE",
+         "Berlin", "10115", 52.5, 13.4),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "network string, country_name string, country_iso string, "
+        "state_name string, state_iso string, city_name string, "
+        "zip string, latitude double, longitude double",
+    )
+
+
+def _asn_blocks(spark):
+    rows = [
+        ("10.0.0.0/8", 15169, "ExampleNet"),
+        ("192.168.0.0/16", 3320, "OtherNet"),
+    ]
+    return spark.createDataFrame(rows, "network string, asn int, org string")
+
+
+def test_ip_to_long_validity(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("0.0.0.0",), ("255.255.255.255",), ("300.1.2.3",),
+         ("1.2.3",), ("1.2.3.4.5",), ("bad",), ("",)],
+        ["ip"],
+    )
+    got = {r.ip: r.v for r in
+           df.select("ip", G.ip_to_long(F.col("ip")).alias("v")).collect()}
+    assert got["1.2.3.4"] == (1 << 24) + (2 << 16) + (3 << 8) + 4
+    assert got["0.0.0.0"] == 0
+    assert got["255.255.255.255"] == (1 << 32) - 1
+    assert got["300.1.2.3"] is None
+    assert got["1.2.3"] is None
+    assert got["1.2.3.4.5"] is None
+    assert got["bad"] is None
+    # round trip
+    back = df.filter(F.col("ip") == "1.2.3.4").select(
+        G.long_to_ip(G.ip_to_long(F.col("ip"))).alias("ip2")
+    ).collect()[0].ip2
+    assert back == "1.2.3.4"
+
+
+def test_explode_cidr_bucket_counts(spark):
+    blocks = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.1.0.0/16",), ("10.1.2.0/24",),
+         ("192.168.0.0/14",)],
+        ["network"],
+    )
+    out = G.explode_cidr_buckets(blocks)
+    counts = {r.network: r.n for r in
+              out.groupBy("network").agg(F.count("*").alias("n")).collect()}
+    assert counts["10.0.0.0/8"] == 256      # /8 spans 2^(16-8) buckets
+    assert counts["192.168.0.0/14"] == 4    # /14 spans 4
+    assert counts["10.1.0.0/16"] == 1
+    assert counts["10.1.2.0/24"] == 1
+    rng = out.filter(F.col("network") == "10.1.2.0/24").collect()[0]
+    base = (10 << 24) + (1 << 16) + (2 << 8)
+    assert rng.start_ip == base and rng.end_ip == base + 255
+
+
+def test_lookup_longest_prefix_and_both_hit_rule(spark):
+    ips = spark.createDataFrame(
+        [("10.1.2.3",),     # matches /8, /16, /24 -> /24 Dallas wins
+         ("10.1.9.9",),     # matches /8, /16 -> /16 Austin wins
+         ("10.200.0.1",),   # only /8 -> Mountain View
+         ("192.168.1.1",),  # city /14 hit, asn /16 hit -> Berlin
+         ("192.170.0.1",),  # inside city /14, OUTSIDE asn /16 -> all NULL
+         ("172.16.0.1",)],  # no match anywhere -> all NULL
+        ["ip"],
+    )
+    got = {r.ip: r for r in
+           G.lookup_ips(ips, _city_blocks(spark), _asn_blocks(spark)).collect()}
+    assert got["10.1.2.3"].city_name == "Dallas"
+    assert got["10.1.2.3"].cidr == "10.1.2.0/24"
+    assert got["10.1.2.3"].org == "ExampleNet"
+    assert got["10.1.9.9"].city_name == "Austin"
+    assert got["10.200.0.1"].city_name == "Mountain View"
+    assert got["10.200.0.1"].asn == 15169
+    assert got["192.168.1.1"].city_name == "Berlin"
+    assert got["192.168.1.1"].org == "OtherNet"
+    # ASN miss nulls the city columns too (reference's single
+    # try/except around both readers)
+    for col in ("country_iso", "city_name", "cidr", "org", "latitude"):
+        assert got["192.170.0.1"][col] is None
+        assert got["172.16.0.1"][col] is None
+
+
+def test_get_geo_fallback_ladder(spark):
+    ips = spark.createDataFrame(
+        [("10.1.2.3",), ("172.16.0.1",), ("not-an-ip",), ("999.1.1.1",),
+         ("10.1.2.3",)],  # duplicate input row survives
+        ["ip"],
+    )
+    rows = G.get_geo(ips, _city_blocks(spark), _asn_blocks(spark)).collect()
+    assert len(rows) == 5
+    by_ip = {}
+    for r in rows:
+        by_ip.setdefault(r.ip, []).append(r)
+    hit = by_ip["10.1.2.3"][0]
+    assert (hit.country_iso, hit.state_iso, hit.city_name, hit.org) == (
+        "US", "TX", "Dallas", "ExampleNet")
+    assert len(by_ip["10.1.2.3"]) == 2
+    miss = by_ip["172.16.0.1"][0]
+    assert miss.country_iso is None and miss.org is None
+    for bad in ("not-an-ip", "999.1.1.1"):
+        r = by_ip[bad][0]
+        assert (r.country_iso, r.state_iso, r.city_name, r.org) == ("", "", "", "")
+
+
+def test_lookup_plan_has_no_cartesian(spark):
+    ips = spark.createDataFrame([("10.1.2.3",)], ["ip"])
+    plan = G.lookup_ips(
+        ips, _city_blocks(spark), _asn_blocks(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
