@@ -10850,3 +10850,183 @@ def geo_ip_lookup_q(spark, sf):
         ).alias("ip")
     )
     return G.lookup_ips(ips, city_blocks, asn_blocks)
+
+
+# =====================================================================
+# Package-download management (packages/apks/download_apk.py,
+# packages/ipas/download_ipa.py)
+# =====================================================================
+
+_DOWNLOAD_SYNTH_SQL = """
+    pkg_keys AS (
+        SELECT DISTINCT p_partkey % 400 AS k FROM part
+    ),
+    frontier AS (
+        SELECT cast(k AS BIGINT) AS store_app,
+               'pkg' || cast(k AS VARCHAR) AS store_id,
+               CASE WHEN k % 5 = 0 THEN '100'
+                    WHEN k % 5 = 1 THEN ' 007 '
+                    WHEN k % 5 = 2 THEN 'abc'
+                    WHEN k % 5 = 4 THEN '' END
+                 AS last_downloaded_version_code,
+               CASE WHEN k % 5 = 0 THEN 100
+                    WHEN k % 5 = 1 THEN 7 END AS last_code
+        FROM pkg_keys
+    ),
+    attempts AS (
+        SELECT store_id, source, download_ok, available_version_code, ext
+        FROM (
+            SELECT 'pkg' || cast(p_partkey % 400 AS VARCHAR) AS store_id,
+                   CASE WHEN p_partkey % 3 = 0 THEN 'gplaydl'
+                        WHEN p_partkey % 3 = 1 THEN 'apkpure'
+                        ELSE 'apkmirror' END AS source,
+                   (p_partkey % 4 <> 0) AS download_ok,
+                   CASE WHEN p_partkey % 3 = 0
+                        THEN cast(90 + p_partkey % 30 AS BIGINT)
+                   END AS available_version_code,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'apk'
+                        ELSE 'xapk' END AS ext,
+                   row_number() OVER (
+                       PARTITION BY p_partkey % 400, p_partkey % 3
+                       ORDER BY p_partkey) AS dd
+            FROM part
+        ) WHERE dd = 1
+    ),
+    post AS (
+        SELECT 'pkg' || cast(k AS VARCHAR) AS store_id,
+               CASE WHEN k % 7 = 0 THEN 'unzip_missing'
+                    WHEN k % 7 = 1 THEN 'unzip_error'
+                    WHEN k % 7 = 2 THEN 'other'
+                    ELSE 'ok' END AS unzip_class,
+               '2' || cast(k AS VARCHAR) AS version_str,
+               md5('m' || cast(k AS VARCHAR)) AS md5_hash
+        FROM pkg_keys
+    ),
+    gate AS (
+        SELECT DISTINCT a.store_id
+        FROM attempts a JOIN frontier f USING (store_id)
+        WHERE a.source = 'gplaydl' AND f.last_code IS NOT NULL
+          AND a.available_version_code IS NOT NULL
+          AND a.available_version_code <= f.last_code
+    ),
+    winner AS (
+        SELECT store_id, source AS won_source, ext
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY store_id
+                ORDER BY CASE source WHEN 'gplaydl' THEN 0
+                                     WHEN 'apkpure' THEN 1
+                                     ELSE 2 END) AS rn
+            FROM attempts WHERE download_ok
+        ) WHERE rn = 1
+    ),
+    results AS (
+        SELECT f.store_app, f.store_id, 1 AS store,
+               CASE WHEN g.store_id IS NOT NULL THEN 1
+                    WHEN w.store_id IS NULL THEN 2
+                    WHEN p.unzip_class IN ('ok', 'unzip_missing') THEN 1
+                    ELSE 3 END AS crawl_result,
+               CASE WHEN g.store_id IS NOT NULL
+                    THEN cast(f.last_code AS VARCHAR)
+                    WHEN w.store_id IS NOT NULL AND p.unzip_class = 'ok'
+                    THEN p.version_str
+                    ELSE '-1' END AS version_str,
+               CASE WHEN g.store_id IS NULL AND w.store_id IS NOT NULL
+                     AND p.unzip_class = 'ok'
+                    THEN p.md5_hash END AS md5_hash,
+               CASE WHEN g.store_id IS NULL AND w.store_id IS NOT NULL
+                    THEN w.ext END AS ext
+        FROM frontier f
+        LEFT JOIN gate g USING (store_id)
+        LEFT JOIN winner w USING (store_id)
+        LEFT JOIN post p USING (store_id)
+    )
+"""
+
+
+@query(
+    "apk_download_ladder",
+    "WITH " + _DOWNLOAD_SYNTH_SQL + """
+    SELECT store_app, store_id, store, crawl_result, version_str,
+           md5_hash, ext,
+           CASE WHEN crawl_result = 2 THEN 2
+                WHEN crawl_result IN (3, 4) THEN 1
+                ELSE 0 END AS error_count
+    FROM results
+    """,
+)
+def apk_download_ladder_q(spark, sf):
+    """The APK download source ladder — gplaydl version gate
+    (ExistingOrOlderVersionError aborts the whole ladder), first-
+    success source order, and the crawl_result / error_count code
+    map incl. the unzip-FileNotFound-is-still-success rule
+    (packages/apks/download_apk.py:122-180,244-319 via
+    plans/package_downloads.py::android_download_results; the iOS
+    code map is pinned by tests/test_package_downloads.py)."""
+    from adscrawler_spark.plans import package_downloads as PD
+    from pyspark.sql import Window as W
+
+    p = _t(spark, sf, "part")
+    k = F.col("k")
+    keys = p.select((F.col("p_partkey") % 400).alias("k")).distinct()
+    frontier = keys.select(
+        k.cast("long").alias("store_app"),
+        F.concat(F.lit("pkg"), k.cast("string")).alias("store_id"),
+        F.when(k % 5 == 0, "100").when(k % 5 == 1, " 007 ")
+        .when(k % 5 == 2, "abc").when(k % 5 == 4, "")
+        .alias("last_downloaded_version_code"),
+    )
+    raw = p.select(
+        F.concat(F.lit("pkg"), (F.col("p_partkey") % 400).cast("string"))
+        .alias("store_id"),
+        F.when(F.col("p_partkey") % 3 == 0, "gplaydl")
+        .when(F.col("p_partkey") % 3 == 1, "apkpure")
+        .otherwise("apkmirror").alias("source"),
+        (F.col("p_partkey") % 4 != 0).alias("download_ok"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            (F.lit(90) + F.col("p_partkey") % 30).cast("long"),
+        ).alias("available_version_code"),
+        F.when(F.col("p_partkey") % 2 == 0, "apk").otherwise("xapk")
+        .alias("ext"),
+        F.col("p_partkey").alias("_ord"),
+    )
+    attempts = (
+        raw.withColumn(
+            "dd",
+            F.row_number().over(
+                W.partitionBy("store_id", "source").orderBy("_ord")
+            ),
+        )
+        .filter(F.col("dd") == 1)
+        .drop("dd", "_ord")
+    )
+    post = keys.select(
+        F.concat(F.lit("pkg"), k.cast("string")).alias("store_id"),
+        F.when(k % 7 == 0, "unzip_missing").when(k % 7 == 1, "unzip_error")
+        .when(k % 7 == 2, "other").otherwise("ok").alias("unzip_class"),
+        F.concat(F.lit("2"), k.cast("string")).alias("version_str"),
+        F.md5(F.concat(F.lit("m"), k.cast("string"))).alias("md5_hash"),
+    )
+    return PD.android_download_results(frontier, attempts, post)
+
+
+@query(
+    "apk_upload_keys",
+    "WITH " + _DOWNLOAD_SYNTH_SQL + """
+    SELECT store_app,
+           'apks/android/' || store_id || '/' || version_str || '/'
+             || store_id || '_' || md5_hash || '.' || ext AS s3_key
+    FROM results
+    WHERE ext IS NOT NULL AND crawl_result IN (1, 3)
+      AND md5_hash IS NOT NULL
+    """,
+)
+def apk_upload_keys_q(spark, sf):
+    """Post-download S3 upload key emission — the crawl_result/hash
+    gate and the apks/{store}/{store_id}/{version}/… layout that
+    apk_inventory parses back (download_apk.py:105-117,
+    process/storage.py:276-314 via
+    plans/package_downloads.py::s3_upload_keys)."""
+    from adscrawler_spark.plans import package_downloads as PD
+
+    return PD.s3_upload_keys(apk_download_ladder_q(spark, sf))
