@@ -11030,3 +11030,51 @@ def apk_upload_keys_q(spark, sf):
     from adscrawler_spark.plans import package_downloads as PD
 
     return PD.s3_upload_keys(apk_download_ladder_q(spark, sf))
+
+
+# =====================================================================
+# Catalogue discovery (app_stores/appbrain.py, apkcombo.py)
+# =====================================================================
+
+@query(
+    "appbrain_discovery",
+    """
+    WITH pages AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN 404 ELSE 200 END
+                 AS status,
+               '<a href="/app/Name ' || cast(o_orderkey AS VARCHAR)
+                 || '/app' || cast(o_orderkey % 700 AS VARCHAR)
+                 || '">x</a> <a href="/app/Other/app'
+                 || cast((o_orderkey + 13) % 700 AS VARCHAR)
+                 || '">y</a>' AS html
+        FROM orders
+    )
+    SELECT DISTINCT 1 AS store, store_id
+    FROM (
+        SELECT unnest(regexp_extract_all(html,
+                   'href="/app/.*?/([^"/]+)"', 1)) AS store_id
+        FROM pages WHERE status = 200
+    )
+    """,
+)
+def appbrain_discovery_q(spark, sf):
+    """Catalogue-page id harvest — the 200 gate, the /app/ href
+    regex, and the cross-page set union into (store, store_id) seed
+    rows (app_stores/appbrain.py:73-115, apkcombo.py:34-37 via
+    operators/discovery.py::harvest_store_ids; the probe fan-out is
+    pinned by tests/test_discovery.py)."""
+    from adscrawler_spark.operators import discovery as D
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    pages = o.select(
+        F.when(ok % 11 == 0, 404).otherwise(200).alias("status"),
+        F.concat(
+            F.lit('<a href="/app/Name '), ok.cast("string"),
+            F.lit('/app'), (ok % 700).cast("string"),
+            F.lit('">x</a> <a href="/app/Other/app'),
+            ((ok + 13) % 700).cast("string"),
+            F.lit('">y</a>'),
+        ).alias("html"),
+    )
+    return D.harvest_store_ids(pages)
