@@ -11078,3 +11078,137 @@ def appbrain_discovery_q(spark, sf):
         ).alias("html"),
     )
     return D.harvest_store_ids(pages)
+
+
+# =====================================================================
+# Object-store maintenance (process/storage.py)
+# =====================================================================
+
+@query(
+    "weekly_delete_chunks",
+    """
+    WITH listing AS (
+        SELECT DISTINCT
+               'lake/events/week_start=' ||
+               strftime(DATE '2025-12-15'
+                   + to_days((cast(o_orderkey AS INT) % 20) * 7),
+                   '%Y-%m-%d')
+               || '/part-' || cast(o_orderkey % 997 AS VARCHAR)
+               || '.parquet' AS s3_key
+        FROM orders
+    ),
+    mondays AS (
+        SELECT 'lake/events/week_start=' || strftime(d, '%Y-%m-%d') || '/'
+                 AS delete_prefix
+        FROM (SELECT unnest(generate_series(DATE '2026-01-01',
+                                            DATE '2026-03-31',
+                                            INTERVAL 1 DAY)) AS d)
+        WHERE dayofweek(d) = 1
+    ),
+    matched AS (
+        SELECT l.s3_key,
+               regexp_extract(l.s3_key,
+                   '^(.*/week_start=\\d{4}-\\d{2}-\\d{2}/)', 1) AS wk
+        FROM listing l
+        JOIN mondays m
+          ON regexp_extract(l.s3_key,
+                 '^(.*/week_start=\\d{4}-\\d{2}-\\d{2}/)', 1)
+             = m.delete_prefix
+    )
+    SELECT s3_key,
+           cast((row_number() OVER (ORDER BY wk ASC, s3_key ASC) - 1)
+                // 1000 AS BIGINT) AS chunk_idx
+    FROM matched
+    """,
+)
+def weekly_delete_chunks_q(spark, sf):
+    """Weekly-partition date-range deletion — W-MON prefix build over
+    the closed interval, partition-token equi-match, and the
+    1000-key S3 batch chunking in prefix-then-key order without a
+    global single-partition sort (process/storage.py:163-200 via
+    operators/storage_ops.py::weekly_monday_prefixes /
+    date_range_delete_plan)."""
+    from adscrawler_spark.operators import storage_ops as SO
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    listing = o.select(
+        F.concat(
+            F.lit("lake/events/week_start="),
+            F.date_format(
+                F.date_add(
+                    F.lit("2025-12-15").cast("date"),
+                    (ok % 20).cast("int") * 7,
+                ),
+                "yyyy-MM-dd",
+            ),
+            F.lit("/part-"), (ok % 997).cast("string"), F.lit(".parquet"),
+        ).alias("s3_key")
+    ).distinct()
+    ranges = spark.createDataFrame(
+        [("lake/events", "2026-01-01", "2026-03-31")],
+        "prefix string, start_date string, end_date string",
+    ).select(
+        "prefix",
+        F.col("start_date").cast("date").alias("start_date"),
+        F.col("end_date").cast("date").alias("end_date"),
+    )
+    prefixes = SO.weekly_monday_prefixes(ranges)
+    return SO.date_range_delete_plan(listing, prefixes)
+
+
+@query(
+    "mitm_upload_split",
+    """
+    WITH local_files AS (
+        SELECT DISTINCT CASE
+            WHEN o_orderkey % 13 = 0
+            THEN 'notes' || cast(o_orderkey % 50 AS VARCHAR) || '.txt'
+            ELSE 'traffic_app' || cast(o_orderkey % 300 AS VARCHAR)
+                 || '.log' END AS file_name
+        FROM orders
+    ),
+    scans AS (
+        SELECT 'app' || cast(c_custkey % 200 AS VARCHAR) AS store_id,
+               cast(max(c_custkey) AS BIGINT) AS run_id
+        FROM customer GROUP BY c_custkey % 200
+    ),
+    stems AS (
+        SELECT regexp_extract(file_name, '^traffic_(.+)\\.log$', 1)
+                 AS store_id
+        FROM local_files
+        WHERE regexp_matches(file_name, '^traffic_.+\\.log$')
+    )
+    SELECT s.store_id, sc.run_id
+    FROM stems s JOIN scans sc USING (store_id)
+    """,
+)
+def mitm_upload_split_q(spark, sf):
+    """Local mitm-capture upload reconciliation — traffic_*.log stem
+    parse, the uploadable inner set against latest api scans (the
+    missing anti-set is pinned by tests/test_storage_ops.py)
+    (process/storage.py:315-333 via
+    operators/storage_ops.py::mitm_upload_reconciliation)."""
+    from adscrawler_spark.operators import storage_ops as SO
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    ok = F.col("o_orderkey")
+    local = o.select(
+        F.when(
+            ok % 13 == 0,
+            F.concat(F.lit("notes"), (ok % 50).cast("string"),
+                     F.lit(".txt")),
+        ).otherwise(
+            F.concat(F.lit("traffic_app"), (ok % 300).cast("string"),
+                     F.lit(".log"))
+        ).alias("file_name")
+    ).distinct()
+    scans = c.groupBy((F.col("c_custkey") % 200).alias("_k")).agg(
+        F.max("c_custkey").cast("long").alias("run_id")
+    ).select(
+        F.concat(F.lit("app"), F.col("_k").cast("string")).alias("store_id"),
+        "run_id",
+    )
+    uploadable, _missing = SO.mitm_upload_reconciliation(local, scans)
+    return uploadable
