@@ -11212,3 +11212,200 @@ def mitm_upload_split_q(spark, sf):
     )
     uploadable, _missing = SO.mitm_upload_reconciliation(local, scans)
     return uploadable
+
+
+# =====================================================================
+# Store-page developer resolution + developer catalogue harvest
+# (app_stores/apple.py:150-303, google.py:310-323)
+# =====================================================================
+
+def _ignore_tlds_sql() -> str:
+    from adscrawler_spark.functions.urls import IGNORE_TLDS
+
+    return "(" + ", ".join(f"'{t}'" for t in IGNORE_TLDS) + ")"
+
+
+_TLD_OF = (
+    "regexp_extract(regexp_extract({u}, '^https?://([^/]+)', 1),"
+    " '([^.]+\\.[^.]+)$', 1)"
+)
+
+_DEV_URL_ORACLE = f"""
+    WITH app_keys AS (
+        SELECT DISTINCT c_custkey % 500 AS k FROM customer
+    ),
+    apps AS (
+        SELECT 's' || cast(k AS VARCHAR) AS store_id,
+               CASE WHEN k % 4 = 1
+                    THEN 'https://seller' || cast(k AS VARCHAR) || '.com/home'
+                    WHEN k % 4 = 2
+                    THEN 'https://sub.wordpress.com/u' || cast(k AS VARCHAR)
+                    WHEN k % 4 = 3 THEN 'https://blogspot.com/x'
+               END AS seller_url
+        FROM app_keys
+    ),
+    links AS (
+        SELECT 's' || cast(p_partkey % 500 AS VARCHAR) AS store_id,
+               cast(p_partkey AS INT) AS link_order,
+               CASE WHEN p_partkey % 5 = 0 THEN 'App Support'
+                    WHEN p_partkey % 5 = 1 THEN 'Developer Website'
+                    WHEN p_partkey % 5 IN (2, 3) THEN 'Privacy Policy'
+                    ELSE 'unrelated' END AS text,
+               CASE WHEN p_partkey % 5 = 0
+                    THEN 'https://dev' || cast(p_partkey % 90 AS VARCHAR)
+                         || '.com/help'
+                    WHEN p_partkey % 5 = 1 THEN 'https://sub.github.io/x'
+                    WHEN p_partkey % 5 = 2 THEN 'https://apple.com/privacy'
+                    WHEN p_partkey % 5 = 3
+                    THEN 'https://pp' || cast(p_partkey % 90 AS VARCHAR)
+                         || '.com/privacy'
+                    ELSE 'https://x.com' END AS href
+        FROM part
+    ),
+    typed AS (
+        SELECT store_id, url_type, min(link_order) AS first_order,
+               max_by(href, link_order) AS href
+        FROM (
+            SELECT store_id, link_order, href,
+                   CASE WHEN lower(text) LIKE '%app support%'
+                        THEN 'app_support'
+                        WHEN lower(text) LIKE '%developer%'
+                        THEN 'developer_site'
+                        WHEN lower(text) LIKE '%privacy policy%'
+                         AND position('apple.com' IN href) = 0
+                        THEN 'privacy_policy' END AS url_type
+            FROM links
+        ) WHERE url_type IS NOT NULL
+        GROUP BY store_id, url_type
+    ),
+    cand AS (
+        SELECT store_id, {_TLD_OF.format(u='href')} AS tld,
+               min(first_order) AS first_order
+        FROM typed
+        WHERE {_TLD_OF.format(u='href')} NOT IN {{ignore}}
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT store_id, cast(count(*) AS BIGINT) AS n_found,
+               min_by(tld, first_order) AS single_tld
+        FROM cand GROUP BY store_id
+    ),
+    base AS (
+        SELECT a.store_id, a.seller_url,
+               CASE WHEN a.seller_url IS NOT NULL
+                    THEN {_TLD_OF.format(u='a.seller_url')} END AS seller_tld,
+               coalesce(g.n_found, 0) AS n_found, g.single_tld
+        FROM apps a LEFT JOIN agg g USING (store_id)
+    )
+    SELECT store_id,
+           CASE WHEN NOT (seller_url IS NULL
+                          OR seller_tld IN {{ignore}})
+                THEN seller_url
+                WHEN n_found = 1 THEN single_tld
+                ELSE seller_url END AS developer_url,
+           ((seller_url IS NULL OR seller_tld IN {{ignore}})
+            AND n_found <> 1 AND seller_url IS NULL) AS resolve_failed
+    FROM base
+"""
+
+
+@query(
+    "developer_url_resolution",
+    _DEV_URL_ORACLE.replace("{ignore}", _ignore_tlds_sql()),
+)
+def developer_url_resolution_q(spark, sf):
+    """The sellerUrl decision ladder — hosted-platform sellers and
+    missing sellers fall to the html-link candidates, exactly one
+    eligible registrable domain resolves to the bare domain string,
+    zero/many fall back, and the no-url case surfaces as
+    resolve_failed (apple.py:252-303 via
+    operators/store_pages.py::classify_store_page_urls /
+    resolve_developer_urls).  The synthetic hosts keep single-label
+    suffixes so the oracle's last-two-labels registrable regexp
+    agrees with the engine's resolver (whose multi-label-suffix
+    behaviour has its own pytest parity)."""
+    from adscrawler_spark.operators import store_pages as SP
+
+    c = _t(spark, sf, "customer")
+    p = _t(spark, sf, "part")
+    k = F.col("k")
+    apps = c.select((F.col("c_custkey") % 500).alias("k")).distinct().select(
+        F.concat(F.lit("s"), k.cast("string")).alias("store_id"),
+        F.when(
+            k % 4 == 1,
+            F.concat(F.lit("https://seller"), k.cast("string"),
+                     F.lit(".com/home")),
+        ).when(
+            k % 4 == 2,
+            F.concat(F.lit("https://sub.wordpress.com/u"), k.cast("string")),
+        ).when(k % 4 == 3, F.lit("https://blogspot.com/x"))
+        .alias("seller_url"),
+    )
+    pk = F.col("p_partkey")
+    links = p.select(
+        F.concat(F.lit("s"), (pk % 500).cast("string")).alias("store_id"),
+        pk.cast("int").alias("link_order"),
+        F.when(pk % 5 == 0, "App Support")
+        .when(pk % 5 == 1, "Developer Website")
+        .when((pk % 5).isin(2, 3), "Privacy Policy")
+        .otherwise("unrelated").alias("text"),
+        F.when(
+            pk % 5 == 0,
+            F.concat(F.lit("https://dev"), (pk % 90).cast("string"),
+                     F.lit(".com/help")),
+        )
+        .when(pk % 5 == 1, F.lit("https://sub.github.io/x"))
+        .when(pk % 5 == 2, F.lit("https://apple.com/privacy"))
+        .when(
+            pk % 5 == 3,
+            F.concat(F.lit("https://pp"), (pk % 90).cast("string"),
+                     F.lit(".com/privacy")),
+        )
+        .otherwise(F.lit("https://x.com")).alias("href"),
+    )
+    typed = SP.classify_store_page_urls(links)
+    return SP.resolve_developer_urls(apps, typed)
+
+
+@query(
+    "developer_app_harvest",
+    """
+    WITH fetched AS (
+        SELECT cast(o_custkey % 50 AS BIGINT) AS developer_db_id,
+               cast(o_orderkey % 3000 AS VARCHAR) AS store_id,
+               o_orderkey % 4 AS dev_kind
+        FROM orders
+    ),
+    existing AS (
+        SELECT DISTINCT cast(c_custkey % 1000 AS VARCHAR) AS store_id
+        FROM customer
+    )
+    SELECT DISTINCT 2 AS store, f.store_id, f.developer_db_id,
+           1 AS crawl_result
+    FROM fetched f
+    WHERE f.dev_kind IN (0, 1)
+      AND f.store_id NOT IN (SELECT store_id FROM existing)
+    """,
+)
+def developer_app_harvest_q(spark, sf):
+    """Developer-catalogue app harvest — the iphone/ipad
+    supportedDevices gate, the anti-join against known store_ids and
+    the crawl_result=1 stamp (apple.py:150-187, google.py:310-323 via
+    operators/store_pages.py::harvest_developer_apps)."""
+    from adscrawler_spark.operators import store_pages as SP
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    ok = F.col("o_orderkey")
+    fetched = o.select(
+        (F.col("o_custkey") % 50).cast("long").alias("developer_db_id"),
+        (ok % 3000).cast("string").alias("store_id"),
+        F.when(ok % 4 == 0, F.array(F.lit("iPhone8-iPhone8")))
+        .when(ok % 4 == 1, F.array(F.lit("iPadAir-iPadAir")))
+        .when(ok % 4 == 2, F.array(F.lit("AppleTV3-AppleTV3")))
+        .alias("supported_devices"),
+    )
+    existing = c.select(
+        (F.col("c_custkey") % 1000).cast("string").alias("store_id")
+    ).distinct()
+    return SP.harvest_developer_apps(fetched, existing, store=2)
