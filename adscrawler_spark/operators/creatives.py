@@ -910,3 +910,75 @@ def creative_records_assembly(
         full_domains = full_domains.persist()
         persisted.append(full_domains)
     return make_creative_records(adv, assets, full_domains)
+
+
+# ---------------------------------------------------------------------
+# Manual/maintenance flows (mitm_ad_parser/manual_actions.py,
+# try_failed_mitms.py)
+# ---------------------------------------------------------------------
+
+LARGE_RESPONSE_BYTES = 500_000  # manual_actions.py:44
+
+
+def mitm_filename_parts(name_col):
+    """open_all_local_mitms' filename attribution
+    (manual_actions.py:29-31): ``{pub_store_id}_{run_id}.log`` —
+    the reference takes split('_')[0] and split('_')[1] with the
+    .log suffix stripped, exactly (extra underscore segments are
+    dropped, not rejoined)."""
+    parts = F.split(name_col, "_")
+    return (
+        F.element_at(parts, 1).alias("pub_store_id"),
+        F.regexp_replace(F.element_at(parts, 2), r"\.log$", "")
+        .alias("run_id"),
+    )
+
+
+def redact_responses(df: DataFrame) -> DataFrame:
+    """The export redaction (manual_actions.py:33-52): creative
+    binary payloads and oversized responses have response_text /
+    response_content blanked to '' (empty string, not NULL — the
+    np.where replacement).  The size guard parses the string column
+    with the reference's fillna('0') cast."""
+    redact = F.coalesce(F.col("is_creative_content"), F.lit(False)) | (
+        F.coalesce(F.col("response_size"), F.lit("0")).cast("long")
+        > LARGE_RESPONSE_BYTES
+    )
+    blank = lambda c: F.when(redact, F.lit("")).otherwise(F.col(c)).alias(c)  # noqa: E731
+    others = [c for c in df.columns
+              if c not in ("response_text", "response_content")]
+    return df.select(*others, blank("response_text"),
+                     blank("response_content"))
+
+
+def failed_mitm_retry_frontier(
+    scan_results: DataFrame, lookback_date: str
+) -> DataFrame:
+    """get_failed_mitm_logs + the retry walk order
+    (dbcon/queries.py:1544-1559, try_failed_mitms.py:10-40): the
+    LAST result per run_id (DISTINCT ON ordered inserted_at DESC),
+    kept when it is a CRITICAL failure inside the lookback window,
+    retried oldest-first.  Emits (run_id, pub_store_id, error_msg,
+    inserted_at, retry_order) — retry_order reproduces the
+    reference's sorted iteration index."""
+    w = Window.partitionBy("run_id").orderBy(
+        F.desc("inserted_at"), F.asc("error_msg")
+    )
+    last = (
+        scan_results.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    failed = last.filter(
+        F.col("error_msg").startswith("CRITICAL ")
+        & (F.col("inserted_at") >= F.lit(lookback_date))
+    )
+    # global order is the point: the reference retries these one at a
+    # time on the driver; the frontier is maintenance-sized (failed
+    # runs inside the lookback), so the single-partition window is
+    # O(failures), not O(corpus)
+    w_ord = Window.orderBy(F.asc("inserted_at"), F.asc("run_id"))
+    return failed.select(
+        "run_id", "pub_store_id", "error_msg", "inserted_at",
+        (F.row_number().over(w_ord) - 1).alias("retry_order"),
+    )

@@ -11409,3 +11409,72 @@ def developer_app_harvest_q(spark, sf):
         (F.col("c_custkey") % 1000).cast("string").alias("store_id")
     ).distinct()
     return SP.harvest_developer_apps(fetched, existing, store=2)
+
+
+# =====================================================================
+# mitm maintenance (mitm_ad_parser/manual_actions.py,
+# try_failed_mitms.py)
+# =====================================================================
+
+@query(
+    "failed_mitm_retry_frontier",
+    """
+    WITH scan_results AS (
+        SELECT cast(o_orderkey % 900 AS INT) AS run_id,
+               'pub' || cast(o_orderkey % 300 AS VARCHAR) AS pub_store_id,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN 'CRITICAL uncaught error: e'
+                         || cast(o_orderkey % 7 AS VARCHAR)
+                    ELSE 'ok' END AS error_msg,
+               strftime(DATE '2026-01-01'
+                   + to_days(cast(o_orderkey % 120 AS INT)), '%Y-%m-%d')
+                 AS inserted_at
+        FROM orders
+    ),
+    last_run AS (
+        SELECT run_id, pub_store_id, error_msg, inserted_at
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY run_id
+                ORDER BY inserted_at DESC, error_msg ASC) AS rn
+            FROM scan_results
+        ) WHERE rn = 1
+    ),
+    failed AS (
+        SELECT * FROM last_run
+        WHERE error_msg LIKE 'CRITICAL %'
+          AND inserted_at >= '2026-02-01'
+    )
+    SELECT run_id, pub_store_id, error_msg, inserted_at,
+           cast(row_number() OVER (ORDER BY inserted_at ASC, run_id ASC)
+                - 1 AS BIGINT) AS retry_order
+    FROM failed
+    """,
+)
+def failed_mitm_retry_frontier_q(spark, sf):
+    """Failed-capture retry frontier — last scan result per run
+    (DISTINCT ON semantics with a pinned tiebreak), the CRITICAL-
+    prefix + lookback filter, and the oldest-first retry order
+    (dbcon/queries.py:1544-1559 + try_failed_mitms.py:10-40 via
+    operators/creatives.py::failed_mitm_retry_frontier; the export
+    redaction and filename attribution are pinned by
+    tests/test_mitm_maintenance.py)."""
+    from adscrawler_spark.operators import creatives as CR
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    scan = o.select(
+        (ok % 900).cast("int").alias("run_id"),
+        F.concat(F.lit("pub"), (ok % 300).cast("string"))
+        .alias("pub_store_id"),
+        F.when(
+            ok % 3 == 0,
+            F.concat(F.lit("CRITICAL uncaught error: e"),
+                     (ok % 7).cast("string")),
+        ).otherwise(F.lit("ok")).alias("error_msg"),
+        F.date_format(
+            F.date_add(F.lit("2026-01-01").cast("date"),
+                       (ok % 120).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("inserted_at"),
+    )
+    return CR.failed_mitm_retry_frontier(scan, "2026-02-01")
