@@ -177,3 +177,104 @@ def parse_adstxt_docs(raw: DataFrame, body_col: str = "body") -> tuple[DataFrame
         )
     )
     return entries, results
+
+
+# ---------------------------------------------------------------------
+# Normalized persistence cascade (scrape.py:316-379)
+# ---------------------------------------------------------------------
+
+def _default_surrogate(*cols) -> F.Column:
+    """Deterministic dim pk minting (the J10 back-fill pattern)."""
+    return F.xxhash64(F.concat_ws("|", *cols))
+
+
+def app_ads_upsert_cascade(
+    entries: DataFrame,
+    domains_dim: DataFrame,
+    entrys_dim: DataFrame,
+    surrogate=_default_surrogate,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """scrape_app_ads_url's three-table upsert cascade
+    (scrape.py:316-379): found domain names upsert into ``domains``
+    (keyed domain_name), cleaned entries resolve their ad_domain id
+    and upsert into ``app_ads_entrys`` (keyed (ad_domain,
+    publisher_id, relationship) — the reference's per-crawl
+    drop_duplicates keep='first' becomes a deterministic
+    (pub_domain, offset)-ordered first pick across the batch), and
+    the per-publisher linkage lands in ``app_ads_map`` as distinct
+    (pub_domain, app_ads_entry) pairs.
+
+    The reference runs this once per crawled pub domain with driver
+    round-trips for the returned ids; the engine runs the whole
+    batch as three join stages with deterministic surrogate pks —
+    no ids visit the driver.
+
+    ``entries``: (pub_domain, ad_domain <registrable name>,
+    publisher_id, relationship, certification_auth, notes, offset).
+    ``domains_dim``: (id, domain_name).  ``entrys_dim``: (id,
+    ad_domain, publisher_id, relationship).
+    Returns (domains_updated, entrys_updated, map_rows).
+    """
+    found = entries.select(
+        F.col("ad_domain").alias("domain_name")
+    ).distinct()
+    new_domains = found.join(
+        domains_dim.select("domain_name"), "domain_name", "left_anti"
+    ).withColumn("id", surrogate(F.col("domain_name")))
+    domains_updated = domains_dim.unionByName(
+        new_domains.select(*domains_dim.columns), allowMissingColumns=True
+    )
+
+    resolved = entries.join(
+        domains_updated.select(
+            F.col("domain_name").alias("ad_domain"),
+            F.col("id").alias("ad_domain_id"),
+        ),
+        "ad_domain",
+        "left",
+    )
+    w = Window.partitionBy(
+        "ad_domain_id", "publisher_id", "relationship"
+    ).orderBy(F.asc("pub_domain"), F.asc("offset"))
+    canonical = (
+        resolved.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ad_domain_id").alias("ad_domain"),
+            "publisher_id",
+            "relationship",
+            "certification_auth",
+            "notes",
+        )
+    )
+    new_entrys = canonical.join(
+        entrys_dim.select("ad_domain", "publisher_id", "relationship"),
+        ["ad_domain", "publisher_id", "relationship"],
+        "left_anti",
+    ).withColumn(
+        "id",
+        surrogate(
+            F.col("ad_domain").cast("string"),
+            F.col("publisher_id"),
+            F.col("relationship"),
+        ),
+    )
+    entrys_updated = entrys_dim.unionByName(
+        new_entrys.select(*entrys_dim.columns), allowMissingColumns=True
+    )
+
+    map_rows = (
+        resolved.join(
+            entrys_updated.select(
+                F.col("ad_domain").alias("ad_domain_id"),
+                "publisher_id",
+                "relationship",
+                F.col("id").alias("app_ads_entry"),
+            ),
+            ["ad_domain_id", "publisher_id", "relationship"],
+            "left",
+        )
+        .select("pub_domain", "app_ads_entry")
+        .distinct()
+    )
+    return domains_updated, entrys_updated, map_rows

@@ -11478,3 +11478,92 @@ def failed_mitm_retry_frontier_q(spark, sf):
         ).alias("inserted_at"),
     )
     return CR.failed_mitm_retry_frontier(scan, "2026-02-01")
+
+
+# =====================================================================
+# app-ads normalized persistence cascade (scrape.py:316-379)
+# =====================================================================
+
+@query(
+    "app_ads_map_cascade",
+    """
+    WITH entries AS (
+        SELECT cast(o_custkey % 300 AS BIGINT) AS pub_domain,
+               'ad' || cast(o_orderkey % 150 AS VARCHAR) || '.com'
+                 AS ad_domain,
+               'pub' || cast(o_orderkey % 500 AS VARCHAR) AS publisher_id,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'DIRECT'
+                    ELSE 'RESELLER' END AS relationship
+        FROM orders
+    ),
+    doms_dim AS (
+        SELECT cast(n_nationkey AS BIGINT) AS id,
+               'ad' || cast(n_nationkey AS VARCHAR) || '.com'
+                 AS domain_name
+        FROM nation
+    ),
+    found AS (SELECT DISTINCT ad_domain AS domain_name FROM entries),
+    new_doms AS (
+        SELECT domain_name,
+               ('0x' || substr(md5(domain_name), 1, 15))::BIGINT AS id
+        FROM found
+        WHERE domain_name NOT IN (SELECT domain_name FROM doms_dim)
+    ),
+    doms AS (
+        SELECT id, domain_name FROM doms_dim
+        UNION ALL SELECT id, domain_name FROM new_doms
+    ),
+    resolved AS (
+        SELECT e.pub_domain, e.publisher_id, e.relationship,
+               d.id AS ad_domain_id
+        FROM entries e JOIN doms d ON e.ad_domain = d.domain_name
+    )
+    SELECT DISTINCT pub_domain,
+           ('0x' || substr(md5(cast(ad_domain_id AS VARCHAR) || '|'
+               || publisher_id || '|' || relationship), 1, 15))::BIGINT
+             AS app_ads_entry
+    FROM resolved
+    """,
+)
+def app_ads_map_cascade_q(spark, sf):
+    """The three-table app-ads persistence cascade — domains
+    upserted with preserved existing ids, entry keys minted
+    deterministic surrogates, and the per-publisher linkage emitted
+    as distinct (pub_domain, app_ads_entry) pairs, all without
+    driver round-trips (scrape.py:316-379 via
+    operators/adstxt.py::app_ads_upsert_cascade; the canonical
+    first-(pub, offset) attribute rule and the sequential-loop
+    equivalence are pinned by tests/test_app_ads_cascade.py)."""
+    from adscrawler_spark.operators import adstxt as AT
+
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    ok = F.col("o_orderkey")
+    entries = o.select(
+        (F.col("o_custkey") % 300).cast("long").alias("pub_domain"),
+        F.concat(F.lit("ad"), (ok % 150).cast("string"), F.lit(".com"))
+        .alias("ad_domain"),
+        F.concat(F.lit("pub"), (ok % 500).cast("string"))
+        .alias("publisher_id"),
+        F.when(ok % 2 == 0, "DIRECT").otherwise("RESELLER")
+        .alias("relationship"),
+        F.lit(None).cast("string").alias("certification_auth"),
+        F.lit(None).cast("string").alias("notes"),
+        (ok % 100).cast("int").alias("offset"),
+    )
+    domains_dim = n.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.concat(F.lit("ad"), F.col("n_nationkey").cast("string"),
+                 F.lit(".com")).alias("domain_name"),
+    )
+    entrys_dim = spark.createDataFrame(
+        [], "id long, ad_domain long, publisher_id string, "
+            "relationship string, certification_auth string, notes string",
+    )
+    _doms, _ents, map_rows = AT.app_ads_upsert_cascade(
+        entries, domains_dim, entrys_dim,
+        surrogate=lambda *cs: F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cs)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return map_rows
