@@ -147,3 +147,57 @@ def harvest_developer_apps(
             F.lit(1).alias("crawl_result"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Play-store search normalization (google.py:17-56,324-377)
+# ---------------------------------------------------------------------
+
+_SEARCH_ALIASES = [
+    # (canonical, scraper-alias) — the pop/get coalesce pairs of
+    # normalize_google_search_results (google.py:31-48)
+    ("name", "title"),
+    ("developer_name", "developer"),
+    ("icon_url_512", "icon"),
+]
+
+
+def normalize_search_results(
+    results: DataFrame, country: str, language: str
+) -> DataFrame:
+    """normalize_google_search_results (google.py:17-56): rows
+    without a store_id (or appId fallback) are skipped, scraper
+    aliases coalesce into canonical columns, the store link defaults
+    to the Play details URL, and store/country/language stamps ride
+    along.  Absent columns are treated as NULL (the reference's
+    dict .get)."""
+    df = results
+    for col in ("store_id", "appId", "url", "store_link", "name", "title",
+                "developer_name", "developer", "icon_url_512", "icon"):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast("string"))
+    sid = F.coalesce(F.nullif(F.col("store_id"), F.lit("")),
+                     F.nullif(F.col("appId"), F.lit("")))
+    out = df.withColumn("store_id", sid).filter(F.col("store_id").isNotNull())
+    link = F.coalesce(
+        F.col("url"),
+        F.col("store_link"),
+        F.concat(
+            F.lit("https://play.google.com/store/apps/details?id="),
+            F.col("store_id"),
+        ),
+    )
+    cols = [
+        F.col("store_id"),
+        F.col("store_id").alias("id"),
+        link.alias("store_link"),
+    ]
+    for canonical, alias in _SEARCH_ALIASES:
+        cols.append(F.coalesce(F.col(alias), F.col(canonical))
+                    .alias(canonical))
+    return out.select(
+        *cols,
+        F.lit(1).alias("store"),
+        F.lit(country).alias("country"),
+        F.lit(language).alias("language"),
+    )

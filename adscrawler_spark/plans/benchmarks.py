@@ -11567,3 +11567,94 @@ def app_ads_map_cascade_q(spark, sf):
         ).cast("long"),
     )
     return map_rows
+
+
+@query(
+    "play_search_normalized",
+    """
+    WITH results AS (
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    WHEN o_orderkey % 4 = 1 THEN ''
+                    ELSE 'com.a' || cast(o_orderkey % 800 AS VARCHAR)
+               END AS store_id,
+               CASE WHEN o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 0
+                    THEN 'com.b' || cast(o_orderkey % 800 AS VARCHAR)
+               END AS "appId",
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN 'https://u/' || cast(o_orderkey % 800 AS VARCHAR)
+               END AS url,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN 'https://sl/' || cast(o_orderkey % 800 AS VARCHAR)
+               END AS store_link,
+               CASE WHEN o_orderkey % 2 = 0
+                    THEN 'Title ' || cast(o_orderkey % 90 AS VARCHAR)
+               END AS title,
+               CASE WHEN o_orderkey % 2 = 1
+                    THEN 'Name ' || cast(o_orderkey % 90 AS VARCHAR)
+               END AS name,
+               CASE WHEN o_orderkey % 6 = 0
+                    THEN 'Dev ' || cast(o_orderkey % 40 AS VARCHAR)
+               END AS developer,
+               CASE WHEN o_orderkey % 9 = 0
+                    THEN 'i' || cast(o_orderkey % 40 AS VARCHAR) || '.png'
+               END AS icon
+        FROM orders
+    ),
+    kept AS (
+        SELECT coalesce(nullif(store_id, ''), nullif("appId", ''))
+                 AS store_id,
+               url, store_link, title, name, developer, icon
+        FROM results
+        WHERE coalesce(nullif(store_id, ''), nullif("appId", ''))
+              IS NOT NULL
+    )
+    SELECT DISTINCT store_id, store_id AS id,
+           coalesce(url, store_link,
+               'https://play.google.com/store/apps/details?id='
+               || store_id) AS store_link,
+           coalesce(title, name) AS name,
+           coalesce(developer, CAST(NULL AS VARCHAR)) AS developer_name,
+           coalesce(icon, CAST(NULL AS VARCHAR)) AS icon_url_512,
+           1 AS store, 'us' AS country, 'en' AS language
+    FROM kept
+    """,
+)
+def play_search_normalized_q(spark, sf):
+    """Play-search result normalization — appId fallback with the
+    falsy-store_id skip, scraper-alias coalesces, the details-URL
+    default link, and store/country/language stamps
+    (google.py:17-56,324-377 via
+    operators/store_pages.py::normalize_search_results)."""
+    from adscrawler_spark.operators import store_pages as SP
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    results = o.select(
+        F.when(ok % 4 == 0, F.lit(None).cast("string"))
+        .when(ok % 4 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("com.a"), (ok % 800).cast("string")))
+        .alias("store_id"),
+        F.when(
+            (ok % 4).isin(0, 1) & (ok % 5 != 0),
+            F.concat(F.lit("com.b"), (ok % 800).cast("string")),
+        ).alias("appId"),
+        F.when(ok % 3 == 0,
+               F.concat(F.lit("https://u/"), (ok % 800).cast("string")))
+        .alias("url"),
+        F.when(ok % 7 == 0,
+               F.concat(F.lit("https://sl/"), (ok % 800).cast("string")))
+        .alias("store_link"),
+        F.when(ok % 2 == 0,
+               F.concat(F.lit("Title "), (ok % 90).cast("string")))
+        .alias("title"),
+        F.when(ok % 2 == 1,
+               F.concat(F.lit("Name "), (ok % 90).cast("string")))
+        .alias("name"),
+        F.when(ok % 6 == 0,
+               F.concat(F.lit("Dev "), (ok % 40).cast("string")))
+        .alias("developer"),
+        F.when(ok % 9 == 0,
+               F.concat(F.lit("i"), (ok % 40).cast("string"),
+                        F.lit(".png"))).alias("icon"),
+    )
+    return SP.normalize_search_results(results, "us", "en").dropDuplicates()

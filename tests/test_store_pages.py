@@ -118,3 +118,31 @@ def test_harvest_developer_apps_android_no_gate(spark):
     assert {(r.store_id, r.developer_db_id) for r in got} == {
         ("com.b", 7), ("com.b", 8)}
     assert all(r.store == 1 for r in got)
+
+
+def test_normalize_search_results(spark):
+    rows = [
+        # store_id, appId, url, store_link, title, name, developer, icon
+        ("com.a", None, "https://u/a", None, "Title A", None, "Dev A", "i.png"),
+        (None, "com.b", None, "https://sl/b", None, "Name B", None, None),
+        (None, None, None, None, "skipped - no id", None, None, None),
+        ("", "com.d", None, None, "D", None, None, None),  # falsy store_id
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "store_id string, appId string, url string, store_link string, "
+        "title string, name string, developer string, icon string",
+    )
+    got = {r.store_id: r for r in
+           SP.normalize_search_results(df, "us", "en").collect()}
+    assert set(got) == {"com.a", "com.b", "com.d"}
+    a = got["com.a"]
+    assert (a.id, a.store_link, a.name, a.developer_name, a.icon_url_512) == (
+        "com.a", "https://u/a", "Title A", "Dev A", "i.png")
+    b = got["com.b"]
+    assert b.store_link == "https://sl/b" and b.name == "Name B"
+    d = got["com.d"]
+    assert d.store_link == (
+        "https://play.google.com/store/apps/details?id=com.d")
+    assert all(r.store == 1 and r.country == "us" and r.language == "en"
+               for r in got.values())
