@@ -146,3 +146,29 @@ def dispatch_all_queues(
         .drop("_rank", "qlimit")
     )
     return chunk_assignments(acquire_locks(ranked, locks), order_col)
+
+
+def queue_for_col(store, group):
+    """queue_for (dramatiq/app_stores/actor_defs.py:119-122): the
+    canonical (store × country-priority-group) queue name."""
+    prefix = F.when(store == 1, "google").otherwise("apple")
+    return F.concat(
+        F.lit("store_crawls_"), prefix, F.lit("_"), group.cast("string")
+    )
+
+
+def release_lock_keys(dispatched: DataFrame) -> DataFrame:
+    """_release_locks under _actor_body's finally
+    (actor_defs.py:89-116,125-176): every dispatched chunk releases
+    ALL its apps' lock keys whether the scrape succeeded or raised —
+    the engine emits the delete-key decision rows
+    ``{queue}:lock:{store_app}`` for the whole dispatched set, never
+    filtered by outcome.  ``dispatched``: (store, group,
+    store_app, ...)."""
+    return dispatched.select(
+        "store", "group", "store_app",
+        F.concat(
+            queue_for_col(F.col("store"), F.col("group")),
+            F.lit(":lock:"), F.col("store_app").cast("string"),
+        ).alias("lock_key"),
+    ).distinct()

@@ -169,3 +169,20 @@ def test_dispatch_all_queues_all_throttled_is_empty(spark):
     locks = apps.limit(0)
     pending = {q: 1500 for q in D.QUEUES}
     assert D.dispatch_all_queues(apps, locks, pending).count() == 0
+
+
+def test_release_lock_keys_outcome_independent(spark):
+    from adscrawler_spark.operators import dispatch as DP
+
+    dispatched = spark.createDataFrame(
+        [(1, 1, 10, "ok"), (1, 1, 10, "dup"), (2, 2, 20, "failed"),
+         (1, 2, 30, "raised")],
+        "store int, group int, store_app long, outcome string",
+    )
+    got = {r.lock_key for r in DP.release_lock_keys(dispatched).collect()}
+    # queue naming matches actor_defs.queue_for; failures release too
+    assert got == {
+        "store_crawls_google_1:lock:10",
+        "store_crawls_apple_2:lock:20",
+        "store_crawls_google_2:lock:30",
+    }
