@@ -183,3 +183,80 @@ def get_geo(
         pick("city_name"),
         pick("org"),
     )
+
+
+# ---------------------------------------------------------------------
+# IP-geo snapshots for the mitm api_calls lineage
+# (mitm_ad_parser/mitm_logs.py:88-107, packages/apks/waydroid.py:179-283)
+# ---------------------------------------------------------------------
+
+
+def _default_surrogate(*cols) -> Column:
+    return F.xxhash64(F.concat_ws("|", *cols))
+
+
+def ip_geo_snapshot_rows(
+    flows: DataFrame,
+    city_blocks: DataFrame,
+    asn_blocks: DataFrame,
+    countries: DataFrame,
+    surrogate=_default_surrogate,
+) -> DataFrame:
+    """make_ip_geo_snapshot_df + the snapshot upsert
+    (mitm_logs.py:88-107, waydroid.py:179-213): each captured flow's
+    ip resolves through get_geo ONCE at parse time (geo data drifts,
+    the reference pins the snapshot), the country_iso maps m:1 to
+    the countries dim (unmapped stays NULL — the np.isnan→None
+    repair), and the row is keyed mitm_uuid with a deterministic pk.
+
+    ``flows``: (mitm_uuid, ip_address, ...).  ``countries``:
+    (country_id, alpha2).  Returns (id, mitm_uuid, ip_address,
+    country_id, state_iso, city_name, org)."""
+    pairs = flows.select("mitm_uuid", "ip_address").dropDuplicates(
+        ["mitm_uuid"]
+    )
+    geo = get_geo(
+        pairs.select(F.col("ip_address").alias("ip")).distinct(),
+        city_blocks,
+        asn_blocks,
+    )
+    enriched = pairs.join(
+        geo, pairs["ip_address"] == geo["ip"], "left"
+    ).drop("ip")
+    with_country = enriched.join(
+        F.broadcast(countries.select("alpha2", "country_id")),
+        enriched["country_iso"] == F.col("alpha2"),
+        "left",
+    )
+    return with_country.select(
+        surrogate(F.col("mitm_uuid")).alias("id"),
+        "mitm_uuid",
+        "ip_address",
+        "country_id",
+        "state_iso",
+        "city_name",
+        "org",
+    )
+
+
+def api_calls_with_geo(calls: DataFrame, snapshots: DataFrame) -> DataFrame:
+    """record_mitm_to_db's 1:1 merge (waydroid.py:203-216): api_calls
+    rows pick up their flow's ip_geo_snapshot_id by mitm_uuid."""
+    return calls.join(
+        snapshots.select(
+            "mitm_uuid", F.col("id").alias("ip_geo_snapshot_id")
+        ),
+        "mitm_uuid",
+        "left",
+    )
+
+
+def missing_domain_rows(calls: DataFrame, domains_dim: DataFrame) -> DataFrame:
+    """insert_missing_ad_domains (waydroid.py:254-283): distinct
+    non-null tld_urls not yet in the domains dim, as upsert rows."""
+    return (
+        calls.filter(F.col("tld_url").isNotNull())
+        .select(F.col("tld_url").alias("domain_name"))
+        .distinct()
+        .join(domains_dim.select("domain_name"), "domain_name", "left_anti")
+    )

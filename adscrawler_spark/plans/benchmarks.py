@@ -10760,8 +10760,7 @@ _GEO_SYNTH_SQL = """
 """
 
 
-@query(
-    "geo_ip_lookup",
+_GEO_IP_LOOKUP_ORACLE = (
     "WITH " + _GEO_SYNTH_SQL + """
     SELECT ip,
            CASE WHEN network IS NOT NULL AND asn IS NOT NULL
@@ -10787,18 +10786,13 @@ _GEO_SYNTH_SQL = """
            CASE WHEN network IS NOT NULL AND asn IS NOT NULL
                 THEN org END AS org
     FROM looked
-    """,
+    """
 )
-def geo_ip_lookup_q(spark, sf):
-    """lookup_ip over synthetic GeoLite2-shaped city+ASN block tables
-    — the mmdb point lookup as a /16-bucketed equi-join with residual
-    range filter and longest-prefix-wins overlap resolution, the
-    either-reader-misses → all-NULL rule kept (tools/geo.py:52-98 via
-    operators/geoip.py::lookup_ips).  The oracle states the same
-    lookup as a BETWEEN theta-join — fine at sf, quadratic at 100 TB,
-    which is exactly why the engine buckets."""
-    from adscrawler_spark.operators import geoip as G
 
+
+def _geo_synth_frames(spark, sf):
+    """Shared GeoLite2-shaped synthetic frames (city+coarse blocks,
+    ASN blocks, probe ips) — mirrored by _GEO_SYNTH_SQL."""
     p = _t(spark, sf, "part")
     n = _t(spark, sf, "nation")
     s = _t(spark, sf, "supplier")
@@ -10849,6 +10843,24 @@ def geo_ip_lookup_q(spark, sf):
             (v % 256).cast("string"),
         ).alias("ip")
     )
+    return city_blocks, asn_blocks, ips
+
+
+@query(
+    "geo_ip_lookup",
+    _GEO_IP_LOOKUP_ORACLE,
+)
+def geo_ip_lookup_q(spark, sf):
+    """lookup_ip over synthetic GeoLite2-shaped city+ASN block tables
+    — the mmdb point lookup as a /16-bucketed equi-join with residual
+    range filter and longest-prefix-wins overlap resolution, the
+    either-reader-misses → all-NULL rule kept (tools/geo.py:52-98 via
+    operators/geoip.py::lookup_ips).  The oracle states the same
+    lookup as a BETWEEN theta-join — fine at sf, quadratic at 100 TB,
+    which is exactly why the engine buckets."""
+    from adscrawler_spark.operators import geoip as G
+
+    city_blocks, asn_blocks, ips = _geo_synth_frames(spark, sf)
     return G.lookup_ips(ips, city_blocks, asn_blocks)
 
 
@@ -11658,3 +11670,84 @@ def play_search_normalized_q(spark, sf):
                         F.lit(".png"))).alias("icon"),
     )
     return SP.normalize_search_results(results, "us", "en").dropDuplicates()
+
+
+@query(
+    "ip_geo_snapshots",
+    "WITH " + _GEO_SYNTH_SQL + """,
+    flows AS (
+        SELECT 'm' || cast(v AS VARCHAR) AS mitm_uuid,
+               '10.' || cast(v // 65536 AS VARCHAR) || '.'
+                 || cast((v // 256) % 256 AS VARCHAR) || '.'
+                 || cast(v % 256 AS VARCHAR) AS ip_address
+        FROM ip_vals
+        UNION ALL
+        SELECT 'bad' || cast(n_nationkey AS VARCHAR),
+               'not-an-ip-' || cast(n_nationkey AS VARCHAR)
+        FROM nation
+    ),
+    cmap AS (
+        SELECT * FROM (VALUES ('C0', 11), ('C1', 12), ('C2', 13),
+            ('C3', 14), ('C4', 15)) AS t(alpha2, country_id)
+    ),
+    geo AS (
+        SELECT l.ip,
+               CASE WHEN l.network IS NOT NULL AND l.asn IS NOT NULL
+                    THEN l.country_iso END AS country_iso,
+               CASE WHEN l.network IS NOT NULL AND l.asn IS NOT NULL
+                    THEN l.state_iso END AS state_iso,
+               CASE WHEN l.network IS NOT NULL AND l.asn IS NOT NULL
+                    THEN l.city_name END AS city_name,
+               CASE WHEN l.network IS NOT NULL AND l.asn IS NOT NULL
+                    THEN l.org END AS org
+        FROM looked l
+    )
+    SELECT ('0x' || substr(md5(f.mitm_uuid), 1, 15))::BIGINT AS id,
+           f.mitm_uuid, f.ip_address,
+           m.country_id,
+           CASE WHEN g.ip IS NULL THEN '' ELSE g.state_iso END AS state_iso,
+           CASE WHEN g.ip IS NULL THEN '' ELSE g.city_name END AS city_name,
+           CASE WHEN g.ip IS NULL THEN '' ELSE g.org END AS org
+    FROM flows f
+    LEFT JOIN geo g ON f.ip_address = g.ip
+    LEFT JOIN cmap m
+      ON (CASE WHEN g.ip IS NULL THEN '' ELSE g.country_iso END) = m.alpha2
+    """,
+)
+def ip_geo_snapshots_q(spark, sf):
+    """Parse-time ip-geo snapshots for the api_calls lineage — the
+    once-at-parse get_geo resolution (drifting geo data pinned), the
+    m:1 country-dim map with unmapped-stays-NULL, deterministic
+    mitm_uuid-keyed pks; missing-domain upserts and the 1:1 api_calls
+    merge are pinned by tests/test_geoip.py
+    (mitm_ad_parser/mitm_logs.py:88-107,
+    packages/apks/waydroid.py:179-283 via
+    operators/geoip.py::ip_geo_snapshot_rows)."""
+    from adscrawler_spark.operators import geoip as G
+
+    city_blocks, asn_blocks, ips = _geo_synth_frames(spark, sf)
+    n = _t(spark, sf, "nation")
+    flows = ips.select(
+        F.concat(
+            F.lit("m"),
+            G.ip_to_long(F.col("ip")).cast("long") - 167772160,
+        ).alias("mitm_uuid"),
+        F.col("ip").alias("ip_address"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("bad"), F.col("n_nationkey").cast("string"))
+            .alias("mitm_uuid"),
+            F.concat(F.lit("not-an-ip-"), F.col("n_nationkey").cast("string"))
+            .alias("ip_address"),
+        )
+    )
+    countries = spark.createDataFrame(
+        [("C0", 11), ("C1", 12), ("C2", 13), ("C3", 14), ("C4", 15)],
+        "alpha2 string, country_id int",
+    )
+    return G.ip_geo_snapshot_rows(
+        flows, city_blocks, asn_blocks, countries,
+        surrogate=lambda c: F.conv(
+            F.substring(F.md5(c), 1, 15), 16, 10
+        ).cast("long"),
+    )

@@ -133,3 +133,42 @@ def test_lookup_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ip_geo_snapshot_lineage(spark):
+    flows = spark.createDataFrame(
+        [("u1", "10.1.2.3"), ("u2", "172.16.0.1"), ("u3", "not-an-ip"),
+         ("u4", "10.1.2.3")],
+        "mitm_uuid string, ip_address string",
+    )
+    countries = spark.createDataFrame(
+        [(1, "US"), (2, "DE")], "country_id int, alpha2 string"
+    )
+    snaps = G.ip_geo_snapshot_rows(
+        flows, _city_blocks(spark), _asn_blocks(spark), countries
+    )
+    got = {r.mitm_uuid: r for r in snaps.collect()}
+    assert set(got) == {"u1", "u2", "u3", "u4"}
+    # hit: US resolves through the dim; duplicate ip shares the geo
+    assert got["u1"].country_id == 1 and got["u1"].org == "ExampleNet"
+    assert got["u4"].country_id == 1
+    # unmatched ip and malformed ip leave country_id NULL
+    assert got["u2"].country_id is None and got["u2"].org is None
+    assert got["u3"].country_id is None and got["u3"].org == ""
+    # snapshot ids deterministic per uuid
+    assert got["u1"].id is not None and got["u1"].id != got["u4"].id
+
+    calls = spark.createDataFrame(
+        [("u1", "https://x.com/a", "x.com"), ("u9", "https://y.io/b", None),
+         ("u2", "https://new.net/c", "new.net")],
+        "mitm_uuid string, url string, tld_url string",
+    )
+    with_geo = {r.mitm_uuid: r
+                for r in G.api_calls_with_geo(calls, snaps).collect()}
+    assert with_geo["u1"].ip_geo_snapshot_id == got["u1"].id
+    assert with_geo["u9"].ip_geo_snapshot_id is None
+
+    domains = spark.createDataFrame([("x.com",)], ["domain_name"])
+    missing = {r.domain_name
+               for r in G.missing_domain_rows(calls, domains).collect()}
+    assert missing == {"new.net"}
