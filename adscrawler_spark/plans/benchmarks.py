@@ -11751,3 +11751,64 @@ def ip_geo_snapshots_q(spark, sf):
             F.substring(F.md5(c), 1, 15), 16, 10
         ).cast("long"),
     )
+
+
+@query(
+    "download_backoff_walk",
+    """
+    WITH keys AS (
+        SELECT DISTINCT cast(o_orderkey % 2000 AS INT) AS seq FROM orders
+    ),
+    results AS (
+        SELECT seq,
+               CASE WHEN seq >= 500 AND seq < 512 THEN 3
+                    WHEN seq % 53 = 0 THEN 2
+                    ELSE 0 END AS error_count
+        FROM keys
+    ),
+    stepped AS (
+        SELECT seq, error_count,
+               sum(CASE WHEN error_count > 0 THEN error_count
+                        ELSE -1 END)
+                 OVER (ORDER BY seq
+                       ROWS UNBOUNDED PRECEDING) AS s
+        FROM results
+    ),
+    totals AS (
+        SELECT seq, error_count,
+               s - least(0, min(s) OVER (ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING)) AS total_errors
+        FROM stepped
+    )
+    SELECT seq, error_count, cast(total_errors AS BIGINT) AS total_errors,
+           cast(CASE WHEN error_count > 0
+                THEN total_errors * total_errors * 5
+                ELSE total_errors + 10 END AS BIGINT) AS sleep_sec,
+           coalesce(max(CASE WHEN total_errors > 11 THEN 1 ELSE 0 END)
+               OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) = 0 AS processed
+    FROM totals
+    """,
+)
+def download_backoff_walk_q(spark, sf):
+    """The download loop's sequential error-backoff accumulator as
+    window algebra — floored running total via clamped prefix sum,
+    the quadratic failure sleep vs linear recovery sleep, and the
+    break-past-11 processed flag (packages/process_files.py:116-141
+    via plans/package_downloads.py::download_backoff_walk;
+    loop-semantics parity pinned by tests/test_package_downloads.py)."""
+    from adscrawler_spark.plans import package_downloads as PD
+
+    o = _t(spark, sf, "orders")
+    seq = F.col("seq")
+    results = (
+        o.select((F.col("o_orderkey") % 2000).cast("int").alias("seq"))
+        .distinct()
+        .select(
+            "seq",
+            F.when((seq >= 500) & (seq < 512), 3)
+            .when(seq % 53 == 0, 2)
+            .otherwise(0).alias("error_count"),
+        )
+    )
+    return PD.download_backoff_walk(results)

@@ -246,3 +246,51 @@ def main_dir_routing(results: DataFrame) -> DataFrame:
     return results.filter(F.col("ext").isNotNull()).select(
         "store_app", "store_id", "ext", dest.alias("dest_dir")
     )
+
+
+MAX_TOTAL_ERRORS = 11  # process_files.py:139 — the loop's break guard
+
+
+def download_backoff_walk(results: DataFrame, order_col: str = "seq") -> DataFrame:
+    """download_apps' sequential error-backoff accumulator
+    (packages/process_files.py:116-141) as window algebra.  The loop
+    keeps ``total_errors``: a clean app decrements it (floored at 0)
+    and sleeps ``total+10``; a failing app adds its error_count and
+    sleeps ``total²·5``; past 11 accumulated errors the loop breaks
+    and later apps go unprocessed.
+
+    The floored running total is the classic clamped prefix sum:
+    with per-row delta d = error_count if >0 else −1,
+    total_i = s_i − min(0, min_{j≤i} s_j) over prefix sums s —
+    clamping only ever binds on decrements, so clamping at every
+    step equals the reference's clamp-on-decrement.  The window is
+    global by construction — the reference walks its top-N batch
+    (20 apps) on one worker; this is the batch-orchestration shape,
+    not a corpus-sized scan.
+
+    Emits (order, error_count, total_errors, sleep_sec, processed).
+    """
+    o = F.col(order_col)
+    w = Window.orderBy(o).rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy(o).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    delta = F.when(F.col("error_count") > 0, F.col("error_count")).otherwise(
+        F.lit(-1)
+    )
+    stepped = results.withColumn("_s", F.sum(delta).over(w))
+    total = F.col("_s") - F.least(F.lit(0), F.min("_s").over(w))
+    out = stepped.withColumn("total_errors", total).withColumn(
+        "sleep_sec",
+        F.when(
+            F.col("error_count") > 0,
+            F.col("total_errors") * F.col("total_errors") * 5,
+        ).otherwise(F.col("total_errors") + 10),
+    )
+    broke_before = F.coalesce(
+        F.max(
+            F.when(F.col("total_errors") > MAX_TOTAL_ERRORS, 1).otherwise(0)
+        ).over(w_prev),
+        F.lit(0),
+    )
+    return out.withColumn("processed", broke_before == 0).drop("_s")

@@ -208,3 +208,37 @@ def test_persistence_rows(spark):
     assert routing["a.fallback"] == "apks"
     assert routing["a.unziperr"] == "xapks"
     assert "a.allfail" not in routing and "a.gate" not in routing
+
+
+def test_download_backoff_walk_matches_sequential_loop(spark):
+    ecs = [0, 2, 0, 0, 3, 3, 3, 3, 0, 0, 0]
+
+    def py_walk(ecs):
+        total, out = 0, []
+        stopped = False
+        for ec in ecs:
+            if stopped:
+                out.append((ec, None, None, False))
+                continue
+            if ec == 0:
+                if total > 0:
+                    total -= 1
+                sleep = total + 10
+            else:
+                total += ec
+                sleep = total * total * 5
+            out.append((ec, total, sleep, True))
+            if total > 11:
+                stopped = True
+        return out
+
+    df = spark.createDataFrame(
+        [(i, ec) for i, ec in enumerate(ecs)], "seq int, error_count int"
+    )
+    got = sorted(PD.download_backoff_walk(df).collect(), key=lambda r: r.seq)
+    want = py_walk(ecs)
+    for r, (ec, total, sleep, processed) in zip(got, want):
+        assert r.error_count == ec
+        assert bool(r.processed) == processed, r.seq
+        if processed:
+            assert (r.total_errors, r.sleep_sec) == (total, sleep), r.seq
