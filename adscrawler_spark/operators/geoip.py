@@ -17,12 +17,13 @@ skew-safe at any scale.  Fine blocks (/16 and longer — virtually the
 whole GeoLite2 table) expand to exactly one bucket; the rare coarse
 block expands to 2^(16-prefix) rows, a bounded, data-independent
 blow-up.  Overlapping blocks resolve longest-prefix-wins, matching
-the mmdb trie semantics.
+the mmdb trie semantics, via map-side-combinable ``min_by``
+aggregation rather than a window sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BUCKET_BITS = 16
@@ -90,33 +91,6 @@ def explode_cidr_buckets(blocks: DataFrame) -> DataFrame:
     )
 
 
-def _range_join_longest_prefix(
-    ips: DataFrame, blocks: DataFrame, keep: list[str]
-) -> DataFrame:
-    """Equi-join on /16 bucket + residual BETWEEN, longest prefix
-    winning on overlap (the mmdb trie rule).  ``ips`` must carry
-    (ip, ip_int); returns ips' columns plus ``keep`` (NULL on miss)."""
-    b = explode_cidr_buckets(blocks)
-    probe = ips.withColumn(
-        "bucket", F.floor(F.col("ip_int") / F.lit(1 << BUCKET_BITS))
-    )
-    joined = probe.join(
-        b,
-        (probe["bucket"] == b["bucket"])
-        & (probe["ip_int"] >= b["start_ip"])
-        & (probe["ip_int"] <= b["end_ip"]),
-        "left",
-    )
-    w = Window.partitionBy(probe["ip"]).orderBy(
-        F.desc_nulls_last("prefix_len"), F.asc_nulls_last("network")
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select([probe[c] for c in ips.columns] + [F.col(c) for c in keep])
-    )
-
-
 CITY_COLS = [
     "country_name", "country_iso", "state_name", "state_iso",
     "city_name", "zip", "latitude", "longitude",
@@ -125,7 +99,10 @@ ASN_COLS = ["asn", "org"]
 
 
 def lookup_ips(
-    ips: DataFrame, city_blocks: DataFrame, asn_blocks: DataFrame
+    ips: DataFrame,
+    city_blocks: DataFrame,
+    asn_blocks: DataFrame,
+    broadcast_blocks: bool = True,
 ) -> DataFrame:
     """lookup_ip (tools/geo.py:52-98) as two bucketed range joins.
     The reference runs both readers inside one try whose
@@ -139,21 +116,76 @@ def lookup_ips(
     ``city_blocks``: network + CITY_COLS.  ``asn_blocks``: network +
     ASN_COLS.  Returns ip + CITY_COLS + cidr + ASN_COLS with the
     all-or-nothing NULL rule applied.
+
+    Plan shape: both block tables are exploded, tagged, and unioned so
+    the probe side is joined ONCE; the longest-prefix winner per
+    database is then resolved with per-tag ``min_by`` aggregations
+    (ordering = (32 − prefix_len, network), i.e. plen DESC then
+    network ASC — ``min_by`` skips NULL orderings, so each tag's
+    aggregate only sees its own candidates).  Because every ip lives
+    in exactly one /16 bucket, all of an ip's candidates are
+    co-located after the bucket join and the map-side partial
+    aggregate collapses them to one row per ip before the final
+    shuffle — no window sort.
+
+    With ``broadcast_blocks`` (the default) the exploded block table
+    is broadcast: the Spark-first analogue of the reference shipping
+    the mmdb files to every worker process (tools/geo.py opens both
+    readers per process).  GeoLite2 is a bounded dim (~4M blocks);
+    one copy per executor beats shuffling a 10^10-row probe side.
+    The probe is then hash-partitioned by ip exactly once (the
+    distinct), the broadcast join preserves that partitioning, and
+    the groupBy(ip) reuses it — a one-shuffle plan end to end.  Pass
+    ``broadcast_blocks=False`` to fall back to the shuffled bucket
+    equi-join when the block table genuinely exceeds executor memory.
     """
     base = ips.select("ip").distinct().withColumn(
         "ip_int", ip_to_long(F.col("ip"))
     )
-    with_city = _range_join_longest_prefix(
-        base, city_blocks, CITY_COLS + ["network"]
-    ).withColumnRenamed("network", "cidr")
-    with_both = _range_join_longest_prefix(
-        with_city, asn_blocks, ASN_COLS
+    blocks = (
+        explode_cidr_buckets(city_blocks)
+        .withColumn("_tag", F.lit("c"))
+        .unionByName(
+            explode_cidr_buckets(asn_blocks).withColumn("_tag", F.lit("a")),
+            allowMissingColumns=True,
+        )
     )
-    hit = F.col("cidr").isNotNull() & F.col("asn").isNotNull()
-    out_cols = CITY_COLS + ["cidr"] + ASN_COLS
-    return with_both.select(
+    if broadcast_blocks:
+        blocks = F.broadcast(blocks)
+    probe = base.withColumn(
+        "bucket", F.floor(F.col("ip_int") / F.lit(1 << BUCKET_BITS))
+    )
+    joined = probe.join(
+        blocks,
+        (probe["bucket"] == blocks["bucket"])
+        & (probe["ip_int"] >= blocks["start_ip"])
+        & (probe["ip_int"] <= blocks["end_ip"]),
+        "left",
+    )
+
+    def best(tag: str, fields: list[Column]) -> Column:
+        order = F.when(
+            F.col("_tag") == tag,
+            F.struct(
+                (32 - F.col("prefix_len")).alias("o"),
+                F.col("network").alias("n"),
+            ),
+        )
+        return F.min_by(F.struct(*fields), order)
+
+    agg = joined.groupBy(probe["ip"]).agg(
+        best(
+            "c",
+            [F.col(c) for c in CITY_COLS] + [F.col("network").alias("cidr")],
+        ).alias("_city"),
+        best("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
+    )
+    hit = F.col("_city.cidr").isNotNull() & F.col("_asn.asn").isNotNull()
+    return agg.select(
         "ip",
-        *[F.when(hit, F.col(c)).alias(c) for c in out_cols],
+        *[F.when(hit, F.col(f"_city.{c}")).alias(c) for c in CITY_COLS],
+        F.when(hit, F.col("_city.cidr")).alias("cidr"),
+        *[F.when(hit, F.col(f"_asn.{c}")).alias(c) for c in ASN_COLS],
     )
 
 
