@@ -133,6 +133,20 @@ def test_lookup_plan_has_no_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # The block dim is broadcast (one copy per executor, the mmdb
+    # analogue) and the longest-prefix resolve is an aggregation,
+    # not a window sort over the joined candidates.
+    assert "BroadcastHashJoin" in plan
+    assert "min_by" in plan
+    assert "Window" not in plan
+    # Shuffled fallback keeps the bucket equi-join (still no
+    # cartesian) when the dim is declared too big to broadcast.
+    fb = G.lookup_ips(
+        ips, _city_blocks(spark), _asn_blocks(spark),
+        broadcast_blocks=False,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fb
+    assert "BroadcastNestedLoopJoin" not in fb
 
 
 def test_ip_geo_snapshot_lineage(spark):
