@@ -11812,3 +11812,125 @@ def download_backoff_walk_q(spark, sf):
         )
     )
     return PD.download_backoff_walk(results)
+
+
+# =====================================================================
+# Full-text search — the tsvector/GIN surface (SURVEY §1.2 close-out)
+# =====================================================================
+
+@query(
+    "tsvector_lexemes",
+    """
+    WITH lex AS (
+        SELECT p_partkey,
+               list_filter(string_split_regex(lower(p_name),
+                   '[^a-z0-9]+'), x -> x <> '') AS ls
+        FROM part
+    )
+    SELECT p_partkey, u.s.lexeme AS lexeme, u.s.pos AS pos
+    FROM (SELECT p_partkey,
+                 unnest(list_transform(ls,
+                     (x, i) -> {'lexeme': x, 'pos': i})) AS s
+          FROM lex) u
+    """,
+)
+def tsvector_lexemes_q(spark, sf):
+    """to_tsvector('simple', name) as a relation: lowercase, split on
+    non-alphanumeric runs, 1-based positions (pg-ddl store_apps.sql:58
+    / developers.sql:37 generated tsvector columns, via
+    functions/textsearch.py::tsvector_rows).  Pure JVM: split +
+    filter + posexplode, no UDF."""
+    from adscrawler_spark.functions import textsearch as TS
+
+    return TS.tsvector_rows(_t(spark, sf, "part"), "p_partkey", "p_name")
+
+
+_POSTINGS_ORACLE_LEX = """
+    WITH lex AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS doc_len,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS lexeme
+        FROM documents
+    )
+"""
+
+@query(
+    "inverted_index_postings",
+    _POSTINGS_ORACLE_LEX + """
+    SELECT lexeme, doc_id, cast(count(*) AS BIGINT) AS nentry, doc_len
+    FROM lex GROUP BY lexeme, doc_id, doc_len
+    """,
+)
+def inverted_index_postings_q(spark, sf):
+    """The GIN index build (pg-ddl store_apps.sql:109,144 gin(...))
+    as an inverted posting-list relation over the documents corpus:
+    one row per (lexeme, doc) with occurrence count and denormalized
+    doc length (functions/textsearch.py::build_postings).  At lake
+    scale this is written partitionBy(lexeme_bucket) so term lookups
+    prune to their hash buckets; the bucket column is projected away
+    here (the oracle cannot reproduce xxhash64)."""
+    from adscrawler_spark.functions import textsearch as TS
+
+    return TS.build_postings(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    ).select("lexeme", "doc_id", "nentry", "doc_len")
+
+
+_TEXTSEARCH_ORACLE = """
+    WITH lex AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS ls
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(ls, x -> x = 'window')) AS n0,
+               len(list_filter(ls, x -> x = 'merge')) AS n1,
+               len(ls) AS dl
+        FROM lex
+    )
+    SELECT doc_id, round((n0 + n1) * 1.0 / dl, 4) AS rank
+    FROM m WHERE n0 > 0 AND n1 > 0
+    ORDER BY rank DESC, doc_id LIMIT 100
+"""
+
+@query("textsearch_rank_topk", _TEXTSEARCH_ORACLE)
+def textsearch_rank_topk_q(spark, sf):
+    """plainto_tsquery('simple', 'window merge') AND-match + ranked
+    top-k over the documents corpus, brute-scan plan: one pass,
+    per-row JVM array ops, rank = length-normalized total term
+    frequency (functions/textsearch.py::search; the positional
+    ts_rank weighting is deliberately simplified so this oracle
+    exists — see module docstring)."""
+    from adscrawler_spark.functions import textsearch as TS
+
+    return (
+        TS.search(_t(spark, sf, "documents"), "doc_id", "text",
+                  "window merge")
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(100)
+    )
+
+
+@query("textsearch_via_postings", _TEXTSEARCH_ORACLE)
+def textsearch_via_postings_q(spark, sf):
+    """The same search answered through the inverted index — filter
+    postings to the query lexemes (partition-pruned on a lexeme-
+    bucketed lake table), one hash agg, doc matches when it holds all
+    terms (functions/textsearch.py::search_postings).  Shares the
+    brute entry's oracle verbatim: two plans, one verified semantics
+    — the index path must be an *exact* answer, like the GIN index
+    it models."""
+    from adscrawler_spark.functions import textsearch as TS
+
+    postings = TS.build_postings(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+    return (
+        TS.search_postings(postings, "doc_id", "window merge")
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(100)
+    )
