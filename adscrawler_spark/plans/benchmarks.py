@@ -11934,3 +11934,243 @@ def textsearch_via_postings_q(spark, sf):
         .orderBy(F.desc("rank"), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "apps_to_update_primary",
+    """
+    WITH sapps AS (
+        SELECT c_custkey AS id, cast(c_custkey % 2 + 1 AS INT) AS store,
+               'sid' || cast(c_custkey AS VARCHAR) AS store_id,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE cast(c_custkey % 4 AS INT) END AS crawl_result,
+               TIMESTAMP '2023-01-01'
+                   + to_days(cast(c_custkey % 500 AS INT))
+                   AS store_last_updated,
+               TIMESTAMP '2024-01-05'
+                   + to_days(cast(c_custkey % 60 AS INT)) AS updated_at,
+               TIMESTAMP '2023-12-01'
+                   + to_days(cast(c_custkey % 90 AS INT)) AS created_at,
+               DATE '2023-11-01'
+                   + to_days(cast(c_custkey % 120 AS INT)) AS release_date,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE TIMESTAMP '2023-01-01'
+                        + to_days(cast(c_custkey % 400 AS INT))
+               END AS additional_html_scraped_at,
+               'i1_' || cast(c_custkey AS VARCHAR) AS icon_url_100
+        FROM customer
+    ),
+    agm AS (
+        SELECT c_custkey AS store_app,
+               cast(floor(c_acctbal * 10) AS BIGINT) AS total_installs,
+               cast(c_custkey % 1000 AS BIGINT) AS total_ratings
+        FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    ranked AS (
+        SELECT c_custkey AS store_app FROM customer WHERE c_custkey % 11 = 0
+    ),
+    ccfg AS (
+        SELECT cast(i AS INT) AS country_id,
+               cast(i % 2 + 1 AS INT) AS priority,
+               CASE WHEN i % 5 = 4 THEN 2 ELSE 1 END AS scenario_id,
+               i % 3 <> 1 AS enabled
+        FROM range(0, 10) t(i)
+    ),
+    ctry AS (
+        SELECT cast(i AS INT) AS id, 'C' || cast(i AS VARCHAR) AS alpha2
+        FROM range(0, 10) t(i)
+    ),
+    scen AS (
+        SELECT 1 AS id, 'app_details' AS name
+        UNION ALL SELECT 2, 'other'
+    ),
+    acc AS (
+        -- dense watermark coverage of the store-1 (even-id) apps so
+        -- the staleness ordering and every eligibility branch carry
+        -- weight in the comparison
+        SELECT event_id AS crawl_id,
+               cast(user_id % 750 AS BIGINT) * 2 AS store_app,
+               cast(event_id % 10 AS INT) AS country_id, ts AS crawled_at
+        FROM events
+    ),
+    ctc AS (
+        SELECT DISTINCT cc.country_id, ct.alpha2 AS country_code,
+               cc.priority
+        FROM ccfg cc
+        JOIN scen s ON cc.scenario_id = s.id
+        JOIN ctry ct ON cc.country_id = ct.id
+        WHERE s.name = 'app_details' AND cc.enabled AND cc.priority = 1
+    ),
+    target AS (
+        SELECT sa.store, sa.id AS store_app, sa.store_id,
+               sa.store_last_updated, sa.crawl_result, sa.updated_at,
+               sa.created_at, sa.release_date, sa.icon_url_100,
+               sa.additional_html_scraped_at,
+               CASE WHEN sa.crawl_result IS NULL THEN 1 ELSE 0 END
+                   AS crawl_result_null,
+               CASE WHEN r.store_app IS NOT NULL THEN 1 ELSE 0 END
+                   AS ranked_app,
+               coalesce(agm.total_installs, 0) AS total_installs,
+               coalesce(agm.total_ratings, 0) AS total_ratings
+        FROM sapps sa
+        LEFT JOIN (SELECT DISTINCT store_app FROM ranked) r
+            ON sa.id = r.store_app
+        LEFT JOIN agm ON sa.id = agm.store_app
+        WHERE sa.store = 1
+    ),
+    latest AS (
+        SELECT store_app, country_id, crawled_at AS country_crawled_at
+        FROM (
+            SELECT a.*, row_number() OVER (
+                       PARTITION BY a.store_app, a.country_id
+                       ORDER BY a.crawled_at DESC, a.crawl_id DESC) AS rn
+            FROM acc a
+            WHERE a.country_id IN (SELECT country_id FROM ctc)
+              AND a.store_app IN (SELECT store_app FROM target)
+        ) WHERE rn = 1
+    ),
+    joined AS (
+        SELECT ta.*, c.country_id, c.country_code, c.priority,
+               lc.country_crawled_at
+        FROM target ta
+        CROSS JOIN ctc c
+        LEFT JOIN latest lc
+            ON ta.store_app = lc.store_app
+            AND c.country_id = lc.country_id
+    )
+    SELECT store, store_app, store_id, country_id, country_code,
+           priority, icon_url_100,
+           coalesce(additional_html_scraped_at
+                    >= TIMESTAMP '2023-02-01', FALSE)
+               AS html_recently_scraped,
+           strftime(updated_at, '%Y-%m-%d %H:%M:%S.%f')
+               AS app_updated_at,
+           strftime(country_crawled_at, '%Y-%m-%d %H:%M:%S.%f')
+               AS country_crawled_at
+    FROM joined
+    WHERE (country_crawled_at IS NULL
+           OR country_crawled_at < TIMESTAMP '2024-01-29')
+      AND (
+        crawl_result IS NULL
+        OR (
+            (total_installs >= 5000 OR total_ratings >= 500
+             OR ranked_app = 1
+             OR release_date > TIMESTAMP '2024-02-01' - INTERVAL 30 DAY)
+            AND country_crawled_at <= TIMESTAMP '2024-01-29'
+            AND (crawl_result = 1 OR crawl_result IS NULL
+                 OR created_at >= TIMESTAMP '2024-01-25'
+                 OR store_last_updated >= TIMESTAMP '2023-02-01')
+        )
+        OR (
+            country_crawled_at <= TIMESTAMP '2024-01-25'
+            AND (crawl_result = 1 OR crawl_result IS NULL
+                 OR store_last_updated >= TIMESTAMP '2023-02-01')
+        )
+        OR country_crawled_at <= TIMESTAMP '2024-01-15'
+        OR country_crawled_at IS NULL
+      )
+    ORDER BY crawl_result_null DESC, ranked_app DESC,
+             (greatest(total_installs, total_ratings) * 100
+              * floor((epoch(TIMESTAMP '2024-02-01')
+                       - epoch(country_crawled_at)) / 86400))
+                 DESC NULLS FIRST,
+             store_app, country_id
+    LIMIT 1200
+    """,
+)
+def apps_to_update_primary_q(spark, sf):
+    """The PRIMARY store-listing recrawl frontier in full
+    (query_apps_to_update_primary.sql:1-147, dispatched by
+    dbcon/queries.py::query_store_apps_to_update for priority group 1,
+    via plans/scan_frontier.py::apps_to_update_primary): scenario-
+    gated country tier, all-apps target with ranked/new flags and
+    carried agm metrics, per-(app,country) crawl watermark, the
+    three-branch eligibility nest, and the new-first → ranked-first →
+    staleness-weighted claim order (NULL staleness sorts first, as
+    Postgres does under DESC)."""
+    from adscrawler_spark.plans import scan_frontier as sfr
+
+    c = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    spark_sess = c.sparkSession
+    k = F.col("c_custkey")
+    sapps = c.select(
+        k.alias("id"),
+        (k % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("sid"), k.cast("string")).alias("store_id"),
+        F.when(k % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((k % 4).cast("int")).alias("crawl_result"),
+        F.expr(
+            "timestamp'2023-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 500 as int), 0, 0, 0)"
+        ).alias("store_last_updated"),
+        F.expr(
+            "timestamp'2024-01-05 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 60 as int), 0, 0, 0)"
+        ).alias("updated_at"),
+        F.expr(
+            "timestamp'2023-12-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 90 as int), 0, 0, 0)"
+        ).alias("created_at"),
+        F.expr(
+            "date'2023-11-01'"
+            " + make_interval(0, 0, 0, cast(c_custkey % 120 as int), 0, 0, 0)"
+        ).cast("date").alias("release_date"),
+        F.when(k % 3 == 0, F.lit(None).cast("timestamp")).otherwise(
+            F.expr(
+                "timestamp'2023-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, cast(c_custkey % 400 as int),"
+                " 0, 0, 0)"
+            )
+        ).alias("additional_html_scraped_at"),
+        F.concat(F.lit("i1_"), k.cast("string")).alias("icon_url_100"),
+    )
+    agm = c.filter(k % 5 != 0).select(
+        k.alias("store_app"),
+        F.floor(F.col("c_acctbal") * 10).cast("long").alias(
+            "total_installs"
+        ),
+        (k % 1000).cast("long").alias("total_ratings"),
+    )
+    ranked = c.filter(k % 11 == 0).select(k.alias("store_app"))
+    ccfg = spark_sess.range(0, 10).select(
+        F.col("id").cast("int").alias("country_id"),
+        (F.col("id") % 2 + 1).cast("int").alias("priority"),
+        F.when(F.col("id") % 5 == 4, F.lit(2)).otherwise(F.lit(1)).alias(
+            "scenario_id"
+        ),
+        (F.col("id") % 3 != 1).alias("enabled"),
+    )
+    ctry = spark_sess.range(0, 10).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("C"), F.col("id").cast("string")).alias("alpha2"),
+    )
+    scen = spark_sess.createDataFrame(
+        [(1, "app_details"), (2, "other")], "id int, name string"
+    )
+    acc = ev.select(
+        F.col("event_id").alias("crawl_id"),
+        ((F.col("user_id") % 750) * 2).cast("long").alias("store_app"),
+        (F.col("event_id") % 10).cast("int").alias("country_id"),
+        F.col("ts").alias("crawled_at"),
+    )
+    out = sfr.apps_to_update_primary(
+        sapps, agm, ranked, ccfg, ctry, scen, acc,
+        store=1,
+        now_ts="2024-02-01 00:00:00",
+        short_update_ts="2024-01-29 00:00:00",
+        short_update_installs=5000,
+        short_update_ratings=500,
+        long_update_ts="2024-01-25 00:00:00",
+        max_recrawl_ts="2024-01-15 00:00:00",
+        year_ago_ts="2023-02-01 00:00:00",
+        limit=1200,
+    )
+    return out.select(
+        "store", "store_app", "store_id", "country_id", "country_code",
+        "priority", "icon_url_100", "html_recently_scraped",
+        F.date_format("app_updated_at", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("app_updated_at"),
+        F.date_format("country_crawled_at", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("country_crawled_at"),
+    )

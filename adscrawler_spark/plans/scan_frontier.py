@@ -151,6 +151,192 @@ def apps_to_update_secondary(
     return to_crawl.crossJoin(mycountries.select("country_code"))
 
 
+def apps_to_update_primary(
+    store_apps: DataFrame,
+    app_global_metrics: DataFrame,
+    apps_in_latest_rankings: DataFrame,
+    country_config: DataFrame,
+    countries: DataFrame,
+    scenarios: DataFrame,
+    app_country_crawls: DataFrame,
+    store: int,
+    now_ts: str,
+    short_update_ts: str,
+    short_update_installs: int,
+    short_update_ratings: int,
+    long_update_ts: str,
+    max_recrawl_ts: str,
+    year_ago_ts: str,
+    limit: int,
+) -> DataFrame:
+    """query_apps_to_update_primary.sql:1-147 — the PRIMARY country-
+    tier recrawl frontier (the main store-listing crawl; dispatched by
+    dbcon/queries.py::query_store_apps_to_update for
+    country_priority_group=1).  Structure:
+
+    * countries_to_crawl (:1-19): scenario 'app_details', enabled,
+      priority=1 — a curated one-row-ish dim, broadcast;
+    * target_apps (:25-58): every app of the store (no eligibility
+      pre-filter, unlike the secondary) with crawl_result_null /
+      ranked_app flags and agm installs+ratings carried in;
+    * latest_crawls (:59-84): DISTINCT ON (store_app, country_id)
+      over the tier countries, newest first — a per-(app,country)
+      window, crawl_id as the tie-break pin;
+    * final (:85-147): target × countries_to_crawl, left-join the
+      watermark, the three-branch eligibility nest, claim order
+      new-first → ranked-first → staleness-weighted size
+      ``greatest(installs, ratings) * 100 * days(now - crawled_at)``
+      DESC.  Postgres sorts that NULL score (never-crawled rows)
+      first under DESC — pinned with desc_nulls_first; trailing
+      (store_app, country_id) makes the LIMIT total-order
+      deterministic.
+
+    ``now_ts`` replaces the SQL's NOW() so plans are replayable; the
+    30-day recent-release window and the EXTRACT(DAY FROM interval)
+    staleness (full days, floor of the epoch difference) derive from
+    it."""
+    now = F.lit(now_ts).cast("timestamp")
+    short_u = F.lit(short_update_ts).cast("timestamp")
+    long_u = F.lit(long_update_ts).cast("timestamp")
+    max_r = F.lit(max_recrawl_ts).cast("timestamp")
+    year_ago = F.lit(year_ago_ts).cast("timestamp")
+
+    ctc = F.broadcast(
+        country_config.filter(
+            F.col("enabled") & (F.col("priority") == 1)
+        )
+        .join(
+            scenarios.filter(F.col("name") == "app_details").select(
+                F.col("id").alias("scenario_id")
+            ),
+            "scenario_id",
+        )
+        .join(
+            countries.select(
+                F.col("id").alias("country_id"),
+                F.col("alpha2").alias("country_code"),
+            ),
+            "country_id",
+        )
+        .select("country_id", "country_code", "priority")
+        .distinct()
+    )
+    ranked = (
+        apps_in_latest_rankings.select("store_app")
+        .distinct()
+        .withColumnRenamed("store_app", "id")
+        .withColumn("_ranked", F.lit(1))
+    )
+    target = (
+        store_apps.filter(F.col("store") == store)
+        .join(ranked, "id", "left")
+        .join(
+            app_global_metrics.select(
+                F.col("store_app").alias("id"),
+                "total_installs", "total_ratings",
+            ),
+            "id", "left",
+        )
+        .select(
+            "store", F.col("id").alias("store_app"), "store_id",
+            "store_last_updated", "crawl_result", "updated_at",
+            "created_at", "release_date", "icon_url_100",
+            "additional_html_scraped_at",
+            F.when(F.col("crawl_result").isNull(), 1)
+            .otherwise(0).alias("crawl_result_null"),
+            F.coalesce(F.col("_ranked"), F.lit(0)).alias("ranked_app"),
+            F.coalesce(F.col("total_installs"), F.lit(0)).alias(
+                "total_installs"
+            ),
+            F.coalesce(F.col("total_ratings"), F.lit(0)).alias(
+                "total_ratings"
+            ),
+        )
+    )
+    w = Window.partitionBy("store_app", "country_id").orderBy(
+        F.col("crawled_at").desc(), F.col("crawl_id").desc()
+    )
+    latest = (
+        app_country_crawls.join(
+            ctc.select("country_id").distinct(), "country_id"
+        )
+        .join(
+            target.select("store_app").distinct(), "store_app", "left_semi"
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "store_app", "country_id",
+            F.col("crawled_at").alias("country_crawled_at"),
+        )
+    )
+    joined = (
+        target.crossJoin(ctc)
+        .join(latest, ["store_app", "country_id"], "left")
+    )
+    cr = F.col("crawl_result")
+    crawled = F.col("country_crawled_at")
+    eligible = (
+        cr.isNull()
+        | (
+            (
+                (F.col("total_installs") >= short_update_installs)
+                | (F.col("total_ratings") >= short_update_ratings)
+                | (F.col("ranked_app") == 1)
+                | (
+                    F.col("release_date").cast("timestamp")
+                    > now - F.expr("INTERVAL 30 DAYS")
+                )
+            )
+            & (crawled <= short_u)
+            & (
+                (cr == 1)
+                | cr.isNull()
+                | (F.col("created_at") >= long_u)
+                | (F.col("store_last_updated") >= year_ago)
+            )
+        )
+        | (
+            (crawled <= long_u)
+            & (
+                (cr == 1)
+                | cr.isNull()
+                | (F.col("store_last_updated") >= year_ago)
+            )
+        )
+        | (crawled <= max_r)
+        | crawled.isNull()
+    )
+    staleness = (
+        F.greatest(F.col("total_installs"), F.col("total_ratings"))
+        * 100
+        * F.floor(
+            (F.unix_timestamp(now) - F.unix_timestamp(crawled)) / 86400
+        )
+    )
+    return (
+        joined.filter((crawled.isNull() | (crawled < short_u)) & eligible)
+        .orderBy(
+            F.col("crawl_result_null").desc(),
+            F.col("ranked_app").desc(),
+            staleness.desc_nulls_first(),
+            F.col("store_app"),       # total-order pin for the LIMIT
+            F.col("country_id"),
+        )
+        .limit(limit)
+        .select(
+            "store", "store_app", "store_id", "country_id",
+            "country_code", "priority", "icon_url_100",
+            F.coalesce(
+                F.col("additional_html_scraped_at") >= year_ago,
+                F.lit(False),
+            ).alias("html_recently_scraped"),
+            F.col("updated_at").alias("app_updated_at"),
+            "country_crawled_at",
+        )
+    )
+
+
 def apps_to_update_any_new(
     store_apps: DataFrame, store: int, limit: int
 ) -> DataFrame:
