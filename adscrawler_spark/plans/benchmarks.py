@@ -12174,3 +12174,97 @@ def apps_to_update_primary_q(spark, sf):
         F.date_format("country_crawled_at", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .alias("country_crawled_at"),
     )
+
+
+@query(
+    "app_descriptions_latest",
+    """
+    WITH langs AS (
+        SELECT cast(r_regionkey AS INT) AS id,
+               'l' || cast(r_regionkey AS VARCHAR) AS language_slug
+        FROM region
+    ),
+    descs AS (
+        SELECT o_orderkey AS desc_id,
+               cast(o_custkey AS BIGINT) AS store_app,
+               cast(o_orderkey % 5 AS INT) AS language_id,
+               'd' || cast(o_orderkey % 50 AS VARCHAR) AS description,
+               o_orderdate AS updated_at
+        FROM orders
+    )
+    SELECT store_app, description FROM (
+        SELECT d.store_app, d.description,
+               row_number() OVER (PARTITION BY d.store_app
+                   ORDER BY d.updated_at DESC, d.desc_id DESC) AS rn
+        FROM descs d
+        JOIN langs l ON d.language_id = l.id
+        WHERE l.language_slug = 'l2'
+    ) WHERE rn = 1
+    """,
+)
+def app_descriptions_latest_q(spark, sf):
+    """The description read path: newest description per app for one
+    language slug — DISTINCT ON (store_app) ordered updated_at DESC
+    with the unique desc_id pinning ties (dbcon/queries.py
+    query_all_store_app_descriptions via
+    plans/live_details.py::descriptions_latest)."""
+    from adscrawler_spark.plans import live_details as LD
+
+    r = _t(spark, sf, "region")
+    o = _t(spark, sf, "orders")
+    langs = r.select(
+        F.col("r_regionkey").cast("int").alias("id"),
+        F.concat(F.lit("l"), F.col("r_regionkey").cast("string"))
+        .alias("language_slug"),
+    )
+    descs = o.select(
+        F.col("o_orderkey").alias("desc_id"),
+        F.col("o_custkey").cast("long").alias("store_app"),
+        (F.col("o_orderkey") % 5).cast("int").alias("language_id"),
+        F.concat(F.lit("d"), (F.col("o_orderkey") % 50).cast("string"))
+        .alias("description"),
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    return LD.descriptions_latest(descs, langs, "l2")
+
+
+@query(
+    "metrics_retention_batches",
+    """
+    WITH hist AS (
+        SELECT date_trunc('week', o_orderdate)::DATE AS week_start,
+               cast(o_custkey AS BIGINT) AS store_app,
+               o_orderkey AS row_id
+        FROM orders
+    ),
+    expired AS (
+        SELECT *, row_number() OVER (ORDER BY week_start, row_id) AS pos
+        FROM hist WHERE week_start < DATE '1995-07-01'
+    )
+    SELECT cast(floor((pos - 1) / 500) AS BIGINT) AS batch_id,
+           count(*) AS n_rows,
+           min(week_start) AS first_week,
+           max(week_start) AS last_week
+    FROM expired GROUP BY 1
+    """,
+)
+def metrics_retention_batches_q(spark, sf):
+    """The 400-day metrics-history retention sweep as a deterministic
+    batch manifest — the reference's ctid-LIMIT delete loop
+    (dbcon/queries.py clean_app_metrics_history_table) restated as a
+    total-order global position (range-partitioned prefix-sum ranker,
+    no single-partition window) chunked into fixed delete batches
+    (plans/metrics_history.py::retention_delete_batches)."""
+    from adscrawler_spark.plans import metrics_history as MH
+
+    o = _t(spark, sf, "orders")
+    hist = o.select(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias(
+            "week_start"
+        ),
+        F.col("o_custkey").cast("long").alias("store_app"),
+        F.col("o_orderkey").alias("row_id"),
+    )
+    return MH.retention_delete_batches(
+        hist, "1995-07-01", 500
+    )

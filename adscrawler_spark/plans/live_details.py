@@ -452,3 +452,30 @@ def resolve_app_ranks(ranked: DataFrame, store_apps: DataFrame) -> DataFrame:
         ranked.join(dim, ["store", "store_id"], "left")
         .withColumn("country", F.upper(F.col("country")))
     )
+
+
+def descriptions_latest(
+    descriptions: DataFrame, languages: DataFrame, language_slug: str
+) -> DataFrame:
+    """query_all_store_app_descriptions (dbcon/queries.py:966-981):
+    the newest description per app for one language — DISTINCT ON
+    (store_app) ... ORDER BY store_app, updated_at DESC, filtered on
+    the language slug.  The reference's tie under equal updated_at is
+    planner-order; ``desc_id`` (the row's unique key) pins it.  Emits
+    store_app alongside description (the reference projects the text
+    alone; the key makes the result a usable relation and the
+    comparison total)."""
+    lang = F.broadcast(
+        languages.filter(F.col("language_slug") == language_slug).select(
+            F.col("id").alias("language_id")
+        )
+    )
+    w = Window.partitionBy("store_app").orderBy(
+        F.col("updated_at").desc(), F.col("desc_id").desc()
+    )
+    return (
+        descriptions.join(lang, "language_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("store_app", "description")
+    )

@@ -219,3 +219,45 @@ def build_all(crawl_log: DataFrame) -> dict[str, DataFrame]:
         "zscored_metrics": zscored_metrics(dense),
         "host_changes": host_changes(weekly),
     }
+
+
+def retention_delete_batches(
+    history: DataFrame,
+    cutoff_ts: str,
+    batch_size: int,
+    week_col: str = "week_start",
+    row_key: str = "row_id",
+) -> DataFrame:
+    """clean_app_metrics_history_table (dbcon/queries.py:131-149): the
+    400-day retention sweep, which the reference runs as a loop of
+    ``DELETE ... WHERE ctid IN (SELECT ctid ... LIMIT batch)`` until
+    no rows remain.  The lake restatement is deterministic instead of
+    ctid-ordered: every expired row gets a global position over
+    (week_col, row_key) — computed with the range-partitioned
+    prefix-sum ranker, never a single-partition window — and batches
+    of ``batch_size`` are emitted as a manifest (batch_id, n_rows,
+    first/last week) for the delete executor to consume
+    oldest-first.  ``row_key`` must be unique (the ctid stand-in) so
+    batch boundaries are total-order stable."""
+    from adscrawler_spark.operators.frontier import global_rank
+
+    expired = history.filter(
+        F.col(week_col) < F.lit(cutoff_ts).cast("date")
+    )
+    ranked = global_rank(
+        expired,
+        [F.col(week_col).asc(), F.col(row_key).asc()],
+        rank_col="_pos",
+    )
+    return (
+        ranked.withColumn(
+            "batch_id",
+            F.floor((F.col("_pos") - 1) / F.lit(batch_size)).cast("long"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(week_col).alias("first_week"),
+            F.max(week_col).alias("last_week"),
+        )
+    )
