@@ -289,3 +289,24 @@ def test_payload_extraction_python_only_on_nested_tier(spark):
     # and the JVM tier exists: a regexp_extract_all projection with
     # no Python above it
     assert "regexp_extract_all" in plan
+
+
+def test_primary_recrawl_frontier_plan_shape(spark):
+    """apps_to_update_primary: the ordered LIMIT compiles to
+    TakeOrderedAndProject (distributed top-k, no global sort); no
+    CartesianProduct — the country fan-out is the broadcast of a
+    curated scenario dim (the J4 precedent), never a shuffled
+    nested-loop.  The sibling retention/description ports stay
+    cartesian-free too."""
+    from adscrawler_spark.plans import benchmarks as B
+
+    plan = _plan(B.QUERIES["apps_to_update_primary"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            assert "Broadcast" in line, line
+    for name in ["metrics_retention_batches", "app_descriptions_latest"]:
+        p = _plan(B.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "NestedLoopJoin" not in p, name
