@@ -166,6 +166,18 @@ def main() -> None:
     queries = bench_queries(spark)
     extras: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        # The throughput extras get a fresh session: the 168-query
+        # suite leaves executor-memory state behind (plan/cache
+        # residue, localCheckpoint blocks from the assembly entries)
+        # that measured ~2x off the dedup kernel.  Serialized fresh
+        # sessions per workload family is the measurement rule
+        # BENCH/BASELINE.md already adopts for the scaling harnesses.
+        spark.stop()
+        spark = get_spark(
+            "bench_extras", cores=CPUS, shuffle_partitions=max(CPUS, 16)
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        _warmup(spark)
         # Best-of-2 for the headline throughput extras — same protocol
         # as the scaling harnesses (bench/scaling*.py, BENCH/BASELINE.md):
         # one rep measures the cold draw of a wide run-to-run
@@ -173,7 +185,11 @@ def main() -> None:
         # the r4→r5 variance study), the best rep approximates the
         # steady state the scaling tables report.  Both reps are
         # emitted so the spread itself is visible per round.
-        dedup_reps = [bench_dedup(spark) for _ in range(2)]
+        # dedup gets a third rep: the variance study (BENCH/BASELINE.md)
+        # shows the kernel still ramping at rep 2 (JIT + shuffle-file
+        # cache), ~steady by rep 3; the crawl loop is fixed-latency
+        # dominated and stable at 2.
+        dedup_reps = [bench_dedup(spark) for _ in range(3)]
         crawl_reps = [bench_crawl(spark) for _ in range(2)]
         dedup_sec, dedup_rps = min(dedup_reps, key=lambda t: t[0])
         crawl_sec, urls_ps, refresh_sec, n_mvs = min(
