@@ -271,42 +271,81 @@ def apps_overview_enriched(
     )
 
 
-def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
+def refresh_all(
+    spark: SparkSession, cat: Catalog, max_parallel: int = 6
+) -> dict[str, int]:
     """Materialize the derived-product chain in dependency order.
 
     Returns {table: row_count}.  Each step commits through the snapshot
     catalog and the next step reads the committed table back, so the
     chain is restartable mid-way and no step's plan compounds its
-    ancestors' lineage (the reference's REFRESH ... ordering)."""
-    counts: dict[str, int] = {}
+    ancestors' lineage (the reference's REFRESH ... ordering).
 
-    def commit(name: str, df: DataFrame) -> DataFrame:
+    Tables are grouped into dependency LEVELS; within a level they are
+    independent and commit concurrently from a small thread pool
+    (Spark's scheduler interleaves the jobs — the same shape as
+    submitting independent REFRESH statements in parallel sessions,
+    and the multi-tenant reality of a shared cluster).  Sequential
+    wall-clock was the sum of 18 per-table latencies; now it is the
+    sum over levels of each level's slowest table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    counts: dict[str, int] = {}
+    out_dfs: dict[str, DataFrame] = {}
+
+    def commit(name: str, build) -> DataFrame:
+        df = build() if callable(build) else build
         cat.table(name).overwrite(df, {"refresh": name})
         out = cat.table(name).read(spark)
         counts[name] = out.count()
+        out_dfs[name] = out
         return out
+
+    def run_level(tasks: list[tuple[str, object]]) -> None:
+        if not tasks:
+            return
+        with ThreadPoolExecutor(
+            max_workers=min(len(tasks), max_parallel)
+        ) as ex:
+            futs = [ex.submit(commit, n, b) for n, b in tasks]
+            for f in futs:
+                f.result()
 
     crawl_log = cat.table("crawl_log").read(spark)
     frontier = cat.table("frontier").read(spark)
     documents = cat.table("documents").read(spark)
     adstxt = cat.table("adstxt_entries").read(spark)
+    rankings = cat.table("rankings").read(spark)
 
-    # host-level chain (metrics_history pipelines)
-    commit("mv_latest_crawl_state", mh.latest_crawl_state(crawl_log))
-    weekly_host = commit(
-        "mv_weekly_host_metrics", mh.weekly_host_metrics(crawl_log)
-    )
-    dense = commit("mv_densified_metrics", mh.densified_metrics(weekly_host))
-    commit("mv_zscored_metrics", mh.zscored_metrics(dense))
-    commit("mv_host_changes", mh.host_changes(weekly_host))
+    # ---- level 1: source tables only --------------------------------
+    level1 = [
+        ("mv_latest_crawl_state", lambda: mh.latest_crawl_state(crawl_log)),
+        ("mv_weekly_host_metrics", lambda: mh.weekly_host_metrics(crawl_log)),
+        ("mv_app_metrics_history",
+         lambda: app_metrics_history(crawl_log, frontier)),
+        ("mv_store_apps_overview", lambda: store_apps_overview(documents)),
+        ("mv_app_keywords_extracted",
+         lambda: app_keywords_extracted(documents)),
+        ("mv_app_country_metrics", lambda: app_country_metrics(documents)),
+        ("mv_adstxt_domain_entries",
+         lambda: adstxt_domain_entries(adstxt, crawl_log)),
+    ]
+    if rankings is not None:
+        level1.append(
+            ("mv_store_app_ranks_latest",
+             lambda: store_app_ranks_latest(rankings))
+        )
+    run_level(level1)
+    weekly_host = out_dfs["mv_weekly_host_metrics"]
+    hist = out_dfs["mv_app_metrics_history"]
+    apps = out_dfs["mv_store_apps_overview"]
+    ake = out_dfs["mv_app_keywords_extracted"]
 
-    # app-level chain
-    hist = commit(
-        "mv_app_metrics_history", app_metrics_history(crawl_log, frontier)
-    )
-    commit(
-        "mv_app_metrics_interpolated",
-        mh.interpolate_weekly(
+    # ---- level 2: consumers of level-1 products ----------------------
+    level2 = [
+        ("mv_densified_metrics", lambda: mh.densified_metrics(weekly_host)),
+        ("mv_host_changes", lambda: mh.host_changes(weekly_host)),
+        ("mv_app_metrics_interpolated", lambda: mh.interpolate_weekly(
             hist.select(
                 "store_app",
                 "week_start",
@@ -315,44 +354,15 @@ def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
             ["store_app"],
             week_col="week_start",
             val_col="val",
-        ),
-    )
-    latest = commit(
-        "mv_app_global_metrics_latest",
-        appm.global_metrics_latest(
+        )),
+        ("mv_app_global_metrics_latest", lambda: appm.global_metrics_latest(
             hist.select(
                 "store_app", "week_start", "weekly_installs",
-                "weekly_ratings", "total_installs", "total_ratings", "rating",
+                "weekly_ratings", "total_installs", "total_ratings",
+                "rating",
             )
-        ),
-    )
-
-    # document-derived dims + frontend views
-    apps = commit("mv_store_apps_overview", store_apps_overview(documents))
-    ake = commit("mv_app_keywords_extracted", app_keywords_extracted(documents))
-    commit(
-        "mv_keyword_scores",
-        appm.keyword_scores(
-            ake.select("store_app", "keyword_text"),
-            apps.select("store_app", "store", "name"),
-            latest,
-        ),
-    )
-    commit(
-        "mv_z_scores_top_apps",
-        appm.z_scores_top_apps(
-            latest,
-            apps.select("store_app", "store", "category", "name"),
-            # synthetic crawl installs are small; thresholds scaled to
-            # the synthetic dim ranges (reference: 50k/1k absolute)
-            min_installs=0,
-            min_weekly=0,
-        ),
-    )
-
-    commit("mv_app_country_metrics", app_country_metrics(documents))
-    commit("mv_adstxt_domain_entries", adstxt_domain_entries(adstxt, crawl_log))
-
+        )),
+    ]
     # new-app leaderboard over the enriched apps dim (apps_new_weekly
     # MV; engine virtual time compresses generations into one day, so
     # the 7-day release window admits every discovered app)
@@ -360,38 +370,60 @@ def refresh_all(spark: SparkSession, cat: Catalog) -> dict[str, int]:
         F.max(F.col("fetched_at").cast("date")).alias("d")
     ).first()
     if as_of_row and as_of_row["d"] is not None:
-        enriched = apps_overview_enriched(apps, frontier, crawl_log)
-        commit(
-            "mv_apps_new_weekly",
-            fe.apps_new(enriched, str(as_of_row["d"]), 7, 11).select(
+        as_of = str(as_of_row["d"])
+        level2.append(
+            ("mv_apps_new_weekly", lambda: fe.apps_new(
+                apps_overview_enriched(apps, frontier, crawl_log),
+                as_of, 7, 11,
+            ).select(
                 "store_app", "store", "app_category", "name", "installs",
                 "rating_count", "release_date", "created_at",
                 "crawl_result", "rn",
-            ),
+            ))
         )
-
-    # rankings product: best rank per (scenario key, app) on the latest
-    # crawled date (store_app_ranks_latest__matview.sql shape), plus
-    # the retention-compacted weekly table feeding the 30-day best-rank
-    # rollup (store_app_ranks_weekly / _best_monthly)
-    rankings = cat.table("rankings").read(spark)
+    rank_as_of = None
     if rankings is not None:
-        commit("mv_store_app_ranks_latest", store_app_ranks_latest(rankings))
         rank_as_of = rankings.agg(F.max("crawled_date").alias("d")).first()
-        weekly = commit(
-            "mv_store_app_ranks_weekly",
-            fe.ranks_weekly_retention(rankings, str(rank_as_of["d"])),
+        level2.append(
+            ("mv_store_app_ranks_weekly", lambda: fe.ranks_weekly_retention(
+                rankings, str(rank_as_of["d"])
+            ))
         )
-        commit(
-            "mv_store_app_ranks_best_monthly",
-            fe.store_app_ranks_best_monthly(
-                weekly,
-                str(rank_as_of["d"]),
-                days=30,
-                rank_col="rank",
-                scenario=(
-                    "store", "store_id", "country", "collection", "category",
-                ),
-            ),
+    run_level(level2)
+
+    # ---- level 3: consumers of level-2 products ----------------------
+    dense = out_dfs["mv_densified_metrics"]
+    latest = out_dfs["mv_app_global_metrics_latest"]
+    level3 = [
+        ("mv_zscored_metrics", lambda: mh.zscored_metrics(dense)),
+        ("mv_keyword_scores", lambda: appm.keyword_scores(
+            ake.select("store_app", "keyword_text"),
+            apps.select("store_app", "store", "name"),
+            latest,
+        )),
+        ("mv_z_scores_top_apps", lambda: appm.z_scores_top_apps(
+            latest,
+            apps.select("store_app", "store", "category", "name"),
+            # synthetic crawl installs are small; thresholds scaled to
+            # the synthetic dim ranges (reference: 50k/1k absolute)
+            min_installs=0,
+            min_weekly=0,
+        )),
+    ]
+    if rankings is not None:
+        weekly = out_dfs["mv_store_app_ranks_weekly"]
+        level3.append(
+            ("mv_store_app_ranks_best_monthly",
+             lambda: fe.store_app_ranks_best_monthly(
+                 weekly,
+                 str(rank_as_of["d"]),
+                 days=30,
+                 rank_col="rank",
+                 scenario=(
+                     "store", "store_id", "country", "collection",
+                     "category",
+                 ),
+             ))
         )
+    run_level(level3)
     return counts
