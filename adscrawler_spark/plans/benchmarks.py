@@ -4058,6 +4058,118 @@ def trend_companies(spark, sf):
     return domhist.trend_domains(domhist.enrich_windowed(active, apps))
 
 
+_DOMHIST_PARENT_SQL = _DOMHIST_DERIVE_SQL.replace(
+    "    active AS (",
+    """    cmap AS (
+        SELECT cast(i AS INT) AS domain_id,
+               cast(i % 11 AS INT) AS company_id
+        FROM range(0, 40) t(i) WHERE i % 7 != 3
+    ),
+    companies AS (
+        SELECT cast(i AS INT) AS id,
+               CASE WHEN i = 5 THEN NULL
+                    ELSE cast(i + 100 AS INT) END AS domain_id,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE cast(i % 4 AS INT) END AS parent_company_id
+        FROM range(0, 11) t(i)
+    ),
+    domdim AS (
+        SELECT cast(i + 100 AS INT) AS id,
+               'dom' || cast(i AS VARCHAR) AS domain_name
+        FROM range(0, 11) t(i)
+    ),
+    active0 AS (""",
+).replace(
+    "    apps AS (",
+    """    active AS (
+        SELECT DISTINCT
+               COALESCE(co.parent_company_id, m.company_id) AS domain_id,
+               a.store_app, a.year, a.quarter, a.tag_source
+        FROM active0 a
+        JOIN cmap m ON m.domain_id = a.domain_id
+        LEFT JOIN companies co ON co.id = m.company_id
+    ),
+    apps AS (""",
+)
+
+
+@query(
+    "trend_parent_companies",
+    f"""
+    WITH {_DOMHIST_PARENT_SQL},
+    trends AS (
+        WITH {_TREND_TAIL_SQL}
+    )
+    SELECT dd.domain_name AS company_domain, t.year, t.quarter, t.store,
+           t.tag_source, t.total_apps, t.total_apps_in_quarter,
+           t.apps_lost, t.apps_added, t.pct_market_share,
+           t.pct_apps_added, t.pct_apps_lost
+    FROM trends t
+    LEFT JOIN companies co ON co.id = t.domain_id
+    LEFT JOIN domdim dd ON dd.id = co.domain_id
+    """,
+)
+def trend_parent_companies(spark, sf):
+    """Parent-company market-share/churn trends (reference
+    dbcon/sql/duckdb/trend_parent_companies.sql): the domain activity
+    set rolled up through company_domain_mapping and then to
+    COALESCE(parent_company_id, company_id) — a parentless company
+    stands for itself — deduped, run through the identical windowed
+    trend pipeline, and mapped back to the parent's domain_name (both
+    back-map joins LEFT, so id 5's NULL-domain company keeps its rows
+    with a NULL company_domain).  Via
+    plans/domain_history.py::parent_rollup_mapping + map_to_entity +
+    trend_domains + attach_company_domain."""
+    li = _t(spark, sf, "lineitem")
+    quarterly = li.groupBy(
+        (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
+        (F.col("l_partkey") % 300).cast("int").alias("store_app"),
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.quarter("l_shipdate").cast("int").alias("quarter"),
+    ).agg(
+        F.bool_or(F.col("l_quantity") > 25).alias("sdk"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("api_call"),
+        F.bool_or(F.col("l_tax") > 0.04).alias("app_ads_direct"),
+    )
+    apps = (
+        li.filter(F.col("l_partkey") % 300 % 29 != 0)
+        .groupBy(
+            (F.col("l_partkey") % 300).cast("int").alias("store_app")
+        )
+        .agg(F.min(F.to_date("l_shipdate")).alias("release_date"))
+        .withColumn("store", (F.col("store_app") % 2 + 1).cast("int"))
+    )
+    cmap = (
+        spark.range(0, 40)
+        .filter(F.col("id") % 7 != 3)
+        .select(
+            F.col("id").cast("int").alias("domain_id"),
+            (F.col("id") % 11).cast("int").alias("company_id"),
+        )
+    )
+    companies = spark.range(0, 11).select(
+        F.col("id").cast("int").alias("id"),
+        F.when(F.col("id") != 5, F.col("id") + 100)
+        .cast("int")
+        .alias("domain_id"),
+        F.when(F.col("id") % 3 != 0, F.col("id") % 4)
+        .cast("int")
+        .alias("parent_company_id"),
+    )
+    domdim = spark.range(0, 11).select(
+        (F.col("id") + 100).cast("int").alias("id"),
+        F.concat(F.lit("dom"), F.col("id").cast("string")).alias(
+            "domain_name"
+        ),
+    )
+    parent_map = domhist.parent_rollup_mapping(cmap, companies)
+    active = domhist.map_to_entity(
+        domhist.unpivot_tags(quarterly), parent_map
+    )
+    trends = domhist.trend_domains(domhist.enrich_windowed(active, apps))
+    return domhist.attach_company_domain(trends, companies, domdim)
+
+
 @query(
     "adstxt_parent_overview",
     f"""

@@ -237,3 +237,50 @@ def map_to_entity(
         )
         .distinct()
     )
+
+def parent_rollup_mapping(
+    cmap: DataFrame, companies: DataFrame
+) -> DataFrame:
+    """domain_id → parent entity id, the one extra hop that turns
+    trend_companies into trend_parent_companies (reference
+    dbcon/sql/duckdb/trend_parent_companies.sql:1-13):
+    ``COALESCE(co.parent_company_id, cdm.company_id)`` — a company with
+    no parent rolls up to itself.  ``cmap`` is the
+    company_domain_mapping dim (domain_id, company_id); ``companies``
+    is the (id, domain_id, parent_company_id) dim.  Both are small
+    dims — broadcast, no shuffle."""
+    co = companies.select(
+        F.col("id").alias("company_id"), "parent_company_id"
+    )
+    return cmap.join(F.broadcast(co), "company_id", "left").select(
+        "domain_id",
+        F.coalesce("parent_company_id", "company_id").alias("company_id"),
+    )
+
+
+def attach_company_domain(
+    trends: DataFrame, companies: DataFrame, domains: DataFrame
+) -> DataFrame:
+    """Map the entity ids riding in the ``domain_id`` column back to
+    the owning company's domain name (trend_parent_companies.sql:
+    115-126: parent id → companies.domain_id → domains.domain_name,
+    both LEFT joins — an entity whose company or domain row is missing
+    keeps its stats with a NULL ``company_domain``).  Dims broadcast."""
+    co = companies.select(
+        F.col("id").alias("_entity_id"),
+        F.col("domain_id").alias("_co_domain_id"),
+    )
+    dd = domains.select(
+        F.col("id").alias("_co_domain_id"),
+        F.col("domain_name").alias("company_domain"),
+    )
+    stat_cols = [c for c in trends.columns if c != "domain_id"]
+    return (
+        trends.join(
+            F.broadcast(co),
+            trends["domain_id"] == co["_entity_id"],
+            "left",
+        )
+        .join(F.broadcast(dd), "_co_domain_id", "left")
+        .select("company_domain", *stat_cols)
+    )
