@@ -1,0 +1,149 @@
+"""RAKE keyword extraction, Spark-first.
+
+The reference ensembles three per-description keyword extractors
+(/root/reference/adscrawler/app_stores/process_keywords.py:243-272
+``extract_keywords_rake`` via rake_nltk, plus spaCy noun-chunks and an
+NLTK lemma ranker).  spaCy/NLTK need model downloads this environment
+doesn't have, and the repo already ports the TF-IDF vectorizer config;
+this module ports the one member that is pure algorithm — RAKE (Rapid
+Automatic Keyword Extraction, Rose et al. 2010) — as JVM-side
+DataFrame ops, no UDF:
+
+1. normalize: lowercase; every run of characters outside ``[a-z ]``
+   becomes a ``' . '`` break marker (punctuation/digits break phrases,
+   mirroring the reference's ``clean_text`` ladder that turns
+   non-alpha runs into periods, process_keywords.py:64-77);
+2. candidate phrases: maximal token runs between breaks, where a break
+   is the ``'.'`` marker or a stopword (rake_nltk's
+   ``extract_keywords_from_text``);
+3. per-document word stats over ALL phrases: ``freq(w)`` = occurrence
+   count, ``deg(w)`` = sum of the containing phrase's length per
+   occurrence (the word co-occurs with itself, so deg ≥ freq);
+4. phrase score = Σ over its tokens (with multiplicity) of
+   ``deg(w)/freq(w)``; equal phrases in one document collapse to one
+   ranked row;
+5. the max-token cap filters the RANKED OUTPUT only — exactly the
+   reference's post-hoc ``count_tokens(phrase) <= max_tokens`` filter
+   on ``get_ranked_phrases()`` (process_keywords.py:255-259), so a
+   long phrase still contributes to word degrees even when it can't be
+   emitted itself.
+
+Scale shape: every step keys on doc_id (token windows, phrase groups,
+word stats) — one hash partitioning reused end to end, no global
+state, no collect.  The stopword set is a literal in the plan (a few
+hundred strings), not a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# The reference's curated stopwords (process_keywords.py:22-61),
+# verbatim.
+CUSTOM_STOPWORDS = {
+    "your", "our", "my", "their", "his", "her", "its", "what", "which",
+    "you", "it", "that", "app", "we", "application", "one", "ones",
+    "dont", "us", "takes", "take", "them", "use", "uses", "need",
+    "get", "who", "i", "also", "youll", "youre", "whos", "whats",
+    "lets", "let", "set", "com", "game",
+}
+
+# Stand-in for ``nltk.corpus.stopwords.words('english')`` (the
+# reference unions it in, process_keywords.py:251; the NLTK data
+# download is absent here): the high-frequency English function words.
+CORE_ENGLISH_STOPWORDS = {
+    "a", "an", "the", "and", "or", "but", "not", "of", "to", "in",
+    "on", "at", "by", "for", "with", "from", "as", "is", "are", "was",
+    "were", "be", "been", "being", "has", "have", "had", "do", "does",
+    "did", "will", "would", "can", "could", "should", "this", "these",
+    "those", "there", "here", "when", "where", "how", "why", "all",
+    "any", "each", "more", "most", "some", "such", "no", "nor", "only",
+    "so", "than", "too", "very", "s", "t", "just", "now", "if", "then",
+    "else", "while", "about", "into", "over", "under", "again", "once",
+}
+
+RAKE_STOPWORDS = sorted(CUSTOM_STOPWORDS | CORE_ENGLISH_STOPWORDS)
+
+
+def candidate_phrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """(id, phrase_id, phrase, n_tokens) candidate phrases — maximal
+    non-stopword token runs between punctuation/stopword breaks.  The
+    phrase_id is the running break count, so downstream can tell two
+    occurrences of the same phrase apart."""
+    stops = RAKE_STOPWORDS if stopwords is None else sorted(stopwords)
+    norm = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z ]+", " . "
+    )
+    toks = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(norm, r" +"), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    is_break = (F.col("tok") == ".") | F.col("tok").isin(stops)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = toks.withColumn(
+        "phrase_id",
+        F.sum(is_break.cast("long")).over(w),
+    ).filter(~is_break)
+    return grp.groupBy(id_col, "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+def rake_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+    max_tokens: int = 3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-``top_n`` RAKE phrases per document: (id, phrase, n_tokens,
+    score, rnk), score rounded to 4 places, ties broken by phrase text
+    so the ranking is deterministic."""
+    phrases = candidate_phrases(docs, id_col, text_col, stopwords)
+    words = phrases.select(
+        id_col,
+        "phrase_id",
+        "n_tokens",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wstat = words.groupBy(id_col, "w").agg(
+        F.count("*").alias("freq"),
+        F.sum("n_tokens").alias("deg"),
+    )
+    scored = (
+        words.join(wstat, [id_col, "w"])
+        .groupBy(id_col, "phrase_id")
+        .agg(
+            F.round(
+                F.sum(F.col("deg") / F.col("freq")), 4
+            ).alias("score")
+        )
+    )
+    ranked = (
+        phrases.join(scored, [id_col, "phrase_id"])
+        .filter(F.col("n_tokens") <= max_tokens)
+        .select(id_col, "phrase", "n_tokens", "score")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return ranked.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_n
+    )

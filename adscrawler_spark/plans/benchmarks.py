@@ -12380,3 +12380,88 @@ def metrics_retention_batches_q(spark, sf):
     return MH.retention_delete_batches(
         hist, "1995-07-01", 500
     )
+
+
+# =====================================================================
+# RAKE keyword extraction (process_keywords.py extract_keywords_rake)
+# =====================================================================
+
+_RAKE_STOPS_SQL = "'a', 'about', 'again', 'all', 'also', 'an', 'and', 'any', 'app', 'application', 'are', 'as', 'at', 'be', 'been', 'being', 'but', 'by', 'can', 'com', 'could', 'did', 'do', 'does', 'dont', 'each', 'else', 'for', 'from', 'game', 'get', 'had', 'has', 'have', 'her', 'here', 'his', 'how', 'i', 'if', 'in', 'into', 'is', 'it', 'its', 'just', 'let', 'lets', 'more', 'most', 'my', 'need', 'no', 'nor', 'not', 'now', 'of', 'on', 'once', 'one', 'ones', 'only', 'or', 'our', 'over', 's', 'set', 'should', 'so', 'some', 'such', 't', 'take', 'takes', 'than', 'that', 'the', 'their', 'them', 'then', 'there', 'these', 'this', 'those', 'to', 'too', 'under', 'us', 'use', 'uses', 'very', 'was', 'we', 'were', 'what', 'whats', 'when', 'where', 'which', 'while', 'who', 'whos', 'why', 'will', 'with', 'would', 'you', 'youll', 'your', 'youre'"
+
+
+@query(
+    "rake_keywords_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_filter(string_split_regex(
+                           regexp_replace(lower(text), '[^a-z ]+',
+                                          ' . ', 'g'),
+                           ' +'), x -> x <> ''),
+                       (x, i) -> {{'tok': x, 'pos': i}})) AS s
+            FROM documents
+        ) u
+    ),
+    marked AS (
+        SELECT doc_id, tok, pos,
+               (tok = '.' OR tok IN ({_RAKE_STOPS_SQL})) AS is_break
+        FROM toks
+    ),
+    grp AS (
+        SELECT *, sum(CASE WHEN is_break THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM marked
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS n_tokens
+        FROM grp WHERE NOT is_break
+        GROUP BY doc_id, phrase_id
+    ),
+    words AS (
+        SELECT doc_id, phrase_id, n_tokens,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wstat AS (
+        SELECT doc_id, w, count(*) AS freq, sum(n_tokens) AS deg
+        FROM words GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT wo.doc_id, wo.phrase_id,
+               round(sum(ws.deg * 1.0 / ws.freq), 4) AS score
+        FROM words wo
+        JOIN wstat ws ON ws.doc_id = wo.doc_id AND ws.w = wo.w
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT DISTINCT p.doc_id, p.phrase, p.n_tokens, s.score
+        FROM phrases p
+        JOIN scored s ON s.doc_id = p.doc_id
+                     AND s.phrase_id = p.phrase_id
+        WHERE p.n_tokens <= 3
+    )
+    SELECT doc_id, phrase, n_tokens, score, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, phrase ASC) AS rnk
+        FROM ranked)
+    WHERE rnk <= 5
+    """,
+)
+def rake_keywords_topk_q(spark, sf):
+    """Per-document RAKE keyword extraction (reference
+    app_stores/process_keywords.py:243-272 extract_keywords_rake via
+    rake_nltk; Rose et al. 2010), JVM-side end to end: phrase breaks at
+    punctuation/stopwords, per-doc word degree/frequency scores over
+    ALL phrases, the 3-token cap applied only to the ranked output
+    (the reference's post-hoc filter), top-5 per doc with deterministic
+    ties (functions/rake.py::rake_topk)."""
+    from adscrawler_spark.functions import rake as RAKE
+
+    return RAKE.rake_topk(
+        _t(spark, sf, "documents"), top_n=5, max_tokens=3
+    )
