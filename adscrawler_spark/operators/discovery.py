@@ -64,3 +64,27 @@ def harvest_store_ids(pages: DataFrame, store: int = 1) -> DataFrame:
         ).alias("store_id")
     )
     return ids.distinct().select(F.lit(store).alias("store"), "store_id")
+
+
+# apkcombo.py:24 — RSS guid entries carry the store ids
+RSS_GUID_PATTERN = r'<guid isPermaLink="false">(.*?)</guid>'
+
+
+def harvest_rss_guids(feeds: DataFrame, store: int = 1) -> DataFrame:
+    """scrape_with_firefox's RSS harvest (apkcombo.py:22-31,
+    golden-tested by the reference at
+    tests/app_stores/test_apkcombo.py:9-19): findall the
+    ``<guid isPermaLink="false">…</guid>`` entries over every fetched
+    feed page (the reference pulls new-releases and latest-updates),
+    set-union the ids across feeds, and emit the same distinct
+    (store, store_id) seed rows as the catalogue harvest.  ``feeds``:
+    (feed, page_source).  The Selenium driver lifecycle (headless
+    session, quit-in-finally) is fetch plumbing outside the engine."""
+    ids = feeds.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("page_source"), F.lit(RSS_GUID_PATTERN), 1
+            )
+        ).alias("store_id")
+    )
+    return ids.distinct().select(F.lit(store).alias("store"), "store_id")

@@ -11204,6 +11204,58 @@ def appbrain_discovery_q(spark, sf):
     return D.harvest_store_ids(pages)
 
 
+@query(
+    "apkcombo_rss_discovery",
+    """
+    WITH feeds AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'new-releases'
+                    ELSE 'latest-updates' END AS feed,
+               '<item><guid isPermaLink="false">app'
+                 || cast(o_orderkey % 900 AS VARCHAR)
+                 || '</guid></item><item><guid isPermaLink="true">perm'
+                 || cast(o_orderkey AS VARCHAR)
+                 || '</guid></item><guid isPermaLink="false">app'
+                 || cast((o_orderkey + 17) % 900 AS VARCHAR)
+                 || '</guid>' AS page_source
+        FROM orders
+    )
+    SELECT DISTINCT 1 AS store, store_id
+    FROM (
+        SELECT unnest(regexp_extract_all(page_source,
+                   '<guid isPermaLink="false">(.*?)</guid>', 1))
+                 AS store_id
+        FROM feeds
+    )
+    """,
+)
+def apkcombo_rss_discovery_q(spark, sf):
+    """APKCombo RSS discovery — the non-permalink guid findall over the
+    new-releases + latest-updates feeds and the cross-feed set union
+    into (store, store_id) seed rows (app_stores/apkcombo.py:22-37,
+    reference-golden-tested at tests/app_stores/test_apkcombo.py, via
+    operators/discovery.py::harvest_rss_guids; permalink guids must
+    not match)."""
+    from adscrawler_spark.operators import discovery as D
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    feeds = o.select(
+        F.when(ok % 2 == 0, "new-releases")
+        .otherwise("latest-updates")
+        .alias("feed"),
+        F.concat(
+            F.lit('<item><guid isPermaLink="false">app'),
+            (ok % 900).cast("string"),
+            F.lit('</guid></item><item><guid isPermaLink="true">perm'),
+            ok.cast("string"),
+            F.lit('</guid></item><guid isPermaLink="false">app'),
+            ((ok + 17) % 900).cast("string"),
+            F.lit("</guid>"),
+        ).alias("page_source"),
+    )
+    return D.harvest_rss_guids(feeds)
+
+
 # =====================================================================
 # Object-store maintenance (process/storage.py)
 # =====================================================================

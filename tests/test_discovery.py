@@ -45,3 +45,29 @@ def test_harvest_parity_with_reference_regex(spark):
     assert "com.c.three" in got
     rows = D.harvest_store_ids(df).collect()
     assert all(r.store == 1 for r in rows)
+
+
+def test_rss_guid_harvest_matches_reference_regex(spark):
+    """apkcombo.py:22-31 parity: the reference's exact findall regex
+    over both feeds, set-unioned; permalink guids excluded (the
+    reference's golden page_source at
+    tests/app_stores/test_apkcombo.py:15 is the first fixture row)."""
+    feeds = [
+        ("new-releases",
+         '<guid isPermaLink="false">sample-app</guid>'),
+        ("new-releases",
+         '<item><guid isPermaLink="false">com.a.one</guid></item>'
+         '<guid isPermaLink="true">https://apkcombo.com/x</guid>'),
+        ("latest-updates",
+         '<guid isPermaLink="false">com.a.one</guid>'
+         '<guid isPermaLink="false">com.b.two</guid>'),
+    ]
+    want = set()
+    for _, src in feeds:
+        want.update(re.findall(D.RSS_GUID_PATTERN, src))
+    df = spark.createDataFrame(feeds, "feed string, page_source string")
+    out = D.harvest_rss_guids(df).collect()
+    got = {r.store_id for r in out}
+    assert got == want == {"sample-app", "com.a.one", "com.b.two"}
+    assert len(out) == 3  # cross-feed union dedupes com.a.one
+    assert all(r.store == 1 for r in out)
