@@ -310,3 +310,32 @@ def test_primary_recrawl_frontier_plan_shape(spark):
         p = _plan(B.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, name
         assert "NestedLoopJoin" not in p, name
+
+
+def test_rake_plan_stays_jvm_and_per_doc(docs):
+    """RAKE must be whole-stage JVM (no Python UDF anywhere) and every
+    exchange keyed — a global (unpartitioned) window or a cartesian
+    would mean the per-document algebra leaked into a corpus-wide
+    single-partition step."""
+    from adscrawler_spark.functions.rake import rake_topk
+
+    plan = _plan(rake_topk(docs, top_n=5))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    # every window partitions by doc_id — no Window with an empty
+    # partition spec (which plans as a SinglePartition exchange)
+    assert "SinglePartition" not in plan
+
+
+def test_rss_guid_harvest_stays_jvm(spark):
+    from adscrawler_spark.operators.discovery import harvest_rss_guids
+
+    feeds = spark.createDataFrame(
+        [("f", '<guid isPermaLink="false">a</guid>')],
+        "feed string, page_source string",
+    )
+    plan = _plan(harvest_rss_guids(feeds))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
