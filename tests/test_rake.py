@@ -70,3 +70,79 @@ def test_duplicate_phrases_collapse_to_one_row(spark):
     r = out[0]
     # photo/editor each: freq 2, deg 4 → score 2; phrase = 4.
     assert (r.phrase, r.score, r.rnk) == ("photo editor", 4.0, 1)
+
+
+# ---------------------------------------------------------------------
+# Property parity vs an independent pure-Python RAKE restatement
+# ---------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adscrawler_spark.functions.rake import RAKE_STOPWORDS
+
+
+def _py_rake(text, top_n=5, max_tokens=3):
+    """Sequential restatement of Rose et al. 2010 written directly from
+    the paper's definition (degree/frequency word scores over all
+    phrases; cap filters output only) — independent of the Spark
+    expression tree."""
+    stops = set(RAKE_STOPWORDS)
+    toks = [t for t in _re.split(r" +", _re.sub(r"[^a-z ]+", " . ", text.lower())) if t]
+    phrases, cur = [], []
+    for t in toks:
+        if t == "." or t in stops:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        phrases.append(cur)
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    seen = {}
+    for p in phrases:
+        if len(p) > max_tokens:
+            continue
+        phrase = " ".join(p)
+        score = round(sum(deg[w] / freq[w] for w in p), 4)
+        seen[phrase] = (len(p), score)
+    ranked = sorted(seen.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    return [
+        (ph, n, sc, i + 1)
+        for i, (ph, (n, sc)) in enumerate(ranked[:top_n])
+    ]
+
+
+_WORDS = ["photo", "editor", "fast", "the", "a", "game", "it", "scan",
+          "big", "row", "data", "merge", "join", ".", "2024", "x-y"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_rake_matches_python_restatement(spark, docs_words):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from adscrawler_spark.functions.rake import rake_topk
+
+    got = {}
+    for r in rake_topk(df, top_n=5, max_tokens=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.phrase, r.n_tokens, r.score, r.rnk)
+        )
+    for i, ws in enumerate(docs_words):
+        want = _py_rake(" ".join(ws), top_n=5, max_tokens=3)
+        have = sorted(got.get(i, []), key=lambda t: t[3])
+        assert have == want, (i, " ".join(ws), have, want)
