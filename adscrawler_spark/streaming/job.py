@@ -422,6 +422,9 @@ def run_generation(
         ).dropDuplicates(["url_canon"])
     else:
         new_urls = discovered.dropDuplicates(["url_canon"])
+    # persisted: three concurrent lanes below (seen append, frontier
+    # count+append) share this anti-join
+    new_urls = new_urls.persist()
     new_frontier_rows = new_urls.select(
         "url",
         F.substring_index("url_canon", "/", 1).alias("host"),
@@ -438,11 +441,7 @@ def run_generation(
         F.lit("discovered").alias("seed_id"),
         "url_canon", "url_hash", "url_hash64", "row_hash64",
     )
-    n_discovered = new_frontier_rows.count()
-    if seen_tbl is not None:
-        cat.table("url_seen").append(
-            new_urls.select("url_canon", "url_hash64"), {"generation": generation}
-        )
+    n_discovered = None  # resolved by the concurrent lane below
 
     # ---- frontier state transitions: O(batch) append to the update
     # log (deferred rows write nothing — they stay pending in the base);
@@ -466,8 +465,43 @@ def run_generation(
         )
         .dropDuplicates(["u_canon"])
     )
-    cat.table("frontier_updates").append(updates, {"generation": generation})
-    cat.table("frontier").append(new_frontier_rows, {"generation": generation})
+    # The three frontier-transition commits touch three different
+    # tables off already-persisted parents — run them concurrently,
+    # like the sink pool above, so this phase pays one fixed job
+    # latency instead of four (measured 3.4-5.3 s serial at sf0.1,
+    # i.e. ~4 near-empty actions).  Resume safety is unchanged: the
+    # state file (generation + per-table versions) is written only
+    # after every lane joins, so a crash mid-pool rolls back all of
+    # them exactly as the serial order did.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        def _frontier_lane() -> int:
+            n = new_frontier_rows.count()
+            cat.table("frontier").append(
+                new_frontier_rows, {"generation": generation}
+            )
+            return n
+
+        f_new = pool.submit(_frontier_lane)
+        f_seen = (
+            pool.submit(
+                lambda: cat.table("url_seen").append(
+                    new_urls.select("url_canon", "url_hash64"),
+                    {"generation": generation},
+                )
+            )
+            if seen_tbl is not None
+            else None
+        )
+        f_upd = pool.submit(
+            lambda: cat.table("frontier_updates").append(
+                updates, {"generation": generation}
+            )
+        )
+        n_discovered = f_new.result()
+        if f_seen is not None:
+            f_seen.result()
+        f_upd.result()
+    new_urls.unpersist()
     if (generation + 1) % COMPACT_EVERY == 0:
         compact_frontier(spark, cat, generation)
 
@@ -517,12 +551,30 @@ def bootstrap(spark: SparkSession, cat: Catalog, frontier_size: int, seed: int) 
     seeds = synth_frontier(spark, frontier_size, seed).unionByName(
         synth_rankings_frontier(spark)
     )
-    frontier = frontier_ops.with_canonical(seeds)
-    cat.table("frontier").overwrite(frontier, {"bootstrap": True})
-    cat.table("url_seen").overwrite(
-        frontier.select("url_canon", "url_hash64").dropDuplicates(["url_canon"]),
-        {"bootstrap": True},
-    )
+    # persisted: the seen-set overwrite re-reads the canonicalized
+    # frontier; two concurrent lanes (same pattern as the generation's
+    # sink/transition pools) pay one fixed job latency, not two —
+    # state is written only after both land, so resume semantics hold.
+    from concurrent.futures import ThreadPoolExecutor
+
+    frontier = frontier_ops.with_canonical(seeds).persist()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_frontier = pool.submit(
+            lambda: cat.table("frontier").overwrite(
+                frontier, {"bootstrap": True}
+            )
+        )
+        f_seen = pool.submit(
+            lambda: cat.table("url_seen").overwrite(
+                frontier.select("url_canon", "url_hash64").dropDuplicates(
+                    ["url_canon"]
+                ),
+                {"bootstrap": True},
+            )
+        )
+        f_frontier.result()
+        f_seen.result()
+    frontier.unpersist()
     cat.write_state({"generation": 0, "versions": _versions(cat)})
 
 
