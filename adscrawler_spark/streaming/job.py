@@ -255,19 +255,32 @@ def run_generation(
     # base+update-log merge.
     frontier = current_frontier(spark, cat).persist()
 
+    # Each claim family runs eager phase-2 work inside ranked_top_n
+    # (a range-sampling pass + a per-partition counts collect) — three
+    # families serially pay ~6 near-empty job latencies on the shared
+    # persisted frontier.  Build them concurrently (per-family cache
+    # lists keep the persisted-handle lifecycle race-free, then merge).
+    from concurrent.futures import ThreadPoolExecutor
+
     claim_caches: list[DataFrame] = []
-    claim_l = frontier_ops.claim_batch(
-        frontier, ["listing_play", "listing_ios"], listing_batch, now, generation,
-        persisted=claim_caches,
-    )
-    claim_a = frontier_ops.claim_batch(
-        frontier, ["adstxt"], adstxt_batch, now, generation,
-        persisted=claim_caches,
-    )
-    claim_r = frontier_ops.claim_batch(
-        frontier, ["rankings"], rankings_batch, now, generation,
-        persisted=claim_caches,
-    )
+    fam_caches: list[list[DataFrame]] = [[], [], []]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_l = pool.submit(
+            frontier_ops.claim_batch, frontier,
+            ["listing_play", "listing_ios"], listing_batch, now,
+            generation, persisted=fam_caches[0],
+        )
+        f_a = pool.submit(
+            frontier_ops.claim_batch, frontier, ["adstxt"],
+            adstxt_batch, now, generation, persisted=fam_caches[1],
+        )
+        f_r = pool.submit(
+            frontier_ops.claim_batch, frontier, ["rankings"],
+            rankings_batch, now, generation, persisted=fam_caches[2],
+        )
+        claim_l, claim_a, claim_r = f_l.result(), f_a.result(), f_r.result()
+    for fc in fam_caches:
+        claim_caches.extend(fc)
     claimed = claim_l.unionByName(claim_a).unionByName(claim_r)
     claimed = politeness.with_virtual_schedule(
         politeness.apply_robots(claimed, robots), budget_seconds
