@@ -258,3 +258,46 @@ def sessionize_stream(
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def unseen_urls_stream(
+    spark: SparkSession,
+    urls_dir: str,
+    schema: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming URL-seen dedup — the Structured Streaming counterpart
+    of the batch Bloom/anti-join seen set (operators/seen.py): a
+    discovered-URL stream deduped on ``url_canon`` with
+    ``dropDuplicatesWithinWatermark``, so the first sighting of each
+    canonical URL inside the watermark horizon passes and repeats are
+    dropped while state stays bounded by the watermark (an unbounded
+    plain dropDuplicates would grow state forever on a 10^10-URL
+    frontier).  Exact long-horizon dedup remains the batch seen-set's
+    job — this stage cheaply collapses the intra-horizon repeat storm
+    (the same URL rediscovered by many pages in one crawl wave)
+    before rows ever reach it."""
+    stream = spark.readStream.schema(schema).parquet(urls_dir)
+    return stream.withWatermark("discovered_at", watermark).dropDuplicatesWithinWatermark(
+        ["url_canon"]
+    )
+
+
+def run_unseen_available_now(
+    dedup: DataFrame, out_dir: str, checkpoint_dir: str, table: str = "frontier_ingest"
+) -> None:
+    """Drain the deduped URL stream with availableNow through the
+    snapshot catalog (same atomic foreachBatch discipline as
+    run_available_now)."""
+    cat = Catalog(out_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        cat.table(table).append(batch_df, {"stream_batch": batch_id})
+
+    (
+        dedup.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

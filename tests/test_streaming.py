@@ -168,3 +168,41 @@ def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
         if r.user_id >= 0
     ]
     assert got == [(1, str(t0), str(t0 + 45 * m), 4)]
+
+
+def test_unseen_urls_stream_dedup_parity(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a discovered-URL stream: one
+    output row per canonical URL (first sighting wins), equal to the
+    batch distinct set; repeats across files/micro-batches inside the
+    watermark are dropped."""
+    import os
+
+    import pandas as pd
+
+    urls_dir = str(tmp_path / "urls")
+    out = str(tmp_path / "seen_out")
+    ckpt = str(tmp_path / "seen_ckpt")
+    os.makedirs(urls_dir)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for i in range(600):
+        canon = f"https://host{(i % 150) % 7}.com/app{i % 150}"
+        rows.append(
+            (i, canon, base + pd.Timedelta(minutes=i % 50))
+        )
+    df = pd.DataFrame(rows, columns=["url_id", "url_canon", "discovered_at"])
+    # Spark's vectorized parquet reader rejects pandas' default
+    # nanosecond timestamps — write microseconds
+    df["discovered_at"] = df["discovered_at"].astype("datetime64[us]")
+    # two files → two micro-batches under availableNow; dupes span both
+    df.iloc[:300].to_parquet(urls_dir + "/a.parquet", index=False)
+    df.iloc[300:].to_parquet(urls_dir + "/b.parquet", index=False)
+
+    schema = "url_id long, url_canon string, discovered_at timestamp"
+    dedup = structured.unseen_urls_stream(spark, urls_dir, schema)
+    structured.run_unseen_available_now(dedup, out, ckpt)
+    got = Catalog(out).table("frontier_ingest").read(spark)
+    got_canons = sorted(r.url_canon for r in got.collect())
+    want_canons = sorted(df["url_canon"].unique())
+    assert got_canons == want_canons  # one row per canonical URL
+    assert len(got_canons) == 150
