@@ -300,6 +300,10 @@ def run_generation(
         (F.col("doc_kind") == "adstxt") & F.col("fetched") & F.col("body").isNotNull()
     ).withColumn("doc_id", F.concat(F.lit("adstxt::"), F.col("url_canon")))
     entries, parse_results = adstxt_ops.parse_adstxt_docs(adstxt_ok, "body")
+    # persisted: parse_results feeds the docs join AND the per-URL
+    # result fold — without the cache the ads.txt parse regex re-runs
+    # in every sink lane that touches either lineage.
+    parse_results = parse_results.persist()
     spans = adstxt_ops.adstxt_line_spans(adstxt_ok, "body")
     adstxt_docs = (
         adstxt_ok.select(
@@ -384,9 +388,24 @@ def run_generation(
                      cat.table("adstxt_entries").append(
                          entries_out, {"generation": generation}))
         )
-        f_log = pool.submit(
-            lambda: cat.table("crawl_log").append(log, {"generation": generation})
-        )
+        def _results_lane():
+            # the aggregate materializes the persisted `results` once;
+            # the log append then reads the cache — two concurrent
+            # lanes racing the same un-materialized persisted
+            # partitions would duplicate the whole parse lineage's CPU
+            c = results.agg(
+                F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+                F.sum(
+                    (F.col("fetched") & (F.col("crawl_result") == 1)).cast(
+                        "int"
+                    )
+                ).alias("n_ok"),
+                F.sum(F.col("denied").cast("int")).alias("n_denied"),
+            ).collect()[0]
+            cat.table("crawl_log").append(log, {"generation": generation})
+            return c
+
+        f_log = pool.submit(_results_lane)
         def _ingest_ranks():
             # a partitioned write of ZERO rows leaves no data files to
             # infer a schema from on read-back — skip the commit when
@@ -400,20 +419,10 @@ def run_generation(
             return n
 
         f_ranks = pool.submit(_ingest_ranks)
-        f_counts = pool.submit(
-            lambda: results.agg(
-                F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
-                F.sum(
-                    (F.col("fetched") & (F.col("crawl_result") == 1)).cast("int")
-                ).alias("n_ok"),
-                F.sum(F.col("denied").cast("int")).alias("n_denied"),
-            ).collect()[0]
-        )
         n_docs = f_docs.result()[0]
         n_entries = f_entries.result()[0]
-        f_log.result()
+        counts = f_log.result()
         n_rank_rows = f_ranks.result()
-        counts = f_counts.result()
     t_sinks = time.time()
 
     # ---- discovery: DIRECT/RESELLER ad domains become new adstxt URLs
@@ -553,6 +562,7 @@ def run_generation(
     fetched.unpersist()
     results.unpersist()
     docs.unpersist()
+    parse_results.unpersist()
     entries.unpersist()
     frontier.unpersist()
     return metrics
