@@ -211,7 +211,11 @@ def main() -> None:
         # dominated and stable at 2.
         dedup_reps = [bench_dedup(spark) for _ in range(3)]
         _warm_crawl(spark)
-        crawl_reps = [bench_crawl(spark) for _ in range(2)]
+        # crawl also gets a third rep: the round-5 re-measurement
+        # sessions drew 1.5-2x phase spikes on identical work inside
+        # otherwise-healthy windows (BENCH/BASELINE.md), so two draws
+        # can both land dirty; all reps are emitted alongside.
+        crawl_reps = [bench_crawl(spark) for _ in range(3)]
         dedup_sec, dedup_rps = min(dedup_reps, key=lambda t: t[0])
         crawl_sec, urls_ps, refresh_sec, n_mvs = min(
             crawl_reps, key=lambda t: t[0]
