@@ -12517,3 +12517,730 @@ def rake_keywords_topk_q(spark, sf):
     return RAKE.rake_topk(
         _t(spark, sf, "documents"), top_n=5, max_tokens=3
     )
+
+
+# =====================================================================
+# Status/dimension matviews (pg-ddl round-5 close-out:
+# category_mapping, mv_app_categories, developer_store_apps,
+# ad_network_sdk_keys, app_status, tag_totals, total_count_overview)
+# =====================================================================
+
+_CATEGORY_SYN_SQL = """
+    store_apps AS (
+        SELECT cast(p_partkey AS INT) AS id,
+               cast(p_partkey % 2 + 1 AS INT) AS store,
+               cast(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                   AS crawl_result,
+               CASE cast(p_partkey % 20 AS INT)
+                 WHEN 0 THEN 'Action' WHEN 1 THEN 'News & Magazines'
+                 WHEN 2 THEN 'Social' WHEN 3 THEN 'Utilities'
+                 WHEN 4 THEN 'Role Playing' WHEN 5 THEN NULL
+                 WHEN 6 THEN 'Tools' WHEN 7 THEN 'Music'
+                 WHEN 8 THEN 'Casual' WHEN 9 THEN 'Word'
+                 WHEN 10 THEN 'Parenting' WHEN 11 THEN 'Graphics & Design'
+                 WHEN 12 THEN 'Video Players & Editors'
+                 WHEN 13 THEN 'Books & Reference'
+                 WHEN 14 THEN 'Health & Fitness' WHEN 15 THEN 'Finance'
+                 WHEN 16 THEN 'Educational' WHEN 17 THEN 'Navigation'
+                 WHEN 18 THEN 'Photography' ELSE 'Book'
+               END AS category
+        FROM part
+    )
+"""
+
+_CATEGORY_MAP_SQL = """
+    sub AS (
+        SELECT DISTINCT category AS original_category,
+               regexp_replace(lower(category), ' & ', '_and_', 'g')
+                   AS mapped_category
+        FROM store_apps
+    ),
+    mapping AS (
+        SELECT DISTINCT original_category,
+            CASE
+              WHEN mapped_category IN ('action','casual','adventure',
+                   'arcade','board','card','casino','puzzle','racing',
+                   'simulation','strategy','trivia','word')
+                THEN 'game_' || mapped_category
+              WHEN mapped_category = 'news_and_magazines' THEN 'news'
+              WHEN mapped_category = 'educational' THEN 'education'
+              WHEN mapped_category = 'book' THEN 'books_and_reference'
+              WHEN mapped_category = 'navigation'
+                THEN 'maps_and_navigation'
+              WHEN mapped_category = 'music' THEN 'music_and_audio'
+              WHEN mapped_category = 'photography' THEN 'photo_and_video'
+              WHEN mapped_category = 'reference'
+                THEN 'books_and_reference'
+              WHEN mapped_category = 'role playing'
+                THEN 'game_role_playing'
+              WHEN mapped_category = 'social' THEN 'social networking'
+              WHEN mapped_category = 'travel' THEN 'travel_and_local'
+              WHEN mapped_category = 'utilities' THEN 'tools'
+              WHEN mapped_category = 'video players_and_editors'
+                THEN 'video_players'
+              WHEN mapped_category = 'graphics_and_design'
+                THEN 'art_and_design'
+              WHEN mapped_category = 'parenting' THEN 'family'
+              WHEN mapped_category IS NULL THEN 'N/A'
+              ELSE mapped_category
+            END AS mapped_category
+        FROM sub
+    )
+"""
+
+
+def _category_store_apps(spark, sf):
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    names = [
+        "Action", "News & Magazines", "Social", "Utilities",
+        "Role Playing", None, "Tools", "Music", "Casual", "Word",
+        "Parenting", "Graphics & Design", "Video Players & Editors",
+        "Books & Reference", "Health & Fitness", "Finance",
+        "Educational", "Navigation", "Photography", "Book",
+    ]
+    cat = F.when(k % 20 == 0, names[0])
+    for i, n in enumerate(names[1:-1], start=1):
+        cat = cat.when(k % 20 == i, F.lit(n))
+    cat = cat.otherwise(F.lit(names[-1]))
+    return p.select(
+        k.cast("int").alias("id"),
+        (k % 2 + 1).cast("int").alias("store"),
+        F.when(k % 3 == 0, 1).otherwise(0).cast("int").alias(
+            "crawl_result"
+        ),
+        cat.alias("category"),
+    )
+
+
+@query(
+    "category_mapping_dim",
+    f"""
+    WITH {_CATEGORY_SYN_SQL},
+    {_CATEGORY_MAP_SQL}
+    SELECT * FROM mapping
+    """,
+)
+def category_mapping_dim_q(spark, sf):
+    """The category-normalization dim matview (reference
+    pg-ddl/schema/public/category_mapping__matview.sql:30-55 via
+    plans/status_views.py::category_mapping): lowercase + ' & ' →
+    '_and_', game_ prefixing, the rename ladder, NULL → 'N/A'."""
+    from adscrawler_spark.plans import status_views as SV
+
+    return SV.category_mapping(_category_store_apps(spark, sf))
+
+
+@query(
+    "mv_app_categories",
+    f"""
+    WITH {_CATEGORY_SYN_SQL},
+    {_CATEGORY_MAP_SQL}
+    SELECT sa.store, m.mapped_category AS category,
+           count(*) AS app_count
+    FROM store_apps sa
+    JOIN mapping m ON sa.category = m.original_category
+    WHERE sa.crawl_result = 1 AND sa.category IS NOT NULL
+    GROUP BY sa.store, m.mapped_category
+    """,
+)
+def mv_app_categories_q(spark, sf):
+    """Per-(store, mapped category) successful-app counts (reference
+    pg-ddl/schema/public/mv_app_categories__matview.sql:31-38 via
+    plans/status_views.py::mv_app_categories)."""
+    from adscrawler_spark.plans import status_views as SV
+
+    sa = _category_store_apps(spark, sf)
+    return SV.mv_app_categories(sa, SV.category_mapping(sa))
+
+
+@query(
+    "app_status_removed",
+    """
+    WITH crawls AS (
+        SELECT cast(o_custkey % 500 AS INT) AS store_app,
+               CASE WHEN o_orderkey % 3 = 0 THEN 840 ELSE 276 END
+                   AS country_id,
+               cast(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 3 END
+                    AS INT) AS crawl_result,
+               TIMESTAMP '1995-01-01 00:00:00'
+                   + o_orderkey * INTERVAL 1 SECOND AS crawled_at
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY store_app
+                   ORDER BY crawled_at DESC) AS crawl_rank
+        FROM crawls WHERE country_id = 840
+    ),
+    recent AS (SELECT * FROM ranked WHERE crawl_rank <= 2)
+    SELECT store_app,
+           CASE WHEN count(*) = 2
+                 AND count(*) FILTER (WHERE crawl_result = 1) = 0
+                THEN true ELSE false END AS is_removed,
+           max(crawled_at) AS last_crawled_at,
+           count(*) FILTER (WHERE crawl_result = 1)
+               AS us_success_count_last_2_passes,
+           count(*) AS total_us_passes_evaluated
+    FROM recent GROUP BY store_app
+    """,
+)
+def app_status_removed_q(spark, sf):
+    """Removed-app detector over each app's last two US crawl passes
+    (reference pg-ddl/schema/logging/app_status__matview.sql:28-52 via
+    plans/status_views.py::app_status): removed iff both evaluated
+    passes failed.  Synthetic crawled_at is unique per row so the
+    row_number tie-break never binds."""
+    from adscrawler_spark.plans import status_views as SV
+
+    o = _t(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    crawls = o.select(
+        (F.col("o_custkey") % 500).cast("int").alias("store_app"),
+        F.when(ok % 3 == 0, 840).otherwise(276).alias("country_id"),
+        F.when(ok % 4 == 0, 1).otherwise(3).cast("int").alias(
+            "crawl_result"
+        ),
+        F.expr(
+            "timestamp '1995-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, o_orderkey)"
+        ).alias("crawled_at"),
+    )
+    return SV.app_status(crawls)
+
+
+_DEVAPP_SYN_SQL = """
+    domains AS (
+        SELECT cast(i AS INT) AS id,
+               CASE WHEN i < 30 THEN 'd' || cast(i AS VARCHAR)
+                    ELSE 'root' || cast(i AS VARCHAR) END AS domain_name,
+               CASE WHEN i < 30 THEN cast(30 + i % 10 AS INT) END
+                   AS root_domain_id
+        FROM range(0, 40) t(i)
+    ),
+    domains_third_party AS (
+        SELECT cast(d AS INT) AS domain_id FROM (VALUES (31), (33)) v(d)
+    ),
+    developers AS (
+        SELECT cast(i AS INT) AS id, 'dev' || cast(i AS VARCHAR) AS name,
+               cast(i % 2 + 1 AS INT) AS store,
+               'did' || cast(i AS VARCHAR) AS developer_id
+        FROM range(0, 10) t(i)
+    ),
+    app_urls_map AS (
+        SELECT cast(o_orderkey % 200 AS INT) AS store_app,
+               cast(o_orderkey % 200 % 30 AS INT) AS pub_domain
+        FROM orders WHERE o_orderkey % 200 % 4 != 0
+          AND o_orderkey = (SELECT min(o2.o_orderkey) FROM orders o2
+                            WHERE o2.o_orderkey % 200
+                                  = orders.o_orderkey % 200)
+    ),
+    store_apps AS (
+        SELECT DISTINCT cast(o_orderkey % 200 AS INT) AS id,
+               cast(o_orderkey % 200 % 2 + 1 AS INT) AS store,
+               CASE WHEN o_orderkey % 200 % 17 = 0 THEN NULL
+                    ELSE cast(o_orderkey % 200 % 12 AS INT) END
+                   AS developer
+        FROM orders
+    )
+"""
+
+
+@query(
+    "developer_store_apps_dim",
+    f"""
+    WITH {_DEVAPP_SYN_SQL},
+    cleaned AS (
+        SELECT aum.store_app,
+               CASE WHEN NOT EXISTS (SELECT 1 FROM domains_third_party
+                                     dtp WHERE dtp.domain_id = rd.id)
+                    THEN COALESCE(rd.domain_name, pd.domain_name)
+                    ELSE pd.domain_name END AS developer_url,
+               CASE WHEN NOT EXISTS (SELECT 1 FROM domains_third_party
+                                     dtp WHERE dtp.domain_id = rd.id)
+                    THEN COALESCE(rd.id, pd.id)
+                    ELSE pd.id END AS domain_id
+        FROM app_urls_map aum
+        LEFT JOIN domains pd ON aum.pub_domain = pd.id
+        LEFT JOIN domains rd ON pd.root_domain_id = rd.id
+    )
+    SELECT sa.store, sa.id AS store_app, d.name AS developer_name,
+           d.store AS developer_store, d.developer_id,
+           aum.developer_url, aum.domain_id
+    FROM store_apps sa
+    LEFT JOIN developers d ON sa.developer = d.id
+    LEFT JOIN cleaned aum ON sa.id = aum.store_app
+    """,
+)
+def developer_store_apps_dim_q(spark, sf):
+    """Per-app developer dim with the third-party-aware root-domain
+    pick (reference pg-ddl/schema/public/
+    developer_store_apps__matview.sql:28-57 via
+    plans/status_views.py::developer_store_apps): an app's pub domain
+    rolls up to its root domain unless the root is a known third-party
+    host; apps with no url-map row or no developer keep NULLs."""
+    from adscrawler_spark.plans import status_views as SV
+
+    o = _t(spark, sf, "orders")
+    app = (F.col("o_orderkey") % 200).cast("int")
+    store_apps = o.select(
+        app.alias("id"),
+        (app % 2 + 1).cast("int").alias("store"),
+        F.when(app % 17 != 0, app % 12).cast("int").alias("developer"),
+    ).distinct()
+    aum = (
+        o.groupBy(app.alias("store_app"))
+        .agg(F.min("o_orderkey").alias("_min"))
+        .filter(F.col("store_app") % 4 != 0)
+        .select(
+            F.col("store_app").cast("int"),
+            (F.col("store_app") % 30).cast("int").alias("pub_domain"),
+        )
+    )
+    spark_s = o.sparkSession
+    domains = spark_s.range(0, 40).select(
+        F.col("id").cast("int").alias("id"),
+        F.when(
+            F.col("id") < 30,
+            F.concat(F.lit("d"), F.col("id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("root"), F.col("id").cast("string")))
+        .alias("domain_name"),
+        F.when(F.col("id") < 30, 30 + F.col("id") % 10)
+        .cast("int")
+        .alias("root_domain_id"),
+    )
+    tp = spark_s.createDataFrame([(31,), (33,)], "domain_id int")
+    devs = spark_s.range(0, 10).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("dev"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") % 2 + 1).cast("int").alias("store"),
+        F.concat(F.lit("did"), F.col("id").cast("string")).alias(
+            "developer_id"
+        ),
+    )
+    return SV.developer_store_apps(store_apps, devs, aum, domains, tp)
+
+
+_SDKKEY_SYN_SQL = """
+    version_codes AS (
+        SELECT cast(i AS INT) AS id, cast(i % 120 AS INT) AS store_app,
+               cast(i % 9 AS VARCHAR) || '.' || cast(i % 5 AS VARCHAR)
+                   || '.' || cast(i AS VARCHAR) AS version_code
+        FROM range(0, 400) t(i)
+    ),
+    version_manifests AS (
+        SELECT cast(i AS INT) AS version_code,
+               CASE
+                 WHEN i % 5 = 0 THEN '<meta-data'
+                   || ' android:name="applovin.sdk.key"'
+                   || ' android:value="KEY' || cast(i % 40 AS VARCHAR)
+                   || '"/>'
+                 WHEN i % 5 = 1 THEN '<meta-data'
+                   || ' android:name="applovin.sdk.key"'
+                   || ' android:value="@string/applovin_key"/>'
+                 ELSE '<application android:label="x"/>'
+               END AS manifest_string
+        FROM range(0, 400) t(i)
+    ),
+    version_strings AS (
+        SELECT cast(i AS INT) AS id,
+               CASE WHEN i % 7 = 0
+                      THEN 'resources.string.applovin_sdk_key'
+                    WHEN i % 7 = 1 THEN 'applovin_settings.sdk_key'
+                    ELSE 'resources.string.other' END AS xml_path,
+               CASE WHEN i % 3 = 0
+                      THEN substr(repeat(md5(cast(i % 25 AS VARCHAR)),
+                                         3), 1, 86)
+                    ELSE 'short' || cast(i AS VARCHAR) END AS value_name
+        FROM range(0, 400) t(i)
+    ),
+    version_details_map AS (
+        SELECT cast(i AS INT) AS string_id,
+               cast((i * 7) % 400 AS INT) AS version_code
+        FROM range(0, 400) t(i)
+    )
+"""
+
+
+@query(
+    "ad_network_sdk_keys",
+    f"""
+    WITH {_SDKKEY_SYN_SQL},
+    manifest_regex AS (
+        SELECT vc.store_app,
+               nullif(regexp_extract(vm.manifest_string,
+                   'applovin\\.sdk\\.key" android:value="([^"]+)"', 1),
+                   '') AS applovin_sdk_key
+        FROM version_manifests vm
+        LEFT JOIN version_codes vc ON vm.version_code = vc.id
+    ),
+    version_regex AS (
+        SELECT vc.store_app, vs.value_name AS applovin_sdk_key
+        FROM version_strings vs
+        LEFT JOIN version_details_map vdm ON vs.id = vdm.string_id
+        LEFT JOIN version_codes vc ON vdm.version_code = vc.id
+        WHERE (lower(vs.xml_path) LIKE '%applovin%key%'
+               OR vs.xml_path = 'applovin_settings.sdk_key')
+          AND length(vs.value_name) = 86
+    )
+    SELECT DISTINCT store_app, applovin_sdk_key FROM manifest_regex
+    WHERE applovin_sdk_key IS NOT NULL
+      AND applovin_sdk_key NOT LIKE '@string%'
+    UNION
+    SELECT DISTINCT store_app, applovin_sdk_key FROM version_regex
+    """,
+)
+def ad_network_sdk_keys_q(spark, sf):
+    """AppLovin SDK-key harvest (reference pg-ddl/schema/public/
+    ad_network_sdk_keys__matview.sql:28-52 via
+    plans/status_views.py::ad_network_sdk_keys): the decompiled-
+    manifest regex (unresolved '@string%' references dropped) unioned
+    with the version-strings path (xml_path pattern or the exact
+    settings path, value exactly 86 chars)."""
+    from adscrawler_spark.plans import status_views as SV
+
+    spark_s = spark
+    r = spark_s.range(0, 400)
+    i = F.col("id")
+    vc = r.select(
+        i.cast("int").alias("id"),
+        (i % 120).cast("int").alias("store_app"),
+        F.concat_ws(
+            ".", (i % 9).cast("string"), (i % 5).cast("string"),
+            i.cast("string"),
+        ).alias("version_code"),
+    )
+    vm = r.select(
+        i.cast("int").alias("version_code"),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(
+                    '<meta-data android:name="applovin.sdk.key"'
+                    ' android:value="KEY'
+                ),
+                (i % 40).cast("string"),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.lit(
+                '<meta-data android:name="applovin.sdk.key"'
+                ' android:value="@string/applovin_key"/>'
+            ),
+        )
+        .otherwise(F.lit('<application android:label="x"/>'))
+        .alias("manifest_string"),
+    )
+    vs = r.select(
+        i.cast("int").alias("id"),
+        F.when(i % 7 == 0, "resources.string.applovin_sdk_key")
+        .when(i % 7 == 1, "applovin_settings.sdk_key")
+        .otherwise("resources.string.other")
+        .alias("xml_path"),
+        F.when(
+            i % 3 == 0,
+            F.substring(
+                F.repeat(F.md5((i % 25).cast("string")), 3), 1, 86
+            ),
+        )
+        .otherwise(F.concat(F.lit("short"), i.cast("string")))
+        .alias("value_name"),
+    )
+    vdm = r.select(
+        i.cast("int").alias("string_id"),
+        ((i * 7) % 400).cast("int").alias("version_code"),
+    )
+    return SV.ad_network_sdk_keys(vm, vc, vs, vdm)
+
+
+_TAGTOT_SYN_SQL = """
+    cac AS (
+        SELECT cast(l_partkey % 300 AS INT) AS store_app,
+               l_quantity > 25 AS sdk,
+               l_discount > 0.05 AS api_call,
+               l_linenumber = 1 AS publisher,
+               l_tax > 0.04 AS app_ads_direct,
+               l_tax <= 0.02 AS app_ads_reseller
+        FROM lineitem
+    ),
+    sao AS (
+        SELECT cast(k AS INT) AS id, cast(k % 2 + 1 AS INT) AS store,
+               'c' || cast(k % 6 AS VARCHAR) AS category,
+               cast(k * 1000 AS BIGINT) AS installs,
+               cast(k * 10 AS BIGINT) AS installs_sum_4w
+        FROM (SELECT DISTINCT l_partkey % 300 AS k FROM lineitem
+              WHERE l_partkey % 300 % 29 != 0) t
+    )
+"""
+
+
+@query(
+    "tag_totals",
+    f"""
+    WITH {_TAGTOT_SYN_SQL},
+    dag AS (
+        SELECT DISTINCT store_app, tag_source
+        FROM cac
+        UNPIVOT (present FOR tag_source IN
+                 (sdk, api_call, publisher, app_ads_direct,
+                  app_ads_reseller))
+        WHERE present
+    ),
+    universes AS (
+        SELECT store, category AS app_category,
+               count(id) AS active_apps_universe,
+               cast(sum(installs) AS BIGINT) AS universe_installs_total,
+               cast(sum(installs_sum_4w) AS BIGINT)
+                   AS universe_installs_d30
+        FROM sao WHERE id IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT sa.store, sa.category AS app_category, dag.tag_source,
+           count(DISTINCT dag.store_app)
+               AS total_active_scanned_apps_with_tag,
+           cast(sum(sa.installs) AS BIGINT)
+               AS total_scanned_installs_with_tag,
+           cast(sum(sa.installs_sum_4w) AS BIGINT)
+               AS total_scanned_installs_d30_with_tag,
+           max(su.active_apps_universe) AS active_apps_universe,
+           cast(max(su.universe_installs_total) AS BIGINT)
+               AS universe_installs_total,
+           cast(max(su.universe_installs_d30) AS BIGINT)
+               AS universe_installs_d30
+    FROM dag
+    LEFT JOIN sao sa ON dag.store_app = sa.id
+    LEFT JOIN universes su
+      ON sa.store = su.store AND sa.category = su.app_category
+    WHERE sa.id IS NOT NULL
+    GROUP BY sa.store, sa.category, dag.tag_source
+    """,
+)
+def tag_totals_q(spark, sf):
+    """Per-(store, category, tag) scanned-vs-universe install totals
+    (reference pg-ddl/schema/adtech/tag_totals__matview.sql:28-58 via
+    plans/status_views.py::tag_totals); apps missing from the overview
+    drop out (the reference's LEFT JOIN ... WHERE sa.id IS NOT
+    NULL)."""
+    from adscrawler_spark.plans import status_views as SV
+
+    li = _t(spark, sf, "lineitem")
+    cac = li.select(
+        (F.col("l_partkey") % 300).cast("int").alias("store_app"),
+        (F.col("l_quantity") > 25).alias("sdk"),
+        (F.col("l_discount") > 0.05).alias("api_call"),
+        (F.col("l_linenumber") == 1).alias("publisher"),
+        (F.col("l_tax") > 0.04).alias("app_ads_direct"),
+        (F.col("l_tax") <= 0.02).alias("app_ads_reseller"),
+    )
+    k = F.col("k")
+    sao = (
+        li.select((F.col("l_partkey") % 300).alias("k"))
+        .distinct()
+        .filter(k % 29 != 0)
+        .select(
+            k.cast("int").alias("id"),
+            (k % 2 + 1).cast("int").alias("store"),
+            F.concat(F.lit("c"), (k % 6).cast("string")).alias(
+                "category"
+            ),
+            (k * 1000).cast("long").alias("installs"),
+            (k * 10).cast("long").alias("installs_sum_4w"),
+        )
+    )
+    return SV.tag_totals(cac, sao)
+
+
+_TCO_SYN_SQL = """
+    sao AS (
+        SELECT cast(k AS INT) AS id, cast(k % 2 + 1 AS INT) AS store,
+               k % 7 = 0 AS is_removed,
+               TIMESTAMP '1995-05-01 00:00:00'
+                   + (k % 50) * INTERVAL 1 DAY AS last_crawled_at
+        FROM (SELECT DISTINCT o_custkey % 400 AS k FROM orders) t
+    ),
+    version_codes AS (
+        SELECT cast(i AS INT) AS id, cast(i % 150 AS INT) AS store_app,
+               cast(i % 9 AS VARCHAR) || '.' || cast(i % 5 AS VARCHAR)
+                   || '.' || cast(i % 13 AS VARCHAR) AS version_code
+        FROM range(0, 500) t(i)
+    ),
+    scan_results AS (
+        SELECT cast(i AS INT) AS version_code_id,
+               TIMESTAMP '1995-05-01 00:00:00'
+                   + i * INTERVAL 1 HOUR AS scanned_at,
+               cast(CASE WHEN i % 3 = 0 THEN 1 ELSE 2 END AS INT)
+                   AS scan_result
+        FROM range(0, 500) t(i) WHERE i % 4 != 0
+    ),
+    domains AS (
+        SELECT cast(i AS INT) AS id, 'dom' || cast(i AS VARCHAR)
+                   AS domain_name
+        FROM range(0, 200) t(i)
+    ),
+    adstxt_crawl_results AS (
+        SELECT cast(i AS INT) AS domain_id,
+               cast(CASE WHEN i % 5 = 0 THEN 1 ELSE 3 END AS INT)
+                   AS crawl_result,
+               TIMESTAMP '1995-05-01 00:00:00'
+                   + (i % 40) * INTERVAL 1 DAY AS updated_at
+        FROM range(0, 200) t(i) WHERE i % 3 != 2
+    )
+"""
+
+
+@query(
+    "total_count_overview",
+    f"""
+    WITH {_TCO_SYN_SQL},
+    app_count AS (
+        SELECT count(CASE WHEN store = 1 THEN 1 END) AS android_apps,
+               count(CASE WHEN store = 2 THEN 1 END) AS ios_apps,
+               count(CASE WHEN store = 1 AND NOT is_removed THEN 1 END)
+                   AS success_android_apps,
+               count(CASE WHEN store = 2 AND NOT is_removed THEN 1 END)
+                   AS success_ios_apps,
+               count(CASE WHEN store = 1 AND last_crawled_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY THEN 1 END)
+                   AS weekly_scanned_android_apps,
+               count(CASE WHEN store = 2 AND last_crawled_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY THEN 1 END)
+                   AS weekly_scanned_ios_apps,
+               count(CASE WHEN store = 1 AND NOT is_removed
+                     AND last_crawled_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY THEN 1 END)
+                   AS weekly_success_scanned_android_apps,
+               count(CASE WHEN store = 2 AND NOT is_removed
+                     AND last_crawled_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY THEN 1 END)
+                   AS weekly_success_scanned_ios_apps
+        FROM sao
+    ),
+    last_scan AS (
+        SELECT DISTINCT ON (vc.store_app) vc.store_app,
+               sr.scanned_at AS ls_scanned_at
+        FROM scan_results sr
+        LEFT JOIN version_codes vc ON sr.version_code_id = vc.id
+        ORDER BY vc.store_app, sr.scanned_at DESC
+    ),
+    last_ok AS (
+        SELECT DISTINCT ON (vc.store_app) vc.store_app AS ok_store_app,
+               sr.scanned_at AS ok_scanned_at
+        FROM version_codes vc
+        JOIN scan_results sr ON vc.id = sr.version_code_id
+        WHERE sr.scan_result = 1
+        ORDER BY vc.store_app, sr.scanned_at DESC
+    ),
+    sdk_count AS (
+        SELECT
+          count(DISTINCT CASE WHEN sa.store = 1 THEN ls.store_app END)
+              AS sdk_android_apps,
+          count(DISTINCT CASE WHEN sa.store = 2 THEN ls.store_app END)
+              AS sdk_ios_apps,
+          count(DISTINCT CASE WHEN sa.store = 1 THEN lo.ok_store_app END)
+              AS sdk_success_android_apps,
+          count(DISTINCT CASE WHEN sa.store = 2 THEN lo.ok_store_app END)
+              AS sdk_success_ios_apps,
+          count(DISTINCT CASE WHEN sa.store = 1 AND lo.ok_scanned_at
+                >= DATE '1995-06-15' - INTERVAL 7 DAY
+                THEN lo.ok_store_app END)
+              AS sdk_weekly_success_android_apps,
+          count(DISTINCT CASE WHEN sa.store = 2 AND lo.ok_scanned_at
+                >= DATE '1995-06-15' - INTERVAL 7 DAY
+                THEN lo.ok_store_app END)
+              AS sdk_weekly_success_ios_apps,
+          count(DISTINCT CASE WHEN sa.store = 1 AND ls.ls_scanned_at
+                >= DATE '1995-06-15' - INTERVAL 7 DAY
+                THEN ls.store_app END) AS sdk_weekly_android_apps,
+          count(DISTINCT CASE WHEN sa.store = 2 AND ls.ls_scanned_at
+                >= DATE '1995-06-15' - INTERVAL 7 DAY
+                THEN ls.store_app END) AS sdk_weekly_ios_apps
+        FROM last_scan ls
+        LEFT JOIN last_ok lo ON ls.store_app = lo.ok_store_app
+        LEFT JOIN sao sa ON sa.id = ls.store_app
+    ),
+    appads AS (
+        SELECT count(DISTINCT d.domain_name) AS appads_urls,
+               count(DISTINCT CASE WHEN r.crawl_result = 1
+                     THEN d.domain_name END) AS appads_success_urls,
+               count(DISTINCT CASE WHEN r.crawl_result = 1
+                     AND r.updated_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY
+                     THEN d.domain_name END)
+                   AS appads_weekly_success_urls,
+               count(DISTINCT CASE WHEN r.updated_at
+                     >= DATE '1995-06-15' - INTERVAL 7 DAY
+                     THEN d.domain_name END) AS appads_weekly_urls
+        FROM domains d
+        LEFT JOIN adstxt_crawl_results r ON d.id = r.domain_id
+    )
+    SELECT app_count.*, sdk_count.*, appads.*,
+           DATE '1995-06-15' AS on_date
+    FROM app_count, sdk_count, appads
+    """,
+)
+def total_count_overview_q(spark, sf):
+    """The single-row crawl-health dashboard (reference
+    pg-ddl/schema/public/total_count_overview__matview.sql:29-152 via
+    plans/status_views.py::total_count_overview): per-store app
+    counts, SDK-scan coverage off each app's latest scan / latest
+    successful scan, app-ads URL coverage, pinned as-of 1995-06-15
+    (CURRENT_DATE parameterized for determinism).  Synthetic
+    scanned_at is unique per row so the latest-scan pick is
+    deterministic in both engines."""
+    from adscrawler_spark.plans import status_views as SV
+
+    o = _t(spark, sf, "orders")
+    spark_s = o.sparkSession
+    k = F.col("k")
+    sao = (
+        o.select((F.col("o_custkey") % 400).alias("k"))
+        .distinct()
+        .select(
+            k.cast("int").alias("id"),
+            (k % 2 + 1).cast("int").alias("store"),
+            (k % 7 == 0).alias("is_removed"),
+            F.expr(
+                "timestamp '1995-05-01 00:00:00'"
+                " + make_interval(0, 0, 0, cast(k % 50 as int))"
+            ).alias("last_crawled_at"),
+        )
+    )
+    r5 = spark_s.range(0, 500)
+    i = F.col("id")
+    vc = r5.select(
+        i.cast("int").alias("id"),
+        (i % 150).cast("int").alias("store_app"),
+        F.concat_ws(
+            ".", (i % 9).cast("string"), (i % 5).cast("string"),
+            (i % 13).cast("string"),
+        ).alias("version_code"),
+    )
+    sr = r5.filter(i % 4 != 0).select(
+        i.cast("int").alias("version_code_id"),
+        F.expr(
+            "timestamp '1995-05-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(id as int))"
+        ).alias("scanned_at"),
+        F.when(i % 3 == 0, 1).otherwise(2).cast("int").alias(
+            "scan_result"
+        ),
+    )
+    r2 = spark_s.range(0, 200)
+    domains = r2.select(
+        i.cast("int").alias("id"),
+        F.concat(F.lit("dom"), i.cast("string")).alias("domain_name"),
+    )
+    acr = r2.filter(i % 3 != 2).select(
+        i.cast("int").alias("domain_id"),
+        F.when(i % 5 == 0, 1).otherwise(3).cast("int").alias(
+            "crawl_result"
+        ),
+        F.expr(
+            "timestamp '1995-05-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id % 40 as int))"
+        ).alias("updated_at"),
+    )
+    return SV.total_count_overview(
+        sao, vc, sr, domains, acr, "1995-06-15"
+    )
