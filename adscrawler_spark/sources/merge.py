@@ -24,12 +24,23 @@ def upsert(
     src: DataFrame,
     keys: list[str],
     update: bool = True,
+    touch_col: str | None = None,
+    touch_value: str | None = None,
 ) -> int:
     """INSERT … ON CONFLICT(keys) DO UPDATE (update=True) / DO NOTHING
     (update=False). Source rows win on conflict when updating; within
     the source, duplicates resolve to an arbitrary-but-deterministic
     single row (xxhash64 tie-break), mirroring the reference's
-    drop_duplicates-before-upsert discipline."""
+    drop_duplicates-before-upsert discipline.
+
+    ``touch_col``/``touch_value`` reproduce the reference's
+    ``update_modified_column()`` BEFORE UPDATE triggers (pg-ddl:
+    ``*_updated_at`` on store_apps, developers, version_codes,
+    app_ads_entrys/map, app_urls_map): a source row that REPLACES an
+    existing keyed row gets touch_col stamped to touch_value (a
+    deterministic timestamp string the caller supplies — the trigger's
+    CURRENT_TIMESTAMP, parameterized); fresh inserts keep their source
+    value, matching the trigger firing only on UPDATE."""
     current = table.read(spark)
     src = src.withColumn("_pri", F.lit(1 if update else 0))
     if current is None:
@@ -41,11 +52,22 @@ def upsert(
     w = Window.partitionBy(*keys).orderBy(
         F.desc("_pri"), F.xxhash64(*[F.col(c) for c in merged.columns])
     )
-    resolved = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter("_rn = 1")
-        .drop("_rn", "_pri")
-    )
+    resolved = merged.withColumn("_rn", F.row_number().over(w))
+    if touch_col is not None and update and current is not None:
+        # a key is "matched" when a CURRENT row (_pri=0 in update mode)
+        # carries it too — source-internal duplicates are inserts and
+        # must not be stamped
+        n_current = F.sum(
+            F.when(F.col("_pri") == 0, 1).otherwise(0)
+        ).over(Window.partitionBy(*keys))
+        resolved = resolved.withColumn(
+            touch_col,
+            F.when(
+                (F.col("_pri") == 1) & (n_current > 0),
+                F.to_timestamp(F.lit(touch_value)),
+            ).otherwise(F.col(touch_col)),
+        )
+    resolved = resolved.filter("_rn = 1").drop("_rn", "_pri")
     return table.overwrite(resolved, {"op": "upsert", "keys": keys})
 
 

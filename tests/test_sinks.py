@@ -79,3 +79,34 @@ def test_clean_keyword_text(spark):
     out = df.select(clean_keyword_text("description").alias("c")).first().c
     assert "http" not in out and "100" not in out and "'" not in out
     assert "Fun" in out and "Game" in out and "GREAT" in out
+
+
+def test_upsert_touch_stamps_only_replaced_rows(spark, cat):
+    """The updated_at BEFORE UPDATE trigger semantics (pg-ddl
+    *_updated_at triggers via merge.upsert touch_col): rows replacing
+    an existing key get the touch timestamp; fresh inserts — including
+    source-internal duplicate keys — keep their source value."""
+    schema = "k string, v int, updated_at timestamp"
+    t0 = "2024-01-01 00:00:00"
+    t1 = "2024-02-02 00:00:00"
+    t = cat.table("touched")
+    merge.upsert(
+        spark,
+        t,
+        spark.createDataFrame([("a", 1, t0), ("b", 2, t0)], "k string, v int, updated_at string")
+        .withColumn("updated_at", F.to_timestamp("updated_at")),
+        ["k"],
+    )
+    src = (
+        spark.createDataFrame(
+            [("b", 20, t0), ("c", 3, t0), ("c", 3, t0)],
+            "k string, v int, updated_at string",
+        ).withColumn("updated_at", F.to_timestamp("updated_at"))
+    )
+    merge.upsert(spark, t, src, ["k"], touch_col="updated_at", touch_value=t1)
+    got = {r.k: (r.v, str(r.updated_at)) for r in t.read(spark).collect()}
+    assert got == {
+        "a": (1, t0),   # untouched current row
+        "b": (20, t1),  # replaced → stamped
+        "c": (3, t0),   # fresh insert keeps source value
+    }
