@@ -339,3 +339,35 @@ def test_rss_guid_harvest_stays_jvm(spark):
     plan = _plan(harvest_rss_guids(feeds))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_status_views_broadcast_dims(spark):
+    """The status-view dims (category mapping, domains, developers,
+    third-party set) must ride broadcast joins — a shuffle join against
+    a 40-row dim at 10^8 apps would be a pointless full shuffle — and
+    no path may degrade to a cartesian."""
+    from adscrawler_spark.plans import status_views as SV
+
+    sa = spark.createDataFrame(
+        [(1, 1, 1, "Action"), (2, 2, 1, "News & Magazines")],
+        "id int, store int, crawl_result int, category string",
+    )
+    plan = _plan(SV.mv_app_categories(sa, SV.category_mapping(sa)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    devs = spark.createDataFrame(
+        [(1, "d", 1, "x")], "id int, name string, store int, developer_id string"
+    )
+    aum = spark.createDataFrame([(1, 5)], "store_app int, pub_domain int")
+    doms = spark.createDataFrame(
+        [(5, "a.com", 7), (7, "root.com", None)],
+        "id int, domain_name string, root_domain_id int",
+    )
+    tp = spark.createDataFrame([(7,)], "domain_id int")
+    sa2 = spark.createDataFrame(
+        [(1, 1, 1)], "id int, store int, developer int"
+    )
+    plan2 = _plan(SV.developer_store_apps(sa2, devs, aum, doms, tp))
+    assert plan2.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan2
