@@ -365,6 +365,14 @@ def refresh_all(
     ]
     # new-app leaderboard over the enriched apps dim (apps_new_weekly
     # MV; engine virtual time compresses generations into one day, so
+    # category-normalization dim over the apps dim (the crontab
+    # refreshes public.category_mapping every 8h,
+    # pg-ddl/schema/example_contab.txt)
+    from adscrawler_spark.plans import status_views as SV
+
+    level2.append(
+        ("mv_category_mapping", lambda: SV.category_mapping(apps))
+    )
     # the 7-day release window admits every discovered app)
     as_of_row = crawl_log.agg(
         F.max(F.col("fetched_at").cast("date")).alias("d")
@@ -394,7 +402,13 @@ def refresh_all(
     # ---- level 3: consumers of level-2 products ----------------------
     dense = out_dfs["mv_densified_metrics"]
     latest = out_dfs["mv_app_global_metrics_latest"]
+    mapping = out_dfs["mv_category_mapping"]
     level3 = [
+        # successful-apps-per-category rollup off the committed mapping
+        # dim (crontab: public.mv_app_categories, refreshed with it)
+        ("mv_app_categories", lambda: SV.mv_app_categories(
+            apps_overview_enriched(apps, frontier, crawl_log), mapping
+        )),
         ("mv_zscored_metrics", lambda: mh.zscored_metrics(dense)),
         ("mv_keyword_scores", lambda: appm.keyword_scores(
             ake.select("store_app", "keyword_text"),
