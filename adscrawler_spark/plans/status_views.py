@@ -64,7 +64,13 @@ CATEGORY_RENAMES = {
 def category_mapping(store_apps: DataFrame) -> DataFrame:
     """(original_category, mapped_category) dim
     (category_mapping__matview.sql:30-55): lowercase + ' & '→'_and_',
-    then the game_ prefix / rename ladder, NULL → 'N/A'."""
+    then the game_ prefix / rename ladder, NULL → 'N/A'.
+
+    Deviation (theoretical only): Postgres ``regexp_replace`` without
+    the 'g' flag replaces the FIRST ' & '; Spark replaces all.  Store
+    category names contain at most one ' & ' (e.g. 'Books &
+    Reference'), so the outputs agree on every real and synthetic
+    category; pinned by the battery oracle."""
     sub = store_apps.select(
         F.col("category").alias("original_category"),
         F.regexp_replace(
