@@ -186,7 +186,7 @@ def main() -> None:
     queries = bench_queries(spark)
     extras: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_CRAWL") != "1":
-        # The throughput extras get a fresh session: the 168-query
+        # The throughput extras get a fresh session: the full query
         # suite leaves executor-memory state behind (plan/cache
         # residue, localCheckpoint blocks from the assembly entries)
         # that measured ~2x off the dedup kernel.  Serialized fresh
