@@ -275,8 +275,21 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
         F.col("response_headers").alias("src_headers"),
         request_text_blob(calls).alias("src_request_blob"),
     )
-    hits = cr.join(src, list(_RUN_KEYS)).filter(
-        F.instr(F.col("src_text"), F.col("video_id")) > 0
+    # The join's shuffled bytes are tiny relative to its compute: the
+    # per-run cross term evaluates instr(src_text, video_id) over
+    # |cr|×|src| pairs per run, so AQE's byte-based partition
+    # coalescing collapses it onto a couple of cores and serializes
+    # the quadratic work (measured 35 s on 2 tasks vs ~2 s spread).
+    # Pin the join width to the configured shuffle parallelism —
+    # an explicitly numbered repartition is exempt from AQE coalesce —
+    # keeping runs colocated so the equi-join stays shuffle-free.
+    n_parts = int(
+        cr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    hits = (
+        cr.repartition(n_parts, *_RUN_KEYS)
+        .join(src.repartition(n_parts, *_RUN_KEYS), list(_RUN_KEYS))
+        .filter(F.instr(F.col("src_text"), F.col("video_id")) > 0)
     )
     w = Window.partitionBy(*_RUN_KEYS, "cr_uuid")
     hits = hits.withColumn(
@@ -388,6 +401,15 @@ def attribute_creatives(
         )
 
     sent = find_sent_videos(creatives, calls)
+    if persisted is not None:
+        # the sent tower (calls→creatives containment join + window)
+        # is referenced by FOUR downstream paths (the network-field
+        # split's two union branches, the fallback anti-join, the
+        # sources union); without a cut each occurrence re-runs
+        # whole-stage codegen over the full join tower — a
+        # size-independent driver cost that dominated the assembly
+        # wall clock at bench scale (janino, not Catalyst optimize)
+        sent = sent.localCheckpoint(eager=False)
     # fallback: creatives with no sent match (or short ids, which
     # never joined) parse their own request blob
     # (mitm_scrape_ads.py:161-175 via parse_creative_request).

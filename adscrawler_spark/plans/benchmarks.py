@@ -8667,6 +8667,11 @@ def _mitm_flows_synth_spark(spark, sf):
     flows = cre.unionByName(dup).unionByName(sent1).unionByName(
         sent2
     ).unionByName(ign)
+    # plan-cut the synthetic fixture (same reasoning as the routed-
+    # attribution fixture: production feeds a table scan; the cut
+    # keeps the literal-building expression trees out of every
+    # downstream codegen segment)
+    flows = flows.localCheckpoint(eager=False)
 
     mmps = spark_sess.createDataFrame(
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"]
@@ -9048,7 +9053,11 @@ def network_routed_attribution_q(spark, sf):
         F.when(g == 2, F.concat(
             F.lit('{"x-ia-app-bundle": "'), adv_id, F.lit('"}'))),
     ))
-    flows = cre.unionByName(sent)
+    # plan-cut the synthetic fixture: production feeds a table scan
+    # here; without the cut the fixture's literal-building expression
+    # trees are inlined into every downstream codegen segment (a
+    # size-independent driver cost, ~10× the query's execution time)
+    flows = cre.unionByName(sent).localCheckpoint(eager=False)
     mmps = spark_sess.createDataFrame(
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
     addoms = spark_sess.range(0, 15).select(
