@@ -371,3 +371,40 @@ def test_status_views_broadcast_dims(spark):
     plan2 = _plan(SV.developer_store_apps(sa2, devs, aum, doms, tp))
     assert plan2.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan2
+
+
+def test_sent_video_containment_join_width_is_pinned(spark):
+    """The find_sent_videos containment join shuffles few bytes but
+    evaluates instr() over the per-run |cr|x|src| cross term — compute,
+    not I/O — so AQE's byte-based coalescing must NOT be allowed to
+    collapse its width (measured: the quadratic work serialized onto 2
+    tasks).  Both join inputs must arrive through explicitly numbered
+    repartitions on the run keys (REPARTITION_BY_NUM is exempt from
+    AQE coalesce), and the pair-forming join itself must stay an
+    equi-join, never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from adscrawler_spark.operators import creatives as cv
+
+    flows = spark.createDataFrame(
+        [(
+            "m1", "r1", "com.pub",
+            "https://s0.2mdn.net/id/vidABCDE1/f.mp4", "2mdn.net",
+            "2024-03-01 00:00:10", 200, "video/mp4", 60000, "text",
+            b"X", None, None, None, None,
+        )],
+        "mitm_uuid string, run_id string, pub_store_id string, "
+        "url string, tld_url string, called_at string, "
+        "status_code int, response_mime_type string, "
+        "response_size_bytes long, response_text string, "
+        "response_content binary, query_params string, "
+        "response_headers string, post_params string, "
+        "request_text string",
+    ).withColumn("called_at", F.to_timestamp("called_at"))
+    calls = cv.add_is_creative(
+        cv.add_file_extension(cv.api_calls_from_flows(flows))
+    )
+    plan = _plan(cv.find_sent_videos(cv.creative_rows(calls), calls))
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
