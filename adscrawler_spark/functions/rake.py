@@ -49,18 +49,37 @@ CUSTOM_STOPWORDS = {
     "lets", "let", "set", "com", "game",
 }
 
-# Stand-in for ``nltk.corpus.stopwords.words('english')`` (the
-# reference unions it in, process_keywords.py:251; the NLTK data
-# download is absent here): the high-frequency English function words.
+# ``nltk.corpus.stopwords.words('english')`` inlined verbatim (the
+# reference unions it in, process_keywords.py:251; the corpus file is
+# a static public 179-word list, so no download is needed).  The
+# apostrophe forms ("you're", "don't", ...) can never match a token —
+# the normalizer maps [^a-z ]+ to a break — but the bare contraction
+# stems ("don", "ve", "couldn", ...) do, and they were the visible gap
+# vs rake_nltk output.
 CORE_ENGLISH_STOPWORDS = {
-    "a", "an", "the", "and", "or", "but", "not", "of", "to", "in",
-    "on", "at", "by", "for", "with", "from", "as", "is", "are", "was",
-    "were", "be", "been", "being", "has", "have", "had", "do", "does",
-    "did", "will", "would", "can", "could", "should", "this", "these",
-    "those", "there", "here", "when", "where", "how", "why", "all",
-    "any", "each", "more", "most", "some", "such", "no", "nor", "only",
-    "so", "than", "too", "very", "s", "t", "just", "now", "if", "then",
-    "else", "while", "about", "into", "over", "under", "again", "once",
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had",
+    "having", "do", "does", "did", "doing", "a", "an", "the", "and",
+    "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into",
+    "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "s", "t", "can", "will",
+    "just", "don", "don't", "should", "should've", "now", "d", "ll",
+    "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't",
+    "hasn", "hasn't", "haven", "haven't", "isn", "isn't", "ma",
+    "mightn", "mightn't", "mustn", "mustn't", "needn", "needn't",
+    "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't",
 }
 
 RAKE_STOPWORDS = sorted(CUSTOM_STOPWORDS | CORE_ENGLISH_STOPWORDS)
@@ -127,7 +146,11 @@ def rake_topk(
     shuffles) measured 4.6 s at sf0.1; this one does no shuffle at
     all.  Per-doc cost is O(phrases × unique words) on short texts."""
     stops = RAKE_STOPWORDS if stopwords is None else sorted(stopwords)
-    stops_arr = "array(" + ", ".join(f"'{s}'" for s in stops) + ")"
+    # Single quotes inside a stopword (NLTK's "don't", "shouldn't", …)
+    # must be escaped or the embedded SQL expression breaks.
+    stops_arr = (
+        "array(" + ", ".join("'" + s.replace("'", "\\'") + "'" for s in stops) + ")"
+    )
     toks = (
         "filter(split(regexp_replace(lower({text}), '[^a-z ]+', ' . '),"
         " ' +'), x -> x != '')"

@@ -12447,7 +12447,11 @@ def metrics_retention_batches_q(spark, sf):
 # RAKE keyword extraction (process_keywords.py extract_keywords_rake)
 # =====================================================================
 
-_RAKE_STOPS_SQL = "'a', 'about', 'again', 'all', 'also', 'an', 'and', 'any', 'app', 'application', 'are', 'as', 'at', 'be', 'been', 'being', 'but', 'by', 'can', 'com', 'could', 'did', 'do', 'does', 'dont', 'each', 'else', 'for', 'from', 'game', 'get', 'had', 'has', 'have', 'her', 'here', 'his', 'how', 'i', 'if', 'in', 'into', 'is', 'it', 'its', 'just', 'let', 'lets', 'more', 'most', 'my', 'need', 'no', 'nor', 'not', 'now', 'of', 'on', 'once', 'one', 'ones', 'only', 'or', 'our', 'over', 's', 'set', 'should', 'so', 'some', 'such', 't', 'take', 'takes', 'than', 'that', 'the', 'their', 'them', 'then', 'there', 'these', 'this', 'those', 'to', 'too', 'under', 'us', 'use', 'uses', 'very', 'was', 'we', 'were', 'what', 'whats', 'when', 'where', 'which', 'while', 'who', 'whos', 'why', 'will', 'with', 'would', 'you', 'youll', 'your', 'youre'"
+# Derived from the engine's stopword constant so the oracle can never
+# drift from the Spark side; DuckDB escapes a quote by doubling it.
+from adscrawler_spark.functions.rake import RAKE_STOPWORDS as _RAKE_STOPS
+
+_RAKE_STOPS_SQL = ", ".join("'" + s.replace("'", "''") + "'" for s in _RAKE_STOPS)
 
 
 @query(

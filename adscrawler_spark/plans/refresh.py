@@ -363,8 +363,6 @@ def refresh_all(
             )
         )),
     ]
-    # new-app leaderboard over the enriched apps dim (apps_new_weekly
-    # MV; engine virtual time compresses generations into one day, so
     # category-normalization dim over the apps dim (the crontab
     # refreshes public.category_mapping every 8h,
     # pg-ddl/schema/example_contab.txt)
@@ -373,6 +371,8 @@ def refresh_all(
     level2.append(
         ("mv_category_mapping", lambda: SV.category_mapping(apps))
     )
+    # new-app leaderboard over the enriched apps dim (apps_new_weekly
+    # MV; engine virtual time compresses generations into one day, so
     # the 7-day release window admits every discovered app)
     as_of_row = crawl_log.agg(
         F.max(F.col("fetched_at").cast("date")).alias("d")

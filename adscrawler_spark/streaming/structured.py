@@ -283,16 +283,45 @@ def unseen_urls_stream(
     )
 
 
+def _last_committed_stream_batch(tbl) -> int:
+    """Highest ``stream_batch`` id recorded in any committed snapshot
+    of ``tbl`` (−1 when none).  Walks the snapshot manifests — a
+    driver-side scan of tiny JSON files, the same place Iceberg keeps
+    its commit properties."""
+    cur = tbl.current_version()
+    if cur is None:
+        return -1
+    last = -1
+    for v in range(cur + 1):
+        snap = tbl.snapshot(v)
+        if snap is not None:
+            b = snap.get("meta", {}).get("stream_batch")
+            if isinstance(b, int) and b > last:
+                last = b
+    return last
+
+
 def run_unseen_available_now(
     dedup: DataFrame, out_dir: str, checkpoint_dir: str, table: str = "frontier_ingest"
 ) -> None:
     """Drain the deduped URL stream with availableNow through the
-    snapshot catalog (same atomic foreachBatch discipline as
-    run_available_now)."""
+    snapshot catalog.
+
+    Replay safety: Structured Streaming re-delivers the last
+    uncommitted micro-batch after a failure, and this sink APPENDS
+    (unlike run_available_now's complete-mode overwrite, which is
+    replay-safe for free).  So the sink is made idempotent the
+    standard foreachBatch way: each commit records its ``batch_id``
+    in the snapshot meta, and a batch whose id is <= the last
+    committed one is skipped instead of appended — a replayed batch
+    after a crash-between-checkpoint-and-commit lands exactly once."""
     cat = Catalog(out_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        cat.table(table).append(batch_df, {"stream_batch": batch_id})
+        tbl = cat.table(table)
+        if batch_id <= _last_committed_stream_batch(tbl):
+            return  # replayed batch already committed — skip
+        tbl.append(batch_df, {"stream_batch": batch_id})
 
     (
         dedup.writeStream.foreachBatch(commit)

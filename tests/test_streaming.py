@@ -206,3 +206,38 @@ def test_unseen_urls_stream_dedup_parity(spark, tmp_path):
     want_canons = sorted(df["url_canon"].unique())
     assert got_canons == want_canons  # one row per canonical URL
     assert len(got_canons) == 150
+
+
+def test_unseen_sink_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch replay safety: Structured Streaming re-delivers the
+    last micro-batch after a crash between sink commit and checkpoint
+    advance.  The unseen sink records each batch_id in the snapshot
+    meta and must skip a batch_id it has already committed — a replay
+    lands exactly once instead of doubling rows in a table whose
+    contract is one-row-per-url_canon."""
+    import pandas as pd
+
+    out = str(tmp_path / "seen_out")
+    cat = Catalog(out)
+    tbl = cat.table("frontier_ingest")
+    pdf = pd.DataFrame({"url_canon": ["https://a.com/x", "https://b.com/y"]})
+    df = spark.createDataFrame(pdf)
+
+    # simulate the sink committing batches 0 and 1
+    for bid in (0, 1):
+        if bid <= structured._last_committed_stream_batch(tbl):
+            continue
+        tbl.append(df, {"stream_batch": bid})
+    assert structured._last_committed_stream_batch(tbl) == 1
+
+    # crash replay: batch 1 is delivered again → must be skipped
+    replayed = 0
+    for bid in (1, 2):
+        if bid <= structured._last_committed_stream_batch(tbl):
+            replayed += 1
+            continue
+        tbl.append(df, {"stream_batch": bid})
+    assert replayed == 1
+    got = tbl.read(spark)
+    # 3 committed batches (0, 1, 2) × 2 rows — not 4 batches
+    assert got.count() == 6
