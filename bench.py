@@ -234,18 +234,25 @@ def main() -> None:
             **bench_adpayload(spark),
         }
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": 0.1,
-                "extras": extras,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "extras": extras,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r*.json keeps only a truncated tail of the
+    # line above, losing most per-query timings for round-over-round
+    # diffs — persist the full document alongside (committed per round).
+    try:
+        full_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(full_dir, exist_ok=True)
+        with open(os.path.join(full_dir, "last_full.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # bench output is the contract; the sidecar is best-effort
     spark.stop()
 
 
