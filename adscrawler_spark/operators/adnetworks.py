@@ -25,10 +25,20 @@ Reference (cited per function):
   early-stop walk, and the xml/html/js raw-text fallback.
 * yandex — :688-713 ``parse_yandex_ad``: native.ads filtered to the
   entries containing the video id.
-* everestop/bidmachine — :814-900: protobuf payloads (protod).  No
-  protobuf codec exists in this environment: the rows yield an EMPTY
-  AdInfo — exactly the reference's decode-failure result — and the
-  decode is a documented plug point, not silently re-routed.
+* everestop/bidmachine — :814-900: protobuf payloads, blind-decoded
+  (no schema) and walked at the fixed field path
+  ``ret[5][6][3][13][2]`` → [3] advertiser store id, [2] ad-network
+  tld, [17] bidmachine's parse text.  The engine's decoder is
+  ``functions/protowire.py`` (public wire format); the per-route
+  combination keeps the reference's abort-order semantics (see
+  ``protowire.extract_ad_fields``).  Documented deviation: when the
+  fixed path yields no advertiser the reference re-parses
+  ``str(ret)`` as a second pass (:848-867) — the engine parses the
+  full render in ONE pass only when the path walk failed; a
+  completed path whose text parse found nothing keeps that parse
+  (the full render is a superset of the [17] text, so the URL
+  harvest loses nothing in the failure direction — same class as
+  the :1266-1285 re-parse guard deviation below).
 
 Engine shape: routing and the vungle/mtg/fyber/youappi derivations
 are pure JVM (``get_json_object`` / header lookups / when-ladders).
@@ -397,6 +407,7 @@ def with_network_fields(
     mime_col: str = "src_mime",
     headers_col: str = "src_headers",
     request_blob_col: str = "request_blob",
+    content_col: str = "src_content",
     video_col: str = "video_id",
 ) -> DataFrame:
     """Attach route / parse_text / direct_adv / direct_mmp /
@@ -413,10 +424,14 @@ def with_network_fields(
       in the reference — see _unity_extras).
     * youappi: text swaps to the request blob for media responses.
     * yandex native-no-match: keep_empty row.
-    * protobuf routes (bidmachine / everestop): no codec in this
-      environment — parse_text null, empty AdInfo kept (the
-      reference's decode-failure result); protod decode is the plug
-      point.
+    * protobuf routes (bidmachine / everestop): the blind wire decode
+      (functions/protowire.py) walks the fixed field path.
+      bidmachine parses text — [17] when the path completed, else the
+      full render — with the path advertiser filling a null fold
+      result and the path tld filling empty found-tlds (:840-870).
+      everestop never parses text: the path advertiser/tld ARE the
+      AdInfo (:873-900).  Both keep empty AdInfos on decode failure.
+      ``direct_tlds`` carries the path tld for the downstream fold.
     """
     t = F.col(text_col)
     d = src.withColumn(
@@ -449,7 +464,13 @@ def with_network_fields(
     # UDF for every generic row (same trap adpayload.payload_urls
     # documents for its two-tier plan)
     needs_udf = F.col("route").isin(*_UDF_ROUTES)
-    base_cols = [*src.columns, "route"]
+    is_proto = F.col("route").isin(*PROTOBUF_ROUTES)
+    no_tlds = F.lit(None).cast("array<string>")
+    # the raw content rides only as far as this split — drop it from
+    # the union output so the downstream checkpoint/meta joins don't
+    # carry payload bytes
+    base_cols = [c for c in src.columns if c != content_col]
+    base_cols.append("route")
     udf_rows = d.filter(needs_udf).withColumn("_gy", gy).select(
         *base_cols,
         F.col("_gy.parse_text").alias("parse_text"),
@@ -458,19 +479,49 @@ def with_network_fields(
         F.coalesce(F.col("_gy.keep_empty"), F.lit(False)).alias(
             "keep_empty"
         ),
+        no_tlds.alias("direct_tlds"),
     )
-    jvm_rows = d.filter(~needs_udf).select(
+    from adscrawler_spark.functions import protowire as pw
+
+    content = (
+        F.col(content_col) if content_col in src.columns
+        else F.lit(None).cast("string")
+    )
+    pb = pw.protobuf_ad_fields_udf()(content)
+    proto_rows = d.filter(is_proto).withColumn("_pb", pb).select(
+        *base_cols,
+        # bidmachine: [17] text when the path completed, else the
+        # full render; everestop never parses text
+        F.when(
+            F.col("route") == "bidmachine",
+            F.coalesce(F.col("_pb.pb_text17"), F.col("_pb.pb_full")),
+        ).alias("parse_text"),
+        # the path advertiser: everestop always; bidmachine only when
+        # the try block completed (= [17] extracted) — :846 fill
+        F.when(
+            (F.col("route") == "everestop")
+            | F.col("_pb.pb_text17").isNotNull(),
+            F.col("_pb.pb_adv"),
+        ).alias("direct_adv"),
+        no_tlds.alias("direct_mmp"),
+        F.lit(True).alias("keep_empty"),
+        F.when(
+            F.col("_pb.pb_tld").isNotNull(),
+            F.array(F.col("_pb.pb_tld")),
+        ).alias("direct_tlds"),
+    )
+    jvm_rows = d.filter(~needs_udf & ~is_proto).select(
         *base_cols,
         jvm_text.alias("parse_text"),
         jvm_direct.alias("direct_adv"),
-        F.lit(None).cast("array<string>").alias("direct_mmp"),
-        (
-            F.col("route").isin(*PROTOBUF_ROUTES)
-            | ((F.col("route") == "fyber") & jvm_direct.isNull())
-        ).alias("keep_empty"),
+        no_tlds.alias("direct_mmp"),
+        ((F.col("route") == "fyber") & jvm_direct.isNull()).alias(
+            "keep_empty"
+        ),
+        no_tlds.alias("direct_tlds"),
     )
     return (
-        udf_rows.unionByName(jvm_rows)
+        udf_rows.unionByName(proto_rows).unionByName(jvm_rows)
         # every text parse goes through parse_text_for_adinfo (click
         # expansion included) EXCEPT fyber's clickless direct call
         .withColumn(

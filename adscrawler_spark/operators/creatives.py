@@ -274,6 +274,16 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
         F.col("response_mime_type").alias("src_mime"),
         F.col("response_headers").alias("src_headers"),
         request_text_blob(calls).alias("src_request_blob"),
+        # raw payload bytes ride the join ONLY for the two
+        # protobuf-routed networks (the routing ladder matches these
+        # by tld equality, so the predicate is exact) — every other
+        # route parses response_text and ships null here
+        F.when(
+            F.col("tld_url").isin("bidmachine.io", "everestop.io"),
+            F.col("response_content")
+            if "response_content" in calls.columns
+            else F.lit(None).cast("string"),
+        ).alias("src_content"),
     )
     # The join's shuffled bytes are tiny relative to its compute: the
     # per-run cross term evaluates instr(src_text, video_id) over
@@ -443,7 +453,7 @@ def attribute_creatives(
                 F.col("src_text").alias("text"),
                 "src_url", "src_mime", "src_headers",
                 F.col("src_request_blob").alias("request_blob"),
-                "video_id",
+                "src_content", "video_id",
             ),
             mmp_tld_set,
         )
@@ -530,17 +540,38 @@ def attribute_creatives(
     adv_one = F.when(one, F.element_at("adv_ids", 1))
     if nf is not None:
         meta = nf.select(
-            "cr_uuid", "src_uuid", "route", "direct_adv", "direct_mmp"
+            "cr_uuid", "src_uuid", "route", "direct_adv",
+            "direct_mmp", "direct_tlds",
         )
         infos = infos.join(meta, ["cr_uuid", "src_uuid"], "left")
         # unity merge (:939-940): the bundle fills a null advertiser
         # (the referrer-mmp merge at :941 is dead code — see
-        # adnetworks._unity_extras); the filled advertiser still
-        # faces the :1288 publisher check below
+        # adnetworks._unity_extras); bidmachine's path advertiser
+        # fills the same way (network_parsers.py:846).  The filled
+        # advertiser still faces the :1288 publisher check below
         adv_one = F.when(
-            F.col("route") == "unity",
+            F.col("route").isin("unity", "bidmachine"),
             F.coalesce(adv_one, F.col("direct_adv")),
         ).otherwise(adv_one)
+        # bidmachine tld fill-if-empty (:869-870): the path tld joins
+        # only when the text parse surfaced no ad-network tlds
+        infos = infos.withColumn(
+            "ad_network_tlds",
+            F.when(
+                (F.col("route") == "bidmachine")
+                & F.col("direct_tlds").isNotNull()
+                & (
+                    F.size(
+                        F.coalesce(
+                            "ad_network_tlds",
+                            F.array().cast("array<string>"),
+                        )
+                    )
+                    == 0
+                ),
+                F.col("direct_tlds"),
+            ).otherwise(F.col("ad_network_tlds")),
+        )
     infos = infos.select(
         *key, "mmp_urls", "ad_network_tlds", "mmp_tld", "click_url_ids",
         adv_one.alias("adv_store_id"),
@@ -561,16 +592,25 @@ def attribute_creatives(
             | (F.col("adv_store_id") != F.col("pub_store_id"))
         )
         empty_arr = F.array().cast("array<string>")
+        # a structural advertiser whose parse contributed no fold row
+        # emits its own AdInfo: mtg/fyber/everestop direct rows carry
+        # no parse_text and are never in parsed_keys; bidmachine's
+        # completed path with a URL-less [17] text lands here via the
+        # anti-join (:846 — parse(text) came back empty, the path
+        # advertiser still attributes, the path tld still fills)
         direct_infos = nf.filter(
-            F.col("parse_text").isNull()
-            & F.col("direct_adv").isNotNull()
+            F.col("direct_adv").isNotNull()
             & (F.col("direct_adv") != F.col("pub_store_id"))
+        ).join(
+            parsed_keys, ["cr_uuid", "src_uuid"], "left_anti"
         ).select(
             *key,
             F.array_sort(
                 F.coalesce("direct_mmp", empty_arr)
             ).alias("mmp_urls"),
-            empty_arr.alias("ad_network_tlds"),
+            F.coalesce("direct_tlds", empty_arr).alias(
+                "ad_network_tlds"
+            ),
             # AdInfo.mmp_tld = get_tld(first mmp url) (models.py:26-29)
             # F.get is the ANSI-safe indexer (null on empty)
             root_domain(

@@ -9088,6 +9088,192 @@ def network_routed_attribution_q(spark, sf):
     )
 
 
+def _pb_template(inner: dict, extra: dict | None = None) -> str:
+    """repr() of the wire bytes for the bidmachine/everestop payload
+    tree with placeholder field values — computed once at plan-build
+    time.  All placeholder substitutions are width-preserving, so the
+    length varints baked into the template stay valid and the synth
+    can assemble real protobuf wire bytes with pure JVM concat."""
+    from adscrawler_spark.functions import protowire as pw
+
+    tree: dict = {5: {6: {3: {13: {2: inner}}}}}
+    if extra:
+        tree[5][6].update(extra)
+    return repr(pw.encode_message(tree))
+
+
+def _tmpl_concat(tmpl: str, subs) -> F.Column:
+    """Assemble a template string as a concat of literal chunks and
+    value columns; ``subs`` = [(placeholder, column), ...] in order of
+    first occurrence."""
+    parts: list[F.Column] = []
+    for ph, col in subs:
+        pre, tmpl = tmpl.split(ph, 1)
+        parts += [F.lit(pre), col]
+    parts.append(F.lit(tmpl))
+    return F.concat(*parts)
+
+
+_PH_ADV = "@ADV@@@@@@@@"   # 12 chars, same width as com.XXnn.app
+_PH_TAD = "@TAD@@@@@@@@"   # 12 chars
+_PH_TLD = "@TLD@@@@@@"     # 10 chars, same width as adnetN.com
+
+
+@query(
+    "protobuf_route_attribution",
+    """
+    WITH b AS (
+        SELECT event_id AS e,
+               (event_id // 4) % 6 AS g,
+               lpad(cast(event_id % 30 AS VARCHAR), 2, '0') AS a,
+               cast(event_id % 9 AS VARCHAR) AS j
+        FROM events WHERE event_id % 4 = 0
+    )
+    SELECT
+        'm' || cast(e AS VARCHAR) AS mitm_uuid,
+        CASE WHEN g = 0 THEN 'com.bm' || a || '.app'
+             WHEN g IN (1, 2, 3) THEN 'com.tx' || a || '.app'
+             WHEN g = 4 THEN 'com.ev' || a || '.app'
+        END AS adv_store_id,
+        CASE WHEN g = 0 THEN 1000 + cast(e % 30 AS INT)
+             WHEN g IN (1, 2, 3) THEN 2000 + cast(e % 30 AS INT)
+             WHEN g = 4 THEN 3000 + cast(e % 30 AS INT)
+        END AS advertiser_store_app_id,
+        CASE WHEN g IN (0, 1, 2, 4) THEN 'adnet' || j || '.com'
+             ELSE '' END AS found_ad_network_tlds,
+        CASE WHEN g >= 4 THEN 'everestop.io' ELSE 'bidmachine.io' END
+            AS creative_initial_domain_tld
+    FROM b
+    """,
+)
+def protobuf_route_attribution_q(spark, sf):
+    """Blind-protobuf routed attribution (network_parsers.py:814-900
+    via functions/protowire.py + operators/adnetworks.py): the synth
+    assembles REAL protobuf wire bytes JVM-side (width-preserving
+    repr templates keep the embedded length varints valid) in the
+    reference's stringified-bytes storage form, and the engine must
+    wire-decode them.  Scenario groups: g0 complete path with a
+    URL-less [17] text (the path advertiser + tld attribute), g1 the
+    [17] text carries its own advertiser (the text parse wins, the
+    tld still fills), g2 [17] missing (the FULL render parses; the
+    tld read before the abort still fills), g3 a non-protobuf payload
+    (the rendered text parses, no tld), g4 everestop's structural
+    [3]/[2] AdInfo (the response_text decoy is never parsed), g5 a
+    path miss (empty-but-kept AdInfo).  The oracle states each
+    creative's attribution from the scenario parameters — no decode
+    restated."""
+    from adscrawler_spark.operators import creatives as cv
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    spark_sess = ev.sparkSession
+    s = lambda c: c.cast("string")  # noqa: E731
+    e = F.col("e")
+    g = F.floor(e / 4) % 6
+    a = F.lpad(s(e % 30), 2, "0")
+    j = s(e % 9)
+    vid = F.concat(F.lit("video"), s(e), F.lit("q"),
+                   F.substring(F.md5(s(e)), 1, 4))
+    run = F.concat(F.lit("r"), s(e % 40))
+    pub = F.concat(F.lit("com.pub"), s(e % 40 % 12), F.lit(".app"))
+    epoch = 1709251200
+    called = lambda off: F.timestamp_seconds(F.lit(epoch) + e + off)  # noqa: E731
+    ns = F.lit(None).cast("string")
+    base = ev.filter(e % 4 == 0)
+
+    adv = F.concat(
+        F.when(g >= 4, F.lit("com.ev")).otherwise(F.lit("com.bm")),
+        a, F.lit(".app"),
+    )
+    tadv = F.concat(F.lit("com.tx"), a, F.lit(".app"))
+    tld = F.concat(F.lit("adnet"), j, F.lit(".com"))
+    t_complete_plain = _pb_template(
+        {3: _PH_ADV, 2: _PH_TLD, 17: "no links in this text blob"})
+    t_complete_textadv = _pb_template(
+        {3: _PH_ADV, 2: _PH_TLD,
+         17: f"see market://details?id={_PH_TAD} end"})
+    t_partial_deep = _pb_template(
+        {3: _PH_ADV, 2: _PH_TLD},
+        extra={9: f"deep market://details?id={_PH_TAD} ok"})
+    t_everestop = _pb_template(
+        {3: _PH_ADV, 2: _PH_TLD, 17: "ignored for everestop"})
+    t_no_path = _pb_template({2: _PH_TLD})
+    content = (
+        F.when(g == 0, _tmpl_concat(
+            t_complete_plain, [(_PH_ADV, adv), (_PH_TLD, tld)]))
+        .when(g == 1, _tmpl_concat(
+            t_complete_textadv,
+            [(_PH_ADV, adv), (_PH_TLD, tld), (_PH_TAD, tadv)]))
+        .when(g == 2, _tmpl_concat(
+            t_partial_deep,
+            [(_PH_ADV, adv), (_PH_TLD, tld), (_PH_TAD, tadv)]))
+        .when(g == 3, F.concat(
+            F.lit("b'raw market://details?id="), tadv, F.lit(" z'")))
+        .when(g == 4, _tmpl_concat(
+            t_everestop, [(_PH_ADV, adv), (_PH_TLD, tld)]))
+        .otherwise(_tmpl_concat(t_no_path, [(_PH_TLD, tld)]))
+    )
+
+    def cols(mitm_prefix, url, tldc, called_at, mime_c, size, rtext,
+             content_c):
+        return [
+            F.concat(F.lit(mitm_prefix), s(e)).alias("mitm_uuid"),
+            run.alias("run_id"), pub.alias("pub_store_id"),
+            url.alias("url"), tldc.alias("tld_url"),
+            called_at.alias("called_at"),
+            F.lit(200).alias("status_code"),
+            mime_c.alias("response_mime_type"),
+            size.alias("response_size_bytes"),
+            rtext.alias("response_text"),
+            content_c.alias("response_content"),
+            ns.alias("query_params"), ns.alias("response_headers"),
+            ns.alias("post_params"), ns.alias("request_text"),
+        ]
+
+    cre = base.select(*cols(
+        "m",
+        F.concat(F.lit("https://s0.2mdn.net/id/"), vid,
+                 F.lit("/file.mp4")),
+        F.lit("2mdn.net"), called(0), F.lit("video/mp4"),
+        (F.lit(50001) + e % 5000).cast("long"), ns,
+        F.concat(F.lit("C"), F.md5(s(e))),
+    ))
+    sent_tld = F.when(g >= 4, F.lit("everestop.io")).otherwise(
+        F.lit("bidmachine.io"))
+    sent = base.select(*cols(
+        "s", F.concat(F.lit("https://api."), sent_tld, F.lit("/v")),
+        sent_tld, called(-100), ns, F.lit(0).cast("long"),
+        # the decoy market url must be ignored on the everestop route
+        F.concat(F.lit("resp "), vid,
+                 F.lit(" market://details?id=com.decoy.x")),
+        content,
+    ))
+    flows = cre.unionByName(sent).localCheckpoint(eager=False)
+    mmps = spark_sess.createDataFrame(
+        [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
+    addoms = spark_sess.createDataFrame(
+        [("ads9.com",)], ["domain_name"])
+    apps = None
+    for base_id, pre in [(1000, "com.bm"), (2000, "com.tx"),
+                         (3000, "com.ev")]:
+        part = spark_sess.range(0, 30).select(
+            (F.col("id") + base_id).alias("id"),
+            F.concat(F.lit(pre), F.lpad(s(F.col("id")), 2, "0"),
+                     F.lit(".app")).alias("store_id"),
+        )
+        apps = part if apps is None else apps.unionByName(part)
+    calls = cv.add_is_creative(
+        cv.add_file_extension(cv.api_calls_from_flows(flows)))
+    out = cv.attribute_creatives(
+        calls, mmps, addoms, apps, network_routing=True, persisted=[],
+    )
+    return out.select(
+        "mitm_uuid", "adv_store_id", "advertiser_store_app_id",
+        F.array_join("found_ad_network_tlds", ",").alias(
+            "found_ad_network_tlds"),
+        "creative_initial_domain_tld",
+    )
+
+
 # =====================================================================
 # Decoded-package SDK details (packages/apks/manifest.py,
 # packages/ipas/get_plist.py, packages/process_files.py)

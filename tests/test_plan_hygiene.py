@@ -291,6 +291,32 @@ def test_payload_extraction_python_only_on_nested_tier(spark):
     assert "regexp_extract_all" in plan
 
 
+def test_network_split_python_only_on_routed_tiers(spark):
+    """with_network_fields is a three-way filter-split: the protobuf
+    decode UDF and the json-walk UDF each appear exactly once (their
+    own branches), and the generic/mtg/fyber/youappi branch carries
+    no Python node at all — a conditional projection would drag every
+    row through both Arrow stages."""
+    from adscrawler_spark.operators import adnetworks as an
+
+    df = spark.createDataFrame(
+        [("r1", "p", "c1", "s1", "generic-tld.com", "t", "u", None,
+          None, None, None, "v")],
+        "run_id string, pub_store_id string, cr_uuid string, "
+        "src_uuid string, init_tld string, text string, "
+        "src_url string, src_mime string, src_headers string, "
+        "request_blob string, src_content string, video_id string",
+    )
+    nf = an.with_network_fields(df, frozenset({"adjust.com"}))
+    plan = _plan(nf)
+    # one Arrow node per routed branch: json-walk + protobuf decode
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan
+    # the raw payload bytes are consumed at the split — they must not
+    # ride into the downstream checkpoint/meta joins
+    assert "src_content" not in nf.columns
+
+
 def test_primary_recrawl_frontier_plan_shape(spark):
     """apps_to_update_primary: the ordered LIMIT compiles to
     TakeOrderedAndProject (distributed top-k, no global sort); no
