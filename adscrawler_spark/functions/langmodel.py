@@ -1,61 +1,40 @@
-"""Deterministic language-identification model.
+"""Embedded character-n-gram language-identification model.
 
-The reference uses fasttext (batched) with a langdetect fallback
-(/root/reference/adscrawler/app_stores/google.py:90-161, apple.py:469-487).
-Neither package exists in this environment, so the engine ships a
-deterministic n-gram/stopword heuristic as *the* LID model: script-block
-detection for non-Latin scripts, stopword-ratio scoring for Latin ones,
-``"zz"`` when nothing is confident (the reference's failure code).
+The reference runs fasttext's lid.176 model batched over 300-char
+description prefixes with a ``zh-*`` → ``zh`` collapse and ``"zz"`` as
+the failure code (/root/reference/adscrawler/app_stores/google.py:90-161,
+apple.py:469-487).  That model file cannot be downloaded here, so the
+engine embeds a self-contained classifier built from two public
+techniques:
+
+* **script-block tier** — languages with a dedicated Unicode script
+  (zh/ja/ko/ru/ar/hi/el/he/th) are identified by majority script
+  block, which is the dominant signal fasttext itself keys on for
+  those languages;
+* **ranked character-n-gram profiles** (Cavnar & Trenkle 1994,
+  "N-Gram-Based Text Categorization") for Latin-script languages —
+  each language carries a frequency-ranked profile of its top
+  character 1..4-grams built at import time from an embedded seed
+  corpus; classification is the classic out-of-place rank distance,
+  with an absolute normalized-distance gate so gibberish and unknown
+  languages fall back to ``"zz"`` instead of the nearest profile.
 
 This module is *model data + scoring function* shared by the Spark
-pipeline (via a vectorized pandas UDF) and the pyref oracle — like the
-PSL, the data is shared while the pipeline plumbing stays independent.
-Chinese intentionally returns ``zh-cn`` so the pipeline's ``zh-*`` →
-``zh`` collapse (google.py:241-243, apple.py:485-487) is exercised.
+pipeline (via a vectorized pandas UDF in functions/text.py) and the
+pyref oracle — like the PSL, the data is shared while the pipeline
+plumbing stays independent.  Chinese intentionally returns ``zh-cn``
+so the pipeline's ``zh-*`` → ``zh`` collapse (google.py:241-243,
+apple.py:485-487) is exercised.
 """
 
 from __future__ import annotations
 
 import re
+from collections import Counter
 
-STOPWORDS: dict[str, frozenset[str]] = {
-    "en": frozenset(
-        "the and of to in is you that it for are with as was on be at by "
-        "this have from or one had not but what all were when we there can "
-        "an your which their will more about".split()
-    ),
-    "es": frozenset(
-        "el la de que y en los se del las por un para con no una su al es "
-        "lo como más pero sus le ya o este sí porque esta entre cuando muy "
-        "sobre también hasta donde quien desde todos".split()
-    ),
-    "fr": frozenset(
-        "le de un être et à il avoir ne je son que se qui ce dans en du "
-        "elle au pour pas vous par sur faire plus dire me on mon lui nous "
-        "comme mais avec tout y aller voir bien où sans".split()
-    ),
-    "de": frozenset(
-        "der die und in den von zu das mit sich des auf für ist im dem "
-        "nicht ein eine als auch es an werden aus er hat dass sie nach "
-        "wird bei einer um am sind noch wie einem über".split()
-    ),
-    "pt": frozenset(
-        "o a de que e do da em um para é com não uma os no se na por mais "
-        "as dos como mas foi ao ele das tem à seu sua ou ser quando muito "
-        "há nos já está eu também só pelo pela até isso".split()
-    ),
-    "it": frozenset(
-        "di e il la che è per un in una sono mi si lo ma le ci come io "
-        "questo qui hanno tutto del non più anche con ha mio era se della "
-        "nel cosa questa molto fare".split()
-    ),
-    "nl": frozenset(
-        "de het een en van ik te dat die in je niet zijn is was op aan "
-        "met als voor had er maar om hem dan zou of wat mijn men dit zo "
-        "kan geen naar ook nog".split()
-    ),
-}
-_LATIN_ORDER = sorted(STOPWORDS)  # deterministic tie-break
+# --------------------------------------------------------------------
+# script-block tier
+# --------------------------------------------------------------------
 
 _SCRIPTS: list[tuple[str, re.Pattern[str]]] = [
     ("zh-cn", re.compile(r"[一-鿿]")),
@@ -69,8 +48,147 @@ _SCRIPTS: list[tuple[str, re.Pattern[str]]] = [
     ("th", re.compile(r"[฀-๿]")),
 ]
 
+# --------------------------------------------------------------------
+# Latin-script tier: embedded seed corpora (store-listing register —
+# the same genre the reference classifies).  A few hundred characters
+# per language is the operating range the Cavnar–Trenkle paper
+# reports as sufficient for clean separation at this profile size.
+# --------------------------------------------------------------------
+
+_SEEDS: dict[str, str] = {
+    "en": (
+        "This app helps you discover new games and music with your "
+        "friends. Download the best free tools for your phone and play "
+        "every day. Find what you want quickly, read reviews from other "
+        "users, and share your favorite moments with the people you "
+        "love. The new version includes many improvements and fixes to "
+        "make everything faster and easier to use. Sign in with your "
+        "account to save your progress and get personal recommendations "
+        "every week. Enjoy thousands of levels, collect rewards, and "
+        "challenge players from all over the world whenever you want."
+    ),
+    "es": (
+        "Esta aplicación te ayuda a descubrir nuevos juegos y música "
+        "con tus amigos. Descarga las mejores herramientas gratuitas "
+        "para tu teléfono y juega todos los días. Encuentra lo que "
+        "quieres rápidamente, lee las opiniones de otros usuarios y "
+        "comparte tus momentos favoritos con las personas que quieres. "
+        "La nueva versión incluye muchas mejoras para que todo sea más "
+        "rápido y fácil de usar. Inicia sesión con tu cuenta para "
+        "guardar tu progreso y recibir recomendaciones personales cada "
+        "semana. Disfruta de miles de niveles, consigue recompensas y "
+        "desafía a jugadores de todo el mundo cuando quieras."
+    ),
+    "fr": (
+        "Cette application vous aide à découvrir de nouveaux jeux et de "
+        "la musique avec vos amis. Téléchargez les meilleurs outils "
+        "gratuits pour votre téléphone et jouez tous les jours. Trouvez "
+        "rapidement ce que vous cherchez, lisez les avis des autres "
+        "utilisateurs et partagez vos moments préférés avec les "
+        "personnes que vous aimez. La nouvelle version comprend de "
+        "nombreuses améliorations pour rendre tout plus rapide et plus "
+        "facile à utiliser. Connectez-vous avec votre compte pour "
+        "sauvegarder votre progression et recevoir des recommandations "
+        "personnelles chaque semaine. Profitez de milliers de niveaux "
+        "et défiez des joueurs du monde entier quand vous voulez."
+    ),
+    "de": (
+        "Diese App hilft dir, neue Spiele und Musik mit deinen Freunden "
+        "zu entdecken. Lade die besten kostenlosen Werkzeuge für dein "
+        "Telefon herunter und spiele jeden Tag. Finde schnell, was du "
+        "suchst, lies die Bewertungen anderer Nutzer und teile deine "
+        "Lieblingsmomente mit den Menschen, die du liebst. Die neue "
+        "Version enthält viele Verbesserungen, damit alles schneller "
+        "und einfacher zu bedienen ist. Melde dich mit deinem Konto an, "
+        "um deinen Fortschritt zu speichern und jede Woche persönliche "
+        "Empfehlungen zu erhalten. Genieße tausende Level, sammle "
+        "Belohnungen und fordere Spieler aus der ganzen Welt heraus."
+    ),
+    "pt": (
+        "Este aplicativo ajuda você a descobrir novos jogos e músicas "
+        "com seus amigos. Baixe as melhores ferramentas gratuitas para "
+        "o seu telefone e jogue todos os dias. Encontre rapidamente o "
+        "que você procura, leia as avaliações de outros usuários e "
+        "compartilhe seus momentos favoritos com as pessoas que você "
+        "ama. A nova versão inclui muitas melhorias para deixar tudo "
+        "mais rápido e fácil de usar. Entre com a sua conta para salvar "
+        "o seu progresso e receber recomendações pessoais toda semana. "
+        "Aproveite milhares de níveis, colete recompensas e desafie "
+        "jogadores do mundo inteiro sempre que quiser."
+    ),
+    "it": (
+        "Questa applicazione ti aiuta a scoprire nuovi giochi e musica "
+        "con i tuoi amici. Scarica i migliori strumenti gratuiti per il "
+        "tuo telefono e gioca ogni giorno. Trova velocemente quello che "
+        "cerchi, leggi le recensioni degli altri utenti e condividi i "
+        "tuoi momenti preferiti con le persone che ami. La nuova "
+        "versione include molti miglioramenti per rendere tutto più "
+        "veloce e facile da usare. Accedi con il tuo account per "
+        "salvare i tuoi progressi e ricevere consigli personali ogni "
+        "settimana. Goditi migliaia di livelli, raccogli premi e sfida "
+        "giocatori di tutto il mondo quando vuoi."
+    ),
+    "nl": (
+        "Deze app helpt je om nieuwe spellen en muziek te ontdekken met "
+        "je vrienden. Download de beste gratis hulpmiddelen voor je "
+        "telefoon en speel elke dag. Vind snel wat je zoekt, lees de "
+        "beoordelingen van andere gebruikers en deel je favoriete "
+        "momenten met de mensen van wie je houdt. De nieuwe versie "
+        "bevat veel verbeteringen om alles sneller en makkelijker te "
+        "maken. Meld je aan met je account om je voortgang op te slaan "
+        "en elke week persoonlijke aanbevelingen te ontvangen. Geniet "
+        "van duizenden levels, verzamel beloningen en daag spelers van "
+        "over de hele wereld uit wanneer je maar wilt."
+    ),
+}
+
+PROFILE_SIZE = 300
+# 2..4-grams: single characters match anything Latin and erase the
+# real-text/gibberish separation (measured: gibberish best-distance
+# drops from ~0.78 to ~0.74 with 1-grams included, overlapping real
+# English at ~0.69)
+_NGRAM_MIN = 2
+_NGRAM_MAX = 4
 _TOKEN = re.compile(r"[^\W\d_]+", re.UNICODE)
-MIN_RATIO = 0.08
+
+# the normalized out-of-place distance above which no language is
+# credible and the classifier reports the reference's failure code;
+# measured on in-register snippets (best ~0.56-0.69) vs gibberish
+# (>= ~0.78) — pinned by the detect tests
+MAX_NORM_DISTANCE = 0.75
+
+
+def _ngram_counts(text: str) -> Counter:
+    counts: Counter = Counter()
+    for tok in _TOKEN.findall(text.lower()):
+        padded = f" {tok} "
+        ln = len(padded)
+        for n in range(_NGRAM_MIN, _NGRAM_MAX + 1):
+            for i in range(ln - n + 1):
+                counts[padded[i:i + n]] += 1
+    return counts
+
+
+def _profile(text: str, size: int = PROFILE_SIZE) -> dict[str, int]:
+    """Frequency-ranked n-gram profile: {ngram: rank}, rank 0 = most
+    frequent; count-desc + lexicographic tie-break for determinism."""
+    counts = _ngram_counts(text)
+    ranked = sorted(counts, key=lambda g: (-counts[g], g))[:size]
+    return {g: r for r, g in enumerate(ranked)}
+
+
+_PROFILES: dict[str, dict[str, int]] = {
+    lang: _profile(seed) for lang, seed in sorted(_SEEDS.items())
+}
+
+
+def _distance(tp: dict[str, int], lp: dict[str, int]) -> int:
+    """Cavnar–Trenkle out-of-place distance: per text n-gram, the rank
+    displacement in the language profile, PROFILE_SIZE when absent."""
+    return sum(
+        abs(r - lp[g]) if g in lp else PROFILE_SIZE
+        for g, r in tp.items()
+    )
 
 
 def prep_snippet(text: str | None, max_chars: int = 300) -> str:
@@ -87,19 +205,20 @@ def detect(text: str) -> str:
         return "zz"
     # Non-Latin scripts: majority script block wins (ja kana beats the
     # kanji-shared zh block, so test ja before zh-cn dominance).
-    counts = {lang: len(rx.findall(text)) for lang, rx in _SCRIPTS if True}
+    counts = {lang: len(rx.findall(text)) for lang, rx in _SCRIPTS}
     total_chars = len(text)
     if counts.get("ja", 0) > 0 and counts["ja"] >= 0.1 * total_chars:
         return "ja"
     best_script = max(counts, key=lambda k: (counts[k], k))
     if counts[best_script] >= 0.3 * total_chars:
         return best_script
-    tokens = [t.lower() for t in _TOKEN.findall(text)]
-    if not tokens:
+    tp = _profile(text)
+    if not tp:
         return "zz"
-    best_lang, best_ratio = "zz", 0.0
-    for lang in _LATIN_ORDER:
-        ratio = sum(1 for t in tokens if t in STOPWORDS[lang]) / len(tokens)
-        if ratio > best_ratio:
-            best_lang, best_ratio = lang, ratio
-    return best_lang if best_ratio >= MIN_RATIO else "zz"
+    denom = len(tp) * PROFILE_SIZE
+    best_lang, best_norm = "zz", 2.0
+    for lang, lp in _PROFILES.items():
+        norm = _distance(tp, lp) / denom
+        if norm < best_norm:
+            best_lang, best_norm = lang, norm
+    return best_lang if best_norm <= MAX_NORM_DISTANCE else "zz"
