@@ -165,6 +165,29 @@ def app_keywords_extracted(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def search_postings(documents: DataFrame) -> DataFrame:
+    """GIN-analogue inverted index over the latest listing text per
+    app (functions/textsearch.py::build_postings over title +
+    description span text) — maintained as a derived table like the
+    other matviews so ranked full-text search reads committed
+    postings instead of re-tokenizing the corpus per query (the
+    reference's tsvector GIN index is maintained by trigger /
+    REFRESH, pg-ddl search columns)."""
+    from adscrawler_spark.functions import textsearch as ts
+
+    listings = documents.filter(F.col("store").isin(1, 2))
+    text = F.concat_ws(
+        " ",
+        F.coalesce(_span_text("title"), F.lit("")),
+        F.coalesce(_span_text("description"), F.lit("")),
+    )
+    store_app = F.expr("substring(doc_id, instr(doc_id, '::') + 2)")
+    corpus = listings.select(
+        store_app.alias("store_app"), text.alias("text")
+    ).dropDuplicates(["store_app"])
+    return ts.build_postings(corpus, "store_app", "text")
+
+
 def adstxt_domain_entries(
     adstxt_entries: DataFrame, crawl_log: DataFrame
 ) -> DataFrame:
@@ -326,6 +349,7 @@ def refresh_all(
         ("mv_store_apps_overview", lambda: store_apps_overview(documents)),
         ("mv_app_keywords_extracted",
          lambda: app_keywords_extracted(documents)),
+        ("mv_search_postings", lambda: search_postings(documents)),
         ("mv_app_country_metrics", lambda: app_country_metrics(documents)),
         ("mv_adstxt_domain_entries",
          lambda: adstxt_domain_entries(adstxt, crawl_log)),

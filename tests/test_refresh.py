@@ -43,6 +43,7 @@ def test_chain_materializes_in_order(spark, crawl_and_refresh):
         "mv_z_scores_top_apps", "mv_app_country_metrics",
         "mv_store_app_ranks_latest", "mv_apps_new_weekly",
         "mv_store_app_ranks_weekly", "mv_store_app_ranks_best_monthly",
+        "mv_search_postings",
     ]
     for name in non_empty:
         assert counts.get(name, 0) > 0, f"{name} empty: {counts}"
@@ -130,6 +131,30 @@ def test_refresh_idempotent(spark, crawl_and_refresh):
     cat, counts = crawl_and_refresh
     again = refresh.refresh_all(spark, cat)
     assert again == counts
+
+
+def test_search_postings_index_consistency(spark, crawl_and_refresh):
+    """The committed postings invert the SAME corpus the apps dim is
+    built from: one row per (lexeme, app), nentry sums back to each
+    app's doc_len, and a ranked search over the index returns apps
+    that exist in the dim."""
+    cat, counts = crawl_and_refresh
+    postings = cat.table("mv_search_postings").read(spark)
+    apps = cat.table("mv_store_apps_overview").read(spark)
+    assert counts["mv_search_postings"] == postings.count()
+    # (lexeme, app) is the index key
+    assert postings.groupBy("lexeme", "store_app").count().filter(
+        "count > 1"
+    ).count() == 0
+    # per-app occurrence mass equals the denormalized doc_len
+    mass = postings.groupBy("store_app", "doc_len").agg(
+        F.sum("nentry").alias("m")
+    )
+    assert mass.filter("m <> doc_len").count() == 0
+    # every indexed app keys into the dim
+    assert postings.select("store_app").distinct().join(
+        apps, "store_app", "left_anti"
+    ).count() == 0
 
 
 def test_adstxt_staleness_over_engine_log(spark, crawl_and_refresh):
