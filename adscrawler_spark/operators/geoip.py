@@ -98,6 +98,52 @@ CITY_COLS = [
 ASN_COLS = ["asn", "org"]
 
 
+def _join_block_candidates(
+    probe: DataFrame,
+    city_blocks: DataFrame,
+    asn_blocks: DataFrame,
+    broadcast_blocks: bool = True,
+) -> DataFrame:
+    """Left-join a probe frame (carrying ``ip_int``) against the
+    tagged union of both exploded block tables on /16 bucket +
+    residual range.  Shared by the ip-keyed lookup and the uuid-keyed
+    snapshot path."""
+    blocks = (
+        explode_cidr_buckets(city_blocks)
+        .withColumn("_tag", F.lit("c"))
+        .unionByName(
+            explode_cidr_buckets(asn_blocks).withColumn("_tag", F.lit("a")),
+            allowMissingColumns=True,
+        )
+    )
+    if broadcast_blocks:
+        blocks = F.broadcast(blocks)
+    probe = probe.withColumn(
+        "bucket", F.floor(F.col("ip_int") / F.lit(1 << BUCKET_BITS))
+    )
+    return probe.join(
+        blocks,
+        (probe["bucket"] == blocks["bucket"])
+        & (probe["ip_int"] >= blocks["start_ip"])
+        & (probe["ip_int"] <= blocks["end_ip"]),
+        "left",
+    )
+
+
+def _best_block(tag: str, fields: list[Column]) -> Column:
+    """Longest-prefix-wins candidate pick for one database tag:
+    min_by over (32 − prefix_len, network) — min_by skips NULL
+    orderings, so each tag's aggregate only sees its own rows."""
+    order = F.when(
+        F.col("_tag") == tag,
+        F.struct(
+            (32 - F.col("prefix_len")).alias("o"),
+            F.col("network").alias("n"),
+        ),
+    )
+    return F.min_by(F.struct(*fields), order)
+
+
 def lookup_ips(
     ips: DataFrame,
     city_blocks: DataFrame,
@@ -142,43 +188,15 @@ def lookup_ips(
     base = ips.select("ip").distinct().withColumn(
         "ip_int", ip_to_long(F.col("ip"))
     )
-    blocks = (
-        explode_cidr_buckets(city_blocks)
-        .withColumn("_tag", F.lit("c"))
-        .unionByName(
-            explode_cidr_buckets(asn_blocks).withColumn("_tag", F.lit("a")),
-            allowMissingColumns=True,
-        )
+    joined = _join_block_candidates(
+        base, city_blocks, asn_blocks, broadcast_blocks
     )
-    if broadcast_blocks:
-        blocks = F.broadcast(blocks)
-    probe = base.withColumn(
-        "bucket", F.floor(F.col("ip_int") / F.lit(1 << BUCKET_BITS))
-    )
-    joined = probe.join(
-        blocks,
-        (probe["bucket"] == blocks["bucket"])
-        & (probe["ip_int"] >= blocks["start_ip"])
-        & (probe["ip_int"] <= blocks["end_ip"]),
-        "left",
-    )
-
-    def best(tag: str, fields: list[Column]) -> Column:
-        order = F.when(
-            F.col("_tag") == tag,
-            F.struct(
-                (32 - F.col("prefix_len")).alias("o"),
-                F.col("network").alias("n"),
-            ),
-        )
-        return F.min_by(F.struct(*fields), order)
-
-    agg = joined.groupBy(probe["ip"]).agg(
-        best(
+    agg = joined.groupBy(F.col("ip")).agg(
+        _best_block(
             "c",
             [F.col(c) for c in CITY_COLS] + [F.col("network").alias("cidr")],
         ).alias("_city"),
-        best("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
+        _best_block("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
     )
     hit = F.col("_city.cidr").isNotNull() & F.col("_asn.asn").isNotNull()
     return agg.select(
@@ -243,21 +261,50 @@ def ip_geo_snapshot_rows(
 
     ``flows``: (mitm_uuid, ip_address, ...).  ``countries``:
     (country_id, alpha2).  Returns (id, mitm_uuid, ip_address,
-    country_id, state_iso, city_name, org)."""
-    pairs = flows.select("mitm_uuid", "ip_address").dropDuplicates(
-        ["mitm_uuid"]
+    country_id, state_iso, city_name, org).
+
+    Plan shape — ONE shuffle end to end: the per-uuid dedup (min ip,
+    deterministic where the old dropDuplicates was arbitrary) hash-
+    partitions on mitm_uuid; the block candidates arrive by broadcast,
+    preserving that partitioning; and the longest-prefix fold groups
+    on (mitm_uuid, ip_address), whose ClusteredDistribution the
+    existing mitm_uuid partitioning already satisfies — so the
+    candidate collapse is exchange-free.  The earlier formulation
+    (dedup → distinct ips → lookup → join back on ip) paid three
+    full-probe shuffles for the same answer; distinct-ips only wins
+    when ip duplication is extreme, and the lookup side is a
+    broadcast join either way."""
+    dedup = (
+        flows.select("mitm_uuid", "ip_address")
+        .groupBy("mitm_uuid")
+        .agg(F.min("ip_address").alias("ip_address"))
     )
-    geo = get_geo(
-        pairs.select(F.col("ip_address").alias("ip")).distinct(),
-        city_blocks,
-        asn_blocks,
+    probe = dedup.withColumn("ip_int", ip_to_long(F.col("ip_address")))
+    joined = _join_block_candidates(probe, city_blocks, asn_blocks)
+    agg = joined.groupBy("mitm_uuid", "ip_address").agg(
+        _best_block(
+            "c",
+            [F.col("country_iso"), F.col("state_iso"),
+             F.col("city_name"), F.col("network").alias("cidr")],
+        ).alias("_city"),
+        _best_block("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
     )
-    enriched = pairs.join(
-        geo, pairs["ip_address"] == geo["ip"], "left"
-    ).drop("ip")
-    with_country = enriched.join(
+    # get_geo's ladder (tools/geo.py:101-129): unparseable → empty
+    # strings; parseable but missed in EITHER database → NULLs
+    ok = ip_to_long(F.col("ip_address")).isNotNull()
+    hit = F.col("_city.cidr").isNotNull() & F.col("_asn.asn").isNotNull()
+    pick = lambda c: F.when(~ok, F.lit("")).when(hit, c)  # noqa: E731
+    with_geo = agg.select(
+        "mitm_uuid",
+        "ip_address",
+        pick(F.col("_city.country_iso")).alias("country_iso"),
+        pick(F.col("_city.state_iso")).alias("state_iso"),
+        pick(F.col("_city.city_name")).alias("city_name"),
+        pick(F.col("_asn.org")).alias("org"),
+    )
+    with_country = with_geo.join(
         F.broadcast(countries.select("alpha2", "country_id")),
-        enriched["country_iso"] == F.col("alpha2"),
+        with_geo["country_iso"] == F.col("alpha2"),
         "left",
     )
     return with_country.select(

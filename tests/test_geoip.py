@@ -186,3 +186,27 @@ def test_ip_geo_snapshot_lineage(spark):
     missing = {r.domain_name
                for r in G.missing_domain_rows(calls, domains).collect()}
     assert missing == {"new.net"}
+
+
+def test_snapshot_plan_single_shuffle(spark):
+    """The snapshot path is ONE hash exchange end to end: the per-uuid
+    dedup partitions on mitm_uuid, the block candidates arrive by
+    broadcast, and the longest-prefix fold on (mitm_uuid, ip_address)
+    reuses that partitioning (subset-key ClusteredDistribution) — the
+    earlier dedup → distinct-ips → join-back shape paid three."""
+    import re
+
+    flows = spark.createDataFrame(
+        [("m1", "10.0.0.5"), ("m2", "bad")],
+        "mitm_uuid string, ip_address string",
+    )
+    countries = spark.createDataFrame(
+        [("C0", 11)], "alpha2 string, country_id int"
+    )
+    df = G.ip_geo_snapshot_rows(
+        flows, _city_blocks(spark), _asn_blocks(spark), countries
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
