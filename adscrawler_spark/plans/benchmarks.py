@@ -12718,6 +12718,87 @@ def rake_keywords_topk_q(spark, sf):
     )
 
 
+from adscrawler_spark.functions.nounphrase import (  # noqa: E402
+    NON_NOUN_TAILS as _NP_TAILS,
+    NOUN_PHRASE_STOPWORDS as _NP_STOPS,
+)
+
+_NP_TAILS_SQL = ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _NP_TAILS
+)
+_NP_STOPS_SQL = ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _NP_STOPS
+)
+
+
+@query(
+    "noun_phrase_keywords_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       list_filter(string_split_regex(
+                           regexp_replace(lower(text), '[^a-z ]+',
+                                          ' . ', 'g'),
+                           ' +'), x -> x <> ''),
+                       (x, i) -> {{'tok': x, 'pos': i}})) AS s
+            FROM documents
+        ) u
+    ),
+    marked AS (
+        SELECT doc_id, tok, pos,
+               (tok = '.' OR tok IN ({_NP_STOPS_SQL})) AS is_break
+        FROM toks
+    ),
+    grp AS (
+        SELECT *, sum(CASE WHEN is_break THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM marked
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               count(*) AS n_tokens
+        FROM grp WHERE NOT is_break
+        GROUP BY doc_id, phrase_id
+    ),
+    kept AS (
+        SELECT doc_id, phrase, n_tokens FROM phrases
+        WHERE n_tokens <= 3
+          AND list_extract(string_split(phrase, ' '), -1)
+              NOT IN ({_NP_TAILS_SQL})
+    ),
+    counts AS (
+        SELECT doc_id, phrase,
+               cast(len(string_split(phrase, ' ')) AS BIGINT)
+                   AS n_tokens,
+               count(*) AS freq
+        FROM kept GROUP BY doc_id, phrase
+    )
+    SELECT doc_id, phrase, n_tokens, freq, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY freq DESC, phrase ASC) AS rnk
+        FROM counts)
+    WHERE rnk <= 10
+    """,
+)
+def noun_phrase_keywords_topk_q(spark, sf):
+    """POS-lite noun-phrase keywords (reference
+    process_keywords.py:164-193 extract_keywords_spacy — noun chunks,
+    alpha roots, <= 3 tokens, stopword-free, frequency top-10):
+    stopword-delimited runs with an embedded adjective/adverb tail
+    table standing in for the POS tagger, deterministic
+    (freq desc, phrase asc) ranking, all inside one zero-exchange
+    projection (functions/nounphrase.py::noun_phrase_topk)."""
+    from adscrawler_spark.functions import nounphrase as NP
+
+    return NP.noun_phrase_topk(
+        _t(spark, sf, "documents"), top_n=10, max_tokens=3
+    )
+
+
 # =====================================================================
 # Status/dimension matviews (pg-ddl round-5 close-out:
 # category_mapping, mv_app_categories, developer_store_apps,
