@@ -331,11 +331,12 @@ def run_generation(
 
     play_docs = _listing_docs(fetched, "listing_play", now)
     ios_docs = _listing_docs(fetched, "listing_ios", now)
+    # single consumer (the sink lane counts in-flight via observe) —
+    # no cache needed; the lineage reads the persisted `fetched`
     docs = (
         adstxt_docs.unionByName(play_docs)
         .unionByName(ios_docs)
         .dropDuplicates(["doc_id"])
-        .persist()
     )
     # entries feeds the count, the sink, the result fold AND discovery —
     # persist so the ads.txt parse runs once.
@@ -376,51 +377,70 @@ def run_generation(
 
     docs_out = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
 
+    # Every sink lane previously ran TWO actions — a count/agg that
+    # materialized its lineage, then the append that re-read it.  The
+    # counts now ride the append itself via Observation (accumulator-
+    # backed, collected by the write action), halving each lane's
+    # action count and — for the uncached docs lineage — halving the
+    # parse CPU.
+    from pyspark.sql import Observation
+
+    obs_docs = Observation("docs_sink")
+    docs_obs = docs_out.observe(obs_docs, F.count(F.lit(1)).alias("n"))
+    obs_entries = Observation("entries_sink")
+    entries_obs = entries_out.observe(
+        obs_entries, F.count(F.lit(1)).alias("n")
+    )
+    obs_log = Observation("log_sink")
+    log_obs = log.observe(
+        obs_log,
+        F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+        F.sum(
+            (F.col("fetched") & (F.col("crawl_result") == 1)).cast("int")
+        ).alias("n_ok"),
+        F.sum(F.col("denied").cast("int")).alias("n_denied"),
+    )
+
     with ThreadPoolExecutor(max_workers=5) as pool:
         f_docs = pool.submit(
-            lambda: (docs.count(),
-                     cat.table("documents").append(
-                         docs_out, {"generation": generation},
-                         partition_by=["store", "crawled_date", "country"]))
+            lambda: (cat.table("documents").append(
+                         docs_obs, {"generation": generation},
+                         partition_by=["store", "crawled_date", "country"]),
+                     int(obs_docs.get["n"]))
         )
         f_entries = pool.submit(
-            lambda: (entries_out.count(),
-                     cat.table("adstxt_entries").append(
-                         entries_out, {"generation": generation}))
+            lambda: (cat.table("adstxt_entries").append(
+                         entries_obs, {"generation": generation}),
+                     int(obs_entries.get["n"]))
         )
         def _results_lane():
-            # the aggregate materializes the persisted `results` once;
-            # the log append then reads the cache — two concurrent
-            # lanes racing the same un-materialized persisted
-            # partitions would duplicate the whole parse lineage's CPU
-            c = results.agg(
-                F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
-                F.sum(
-                    (F.col("fetched") & (F.col("crawl_result") == 1)).cast(
-                        "int"
-                    )
-                ).alias("n_ok"),
-                F.sum(F.col("denied").cast("int")).alias("n_denied"),
-            ).collect()[0]
-            cat.table("crawl_log").append(log, {"generation": generation})
-            return c
+            # the append materializes the persisted `results` once
+            # (log reads it); the summary tallies ride the same action
+            cat.table("crawl_log").append(
+                log_obs, {"generation": generation}
+            )
+            return obs_log.get
 
         f_log = pool.submit(_results_lane)
         def _ingest_ranks():
             # a partitioned write of ZERO rows leaves no data files to
             # infer a schema from on read-back — skip the commit when
-            # the idempotency anti-join removed everything
+            # the idempotency anti-join removed everything.  The count
+            # gates the append, so it cannot ride an observation; the
+            # cache keeps the parse + anti-join lineage single-run.
+            rank_rows.persist()
             n = rank_rows.count()
             if n:
                 cat.table("rankings").append(
                     rank_rows, {"generation": generation},
                     partition_by=["store", "crawled_date"],
                 )
+            rank_rows.unpersist()
             return n
 
         f_ranks = pool.submit(_ingest_ranks)
-        n_docs = f_docs.result()[0]
-        n_entries = f_entries.result()[0]
+        n_docs = f_docs.result()[1]
+        n_entries = f_entries.result()[1]
         counts = f_log.result()
         n_rank_rows = f_ranks.result()
     t_sinks = time.time()
@@ -495,13 +515,16 @@ def run_generation(
     # state file (generation + per-table versions) is written only
     # after every lane joins, so a crash mid-pool rolls back all of
     # them exactly as the serial order did.
+    obs_front = Observation("frontier_sink")
+    new_frontier_obs = new_frontier_rows.observe(
+        obs_front, F.count(F.lit(1)).alias("n")
+    )
     with ThreadPoolExecutor(max_workers=3) as pool:
         def _frontier_lane() -> int:
-            n = new_frontier_rows.count()
             cat.table("frontier").append(
-                new_frontier_rows, {"generation": generation}
+                new_frontier_obs, {"generation": generation}
             )
-            return n
+            return int(obs_front.get["n"])
 
         f_new = pool.submit(_frontier_lane)
         f_seen = (
@@ -527,9 +550,9 @@ def run_generation(
     if (generation + 1) % COMPACT_EVERY == 0:
         compact_frontier(spark, cat, generation)
 
-    n_fetched = int(counts.n_fetched or 0)
-    n_ok = int(counts.n_ok or 0)
-    n_denied = int(counts.n_denied or 0)
+    n_fetched = int(counts["n_fetched"] or 0)
+    n_ok = int(counts["n_ok"] or 0)
+    n_denied = int(counts["n_denied"] or 0)
     n_deferred = n_claimed - n_fetched - n_denied
     elapsed = time.time() - t0
     metrics = {
@@ -561,7 +584,6 @@ def run_generation(
     )
     fetched.unpersist()
     results.unpersist()
-    docs.unpersist()
     parse_results.unpersist()
     entries.unpersist()
     frontier.unpersist()
