@@ -1,0 +1,362 @@
+"""Lemma-frequency keyword extraction — the engine's approximation of
+the reference's NLTK extractor.
+
+Reference: /root/reference/adscrawler/app_stores/process_keywords.py
+:197-232 ``extract_keywords_nltk`` — ``word_tokenize`` → averaged-
+perceptron POS tags → ``WordNetLemmatizer.lemmatize(word.lower(),
+wordnet_pos)`` → keep alphabetic, non-stopword (NLTK english ∪
+CUSTOM_STOPWORDS), ``len(lemma) > 2`` → ``Counter.most_common(top_n)``.
+
+Neither the perceptron tagger, the WordNet lexicon, nor the lemmatizer
+corpus is available in this environment (all are runtime downloads),
+so the lemmatizer is approximated from first principles with the
+public morphy design (WordNet's documented "rules of detachment"):
+
+* an embedded exception table stands in for WordNet's ``*.exc`` files
+  (irregular plurals/verbs) AND for the lexicon-membership check that
+  real morphy uses to reject over-stemming — common -ing/-er nominals
+  ("rating", "player", ...) are pinned to themselves because the
+  perceptron would tag them NN and the noun lemmatizer leaves them
+  alone;
+* POS selection is suffix-driven (POS-lite): -ing/-ed → verb rules
+  with Porter-style doubling/e-restoration guards, -ies/-es/-s →
+  the shared noun/verb s-rules (which agree wherever both apply),
+  everything else unchanged.  Comparative/superlative forms are
+  exception-table entries rather than a blanket -er/-est rule, because
+  agent nouns in store-listing text ("tracker", "launcher") vastly
+  outnumber comparatives and the reference's tagger protects them.
+
+This is a documented approximation: an out-of-table irregular or a
+verb-tagged -ing nominal diverges from real NLTK output.  Ranking is
+deterministic (freq desc, lemma asc) where the reference's
+``Counter.most_common`` breaks ties by corpus order.
+
+Engine shape: the whole computation is document-local algebra like
+RAKE/noun-phrase — ZERO exchanges, embarrassingly parallel (pinned by
+tests/test_lemma.py).  The lemma rule chain is generated ONCE as a
+dialect-neutral SQL CASE (only CASE/LIKE/substring/length/``||``/IN)
+and embedded verbatim in both the Spark plan and the DuckDB oracle, so
+the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adscrawler_spark.functions.rake import RAKE_STOPWORDS
+
+# Irregular forms (WordNet *.exc analog) plus lexicon-membership pins:
+# inflected-looking words the reference's noun path leaves unchanged.
+# Identity entries are load-bearing — they shadow the suffix rules.
+LEMMA_EXCEPTIONS: dict[str, str] = {
+    # -- irregular plurals (noun.exc analog) --------------------------
+    "men": "man", "women": "woman", "children": "child",
+    "feet": "foot", "teeth": "tooth", "geese": "goose",
+    "mice": "mouse", "lives": "life", "wives": "wife",
+    "knives": "knife", "halves": "half", "selves": "self",
+    "people": "people", "data": "data", "media": "media",
+    "series": "series", "species": "species", "news": "news",
+    # -- irregular verbs (verb.exc analog) ----------------------------
+    "ran": "run", "went": "go", "gone": "go", "made": "make",
+    "took": "take", "taken": "take", "got": "get", "gotten": "get",
+    "had": "have", "did": "do", "done": "do", "said": "say",
+    "saw": "see", "seen": "see", "came": "come", "gave": "give",
+    "given": "give", "found": "find", "built": "build",
+    "bought": "buy", "brought": "bring", "thought": "think",
+    "held": "hold", "kept": "keep", "left": "leave", "met": "meet",
+    "paid": "pay", "sent": "send", "sold": "sell", "told": "tell",
+    "won": "win", "wrote": "write", "written": "write",
+    "chose": "choose", "chosen": "choose", "knew": "know",
+    "known": "know", "grew": "grow", "grown": "grow", "drew": "draw",
+    "drawn": "draw", "ate": "eat", "eaten": "eat", "fell": "fall",
+    "felt": "feel", "spoke": "speak", "spoken": "speak",
+    "stood": "stand", "understood": "understand", "began": "begin",
+    "begun": "begin", "broke": "break", "broken": "break",
+    "caught": "catch", "taught": "teach", "lost": "lose",
+    "added": "add", "adding": "add", "quizzes": "quiz",
+    "meant": "mean", "read": "read", "ridden": "ride", "rode": "ride",
+    "sang": "sing", "sung": "sing", "spent": "spend", "swam": "swim",
+    "threw": "throw", "thrown": "throw", "woke": "wake",
+    "wore": "wear", "worn": "wear",
+    # -- comparatives/superlatives the tagger would mark JJR/JJS ------
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "bigger": "big", "biggest": "big", "larger": "large",
+    "largest": "large", "smaller": "small", "smallest": "small",
+    "faster": "fast", "fastest": "fast", "easier": "easy",
+    "easiest": "easy", "higher": "high", "highest": "high",
+    "lower": "low", "lowest": "low", "newer": "new", "newest": "new",
+    "older": "old", "oldest": "old", "stronger": "strong",
+    "strongest": "strong", "simpler": "simple", "simplest": "simple",
+    "cheaper": "cheap", "cheapest": "cheap", "safer": "safe",
+    "safest": "safe", "smarter": "smart", "smartest": "smart",
+    "quicker": "quick", "quickest": "quick", "earlier": "early",
+    "earliest": "early", "greater": "great", "greatest": "great",
+    "later": "late", "latest": "late",
+    # -- lexicon pins: -ing/-ed nominals/adjectives the perceptron
+    #    tags NN/JJ (the noun lemmatizer keeps them) -------------------
+    "rating": "rating", "ratings": "rating", "setting": "setting",
+    "settings": "setting", "shopping": "shopping",
+    "training": "training", "building": "building",
+    "buildings": "building", "gaming": "gaming",
+    "messaging": "messaging", "streaming": "streaming",
+    "booking": "booking", "bookings": "booking", "banking": "banking",
+    "learning": "learning", "listing": "listing",
+    "listings": "listing", "marketing": "marketing",
+    "parking": "parking", "reading": "reading",
+    "recording": "recording", "recordings": "recording",
+    "saving": "saving", "savings": "saving", "sharing": "sharing",
+    "trading": "trading", "tracking": "tracking", "typing": "typing",
+    "writing": "writing", "wedding": "wedding",
+    "weddings": "wedding", "clothing": "clothing",
+    "farming": "farming", "fishing": "fishing", "racing": "racing",
+    "advanced": "advanced", "unlimited": "unlimited",
+    "animated": "animated", "detailed": "detailed",
+    "united": "united", "red": "red", "bed": "bed", "beds": "bed",
+    "wed": "wed", "speed": "speed", "feed": "feed", "seed": "seed",
+    "need": "need", "indeed": "indeed", "based": "base",
+    # -- s-forms the bare s-strip would mangle ------------------------
+    "business": "business", "address": "address", "process": "process",
+    "access": "access", "progress": "progress", "express": "express",
+    "success": "success", "fitness": "fitness", "wireless": "wireless",
+    "analysis": "analysis", "basis": "basis", "status": "status",
+    "bonus": "bonus", "plus": "plus", "versus": "versus",
+    "buses": "bus", "houses": "house", "phrases": "phrase",
+    "courses": "course", "cases": "case", "bases": "base",
+    "purchases": "purchase", "releases": "release",
+    "databases": "database", "exercises": "exercise",
+    "devices": "device", "services": "service", "prices": "price",
+    "voices": "voice", "choices": "choice", "notices": "notice",
+    "images": "image", "pages": "page", "messages": "message",
+    "languages": "language", "packages": "package",
+    "challenges": "challenge", "changes": "change",
+    "badges": "badge", "bridges": "bridge", "notes": "note",
+    "minutes": "minute", "updates": "update", "dates": "date",
+    "templates": "template", "routes": "route", "votes": "vote",
+    "games": "game", "times": "time", "themes": "theme",
+    "names": "name", "frames": "frame", "homes": "home",
+    "modes": "mode", "codes": "code", "episodes": "episode",
+    "guides": "guide", "rides": "ride", "sides": "side",
+    "files": "file", "styles": "style", "profiles": "profile",
+    "titles": "title", "puzzles": "puzzle", "vehicles": "vehicle",
+    "articles": "article", "roles": "role", "rules": "rule",
+    "modules": "module", "schedules": "schedule", "sales": "sale",
+    "scales": "scale", "tables": "table", "stores": "store",
+    "scores": "score", "features": "feature", "pictures": "picture",
+    "adventures": "adventure", "measures": "measure",
+    "figures": "figure", "structures": "structure",
+    "creatures": "creature", "genres": "genre", "types": "type",
+    "recipes": "recipe", "sites": "site",
+    "websites": "website", "favorites": "favorite",
+    "levels": "level", "zones": "zone", "phones": "phone",
+    "drones": "drone", "stones": "stone", "bones": "bone",
+    "lines": "line", "machines": "machine", "engines": "engine",
+    "medicines": "medicine", "routines": "routine",
+    "scenes": "scene", "planes": "plane", "zombies": "zombie",
+    "movies": "movie", "cookies": "cookie", "calories": "calorie",
+    "selfies": "selfie", "smoothies": "smoothie",
+}
+
+# Words that are stopwords in the reference's union set are filtered
+# before lemmatization, so exceptions never need to cover them.
+
+_VOWELS = ("a", "e", "i", "o", "u")
+
+
+def _last(var: str, n: int = 1) -> str:
+    """SQL: the ``n``-th character from the end of ``var``."""
+    return f"substring({var}, length({var}) - {n - 1}, 1)"
+
+
+def _drop(var: str, n: int) -> str:
+    """SQL: ``var`` with the last ``n`` characters removed."""
+    return f"substring({var}, 1, length({var}) - {n})"
+
+
+def _in_vowels(expr: str) -> str:
+    return "{e} IN ({v})".format(
+        e=expr, v=", ".join(f"'{c}'" for c in _VOWELS)
+    )
+
+
+def _stem_fixup(var: str, k: int) -> str:
+    """Porter-style guards after stripping a ``k``-char verbal suffix
+    from ``var``: undouble a final consonant (except l/s/z), restore
+    'e' after the Porter at/bl/iz clusters — extended with nc/v/u,
+    tails no English word ends at — or a CVC tail (final consonant not
+    w/x/y).  Dialect-neutral SQL (valid in Spark SQL and DuckDB)."""
+    stem = _drop(var, k)
+    c1 = _last(stem)           # final char of the stem
+    c2 = _last(stem, 2)        # second-from-last
+    c3 = _last(stem, 3)        # third-from-last
+    return f"""CASE
+        WHEN length({stem}) >= 3 AND {c1} = {c2}
+             AND {c1} NOT IN ('l', 's', 'z', 'a', 'e', 'i', 'o', 'u')
+            THEN {_drop(var, k + 1)}
+        WHEN {_drop(var, k)} LIKE '%at' OR {_drop(var, k)} LIKE '%bl'
+             OR {_drop(var, k)} LIKE '%iz' OR {_drop(var, k)} LIKE '%nc'
+             OR {c1} IN ('v', 'u')
+            THEN {stem} || 'e'
+        WHEN length({stem}) >= 3
+             AND NOT {_in_vowels(c1)} AND {c1} NOT IN ('w', 'x', 'y')
+             AND {_in_vowels(c2)}
+             AND NOT {_in_vowels(c3)}
+            THEN {stem} || 'e'
+        ELSE {stem}
+    END"""
+
+
+def lemma_case_sql(var: str) -> str:
+    """The full per-token lemma rule chain as a dialect-neutral SQL
+    CASE over ``var`` (a lowercase alphabetic token).  Embedded
+    verbatim in the Spark plan AND the DuckDB oracle."""
+    exc = " ".join(
+        f"WHEN '{k}' THEN '{v}'"
+        for k, v in sorted(LEMMA_EXCEPTIONS.items())
+    )
+    return f"""CASE {var} {exc} ELSE CASE
+        WHEN {var} LIKE '%ly' THEN {var}
+        WHEN {var} LIKE '%ing' AND length({var}) > 5
+            THEN {_stem_fixup(var, 3)}
+        WHEN {var} LIKE '%ed' AND length({var}) > 4
+            THEN {_stem_fixup(var, 2)}
+        WHEN {var} LIKE '%ies' AND length({var}) > 4
+            THEN {_drop(var, 3)} || 'y'
+        WHEN {var} LIKE '%sses' THEN {_drop(var, 2)}
+        WHEN {var} LIKE '%xes' OR {var} LIKE '%zes'
+             OR {var} LIKE '%ches' OR {var} LIKE '%shes'
+            THEN {_drop(var, 2)}
+        WHEN {var} LIKE '%ves' AND length({var}) > 4
+            THEN {_drop(var, 3)} || 'f'
+        WHEN {var} LIKE '%ss' OR {var} LIKE '%us' OR {var} LIKE '%is'
+            THEN {var}
+        WHEN {var} LIKE '%s' AND length({var}) > 3
+            THEN {_drop(var, 1)}
+        ELSE {var}
+    END END"""
+
+
+def _sql_str_array(words: list[str]) -> str:
+    return "array(" + ", ".join(
+        "'" + w.replace("'", "\\'") + "'" for w in words
+    ) + ")"
+
+
+def lemma_keywords_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-``top_n`` lemma keywords per document:
+    (id, lemma, freq, rnk), frequency desc / lemma asc.
+
+    Pipeline (all inside one zero-exchange projection + posexplode):
+    alpha-token split → stopword filter (the reference unions NLTK
+    english with its CUSTOM_STOPWORDS *before* lemmatizing,
+    process_keywords.py:216) → the generated lemma CASE per token →
+    ``len(lemma) > 2`` → doc-local frequency count → deterministic
+    rank.  Per-doc cost is O(distinct × total) on the count step;
+    listing texts are short."""
+    stops_arr = _sql_str_array(list(RAKE_STOPWORDS))
+    toks = (
+        "filter(split(regexp_replace(lower({text}), '[^a-z]+', ' '),"
+        " ' +'), x -> x != '' and not array_contains({stops}, x))"
+    ).format(text=text_col, stops=stops_arr)
+    lemmas = (
+        f"filter(transform({toks}, t -> {lemma_case_sql('t')}),"
+        " x -> length(x) > 2)"
+    )
+    ranked = f"""
+        slice(
+            array_sort(
+                transform(array_distinct(ws), w -> named_struct(
+                    'lemma', w,
+                    'freq', size(filter(ws, x -> x = w)))),
+                (a, b) -> case
+                    when a.freq > b.freq then -1
+                    when a.freq < b.freq then 1
+                    when a.lemma < b.lemma then -1
+                    when a.lemma > b.lemma then 1
+                    else 0 end),
+            1, {top_n})
+    """
+    # let-bind the lemma array via the single-element-transform trick
+    # (see rake.py — CollapseProject would inline the alias into every
+    # consuming lambda otherwise)
+    top = f"transform(array({lemmas}), ws -> {ranked})[0]"
+    return (
+        docs.select(id_col, F.expr(top).alias("top"))
+        .select(id_col, F.posexplode("top").alias("pos", "s"))
+        .select(
+            id_col,
+            F.col("s.lemma").alias("lemma"),
+            F.col("s.freq").alias("freq"),
+            (F.col("pos") + 1).alias("rnk"),
+        )
+    )
+
+
+def py_lemma(token: str) -> str:
+    """Pure-python restatement of the lemma rule chain (parity twin
+    for tests — must match ``lemma_case_sql`` exactly)."""
+    t = token
+    if t in LEMMA_EXCEPTIONS:
+        return LEMMA_EXCEPTIONS[t]
+    if t.endswith("ly"):
+        return t
+
+    def fixup(stem: str) -> str:
+        if (
+            len(stem) >= 3
+            and stem[-1] == stem[-2]
+            and stem[-1] not in "lszaeiou"
+        ):
+            return stem[:-1]
+        if stem.endswith(("at", "bl", "iz", "nc", "v", "u")):
+            return stem + "e"
+        if (
+            len(stem) >= 3
+            and stem[-1] not in "aeiouwxy"
+            and stem[-2] in "aeiou"
+            and stem[-3] not in "aeiou"
+        ):
+            return stem + "e"
+        return stem
+
+    if t.endswith("ing") and len(t) > 5:
+        return fixup(t[:-3])
+    if t.endswith("ed") and len(t) > 4:
+        return fixup(t[:-2])
+    if t.endswith("ies") and len(t) > 4:
+        return t[:-3] + "y"
+    if t.endswith("sses"):
+        return t[:-2]
+    if t.endswith(("xes", "zes", "ches", "shes")):
+        return t[:-2]
+    if t.endswith("ves") and len(t) > 4:
+        return t[:-3] + "f"
+    if t.endswith(("ss", "us", "is")):
+        return t
+    if t.endswith("s") and len(t) > 3:
+        return t[:-1]
+    return t
+
+
+def py_lemma_keywords_topk(
+    text: str, top_n: int = 10
+) -> list[tuple[str, int, int]]:
+    """Pure-python twin: [(lemma, freq, rnk)] with the same
+    normalization, stopword filter, rules, and deterministic rank."""
+    import re
+    from collections import Counter
+
+    stops = set(RAKE_STOPWORDS)
+    toks = [
+        t for t in re.sub(r"[^a-z]+", " ", text.lower()).split(" ")
+        if t and t not in stops
+    ]
+    lemmas = [w for w in (py_lemma(t) for t in toks) if len(w) > 2]
+    counts = Counter(lemmas)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(w, c, i + 1) for i, (w, c) in enumerate(ranked[:top_n])]

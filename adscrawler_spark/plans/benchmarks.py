@@ -12799,6 +12799,58 @@ def noun_phrase_keywords_topk_q(spark, sf):
     )
 
 
+from adscrawler_spark.functions.lemma import (  # noqa: E402
+    lemma_case_sql as _lemma_case_sql,
+)
+from adscrawler_spark.functions.rake import (  # noqa: E402
+    RAKE_STOPWORDS as _LEMMA_STOPS,
+)
+
+_LEMMA_STOPS_SQL = ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _LEMMA_STOPS
+)
+
+
+@query(
+    "lemma_keywords_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                   ' +'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    lems AS (
+        SELECT doc_id, {_lemma_case_sql('tok')} AS lemma
+        FROM toks WHERE tok NOT IN ({_LEMMA_STOPS_SQL})
+    ),
+    counts AS (
+        SELECT doc_id, lemma, count(*) AS freq
+        FROM lems WHERE length(lemma) > 2
+        GROUP BY doc_id, lemma
+    )
+    SELECT doc_id, lemma, freq, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY freq DESC, lemma ASC) AS rnk
+        FROM counts)
+    WHERE rnk <= 10
+    """,
+)
+def lemma_keywords_topk_q(spark, sf):
+    """Lemma-frequency keywords (reference process_keywords.py:197-232
+    extract_keywords_nltk — tokenize, POS-tag, WordNet-lemmatize,
+    stopword/alpha/len>2 filter, frequency top-10): morphy-style
+    detachment rules with an embedded exception table and POS-lite
+    suffix dispatch, deterministic (freq desc, lemma asc) ranking, all
+    inside one zero-exchange projection
+    (functions/lemma.py::lemma_keywords_topk).  The rule chain is ONE
+    generated dialect-neutral CASE shared verbatim with this oracle."""
+    from adscrawler_spark.functions import lemma as LM
+
+    return LM.lemma_keywords_topk(_t(spark, sf, "documents"), top_n=10)
+
+
 # =====================================================================
 # Status/dimension matviews (pg-ddl round-5 close-out:
 # category_mapping, mv_app_categories, developer_store_apps,

@@ -1,0 +1,135 @@
+"""Lemma-frequency keyword extraction: rule-chain behavior, parity vs
+the pure-python twin (and the DuckDB oracle dialect), and the
+zero-exchange plan shape."""
+
+import duckdb
+import pytest
+
+from adscrawler_spark.functions import lemma as LM
+
+
+def test_rule_chain_hand_cases():
+    # exceptions shadow the suffix rules
+    assert LM.py_lemma("children") == "child"
+    assert LM.py_lemma("best") == "good"
+    assert LM.py_lemma("rating") == "rating"      # lexicon pin, not 'rate'
+    assert LM.py_lemma("settings") == "setting"
+    # verbal -ing/-ed with the Porter-style guards
+    assert LM.py_lemma("stopped") == "stop"        # undouble
+    assert LM.py_lemma("rolled") == "roll"         # l exempt from undouble
+    assert LM.py_lemma("making") == "make"         # CVC e-restore
+    assert LM.py_lemma("danced") == "dance"        # nc e-restore
+    assert LM.py_lemma("received") == "receive"    # v e-restore
+    assert LM.py_lemma("continued") == "continue"  # u e-restore
+    assert LM.py_lemma("played") == "play"         # y blocks CVC
+    # s-family
+    assert LM.py_lemma("stories") == "story"
+    assert LM.py_lemma("watches") == "watch"
+    assert LM.py_lemma("classes") == "class"
+    assert LM.py_lemma("wolves") == "wolf"
+    assert LM.py_lemma("status") == "status"       # -us protected
+    assert LM.py_lemma("fitness") == "fitness"     # -ss protected
+    assert LM.py_lemma("apps") == "app"
+    assert LM.py_lemma("bus") == "bus"             # len guard
+    # adverbs pass through
+    assert LM.py_lemma("quickly") == "quickly"
+
+
+def test_sql_case_matches_python_twin_in_duckdb():
+    """The generated CASE is the single source of truth — DuckDB must
+    reproduce the python twin on a broad token sample."""
+    words = sorted(
+        set(LM.LEMMA_EXCEPTIONS)
+        | {
+            "games", "stopped", "rolled", "making", "played", "loved",
+            "watches", "wolves", "stories", "classes", "boxes",
+            "buses", "status", "running", "players", "user", "users",
+            "trackers", "dishes", "activities", "planned", "planning",
+            "danced", "dancing", "received", "issued", "announced",
+            "hanged", "fox", "foxes", "quiz", "app", "apps", "is",
+            "analysis", "xyzzies", "ed", "ing", "sses",
+        }
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT t, " + LM.lemma_case_sql("t") + " AS lem "
+        "FROM (SELECT unnest(?) AS t)",
+        [words],
+    ).fetchall()
+    for t, lem in rows:
+        assert lem == LM.py_lemma(t), t
+
+
+def test_sql_case_matches_python_twin_property():
+    """Hypothesis sweep: the dialect-neutral CASE and the python twin
+    agree on arbitrary lowercase alpha tokens (guards, length edges,
+    vowel-only words, rule-suffix collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    sql = "SELECT " + LM.lemma_case_sql("t") + " FROM (SELECT ? AS t)"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abcdefghilmnorstuvwxyz", min_size=1,
+                max_size=12)
+    )
+    def check(tok):
+        assert con.execute(sql, [tok]).fetchone()[0] == LM.py_lemma(tok)
+
+    check()
+
+
+def test_doc_pipeline_hand_computed():
+    got = LM.py_lemma_keywords_topk(
+        "Solve word puzzles daily! New puzzles added every day. "
+        "Playing puzzles makes you smarter."
+    )
+    by_lemma = {w: (c, r) for w, c, r in got}
+    # puzzles → puzzle ×3 leads; 'you' is a stopword; makes → make;
+    # playing → play; smarter → smart (comparative exception); added
+    # → add (undouble exception); daily stays an adverb
+    assert by_lemma["puzzle"] == (3, 1)
+    assert "make" in by_lemma and "play" in by_lemma
+    assert "smart" in by_lemma and "add" in by_lemma
+    assert "day" in by_lemma and "daily" in by_lemma
+    assert "you" not in by_lemma
+    # freq desc then lemma asc
+    freqs = [c for _, c, _ in got]
+    assert freqs == sorted(freqs, reverse=True)
+    ranks = [r for *_, r in got]
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_short_lemmas_dropped():
+    # 'go' (len 2 after exception went→go) is dropped like the
+    # reference's len(lemma) > 2 filter
+    got = LM.py_lemma_keywords_topk("we went shopping yesterday")
+    lemmas = [w for w, *_ in got]
+    assert "go" not in lemmas
+    assert "shopping" in lemmas       # lexicon pin
+    assert "yesterday" in lemmas
+
+
+@pytest.mark.usefixtures("spark")
+def test_parity_with_python_twin(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    spark_rows = LM.lemma_keywords_topk(docs).collect()
+    got = {}
+    for r in spark_rows:
+        got.setdefault(r.doc_id, []).append((r.lemma, r.freq, r.rnk))
+    for row in docs.select("doc_id", "text").collect():
+        want = LM.py_lemma_keywords_topk(row.text)
+        assert got.get(row.doc_id, []) == want, row.doc_id
+
+
+def test_zero_exchange_plan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = LM.lemma_keywords_topk(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
