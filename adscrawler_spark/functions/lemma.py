@@ -236,9 +236,82 @@ def lemma_case_sql(var: str) -> str:
     END END"""
 
 
+def lemma_spark_sql(var: str) -> str:
+    """Spark-side twin of ``lemma_case_sql``: the SAME rule chain with
+    an execution-friendly shape (r6 verdict ask #1).  The ~370-arm
+    exception CASE walked ~370 interpreted branch nodes per token
+    inside the ``transform`` lambda (lambda bodies never reach
+    whole-stage codegen), which made the battery entry the slowest in
+    the suite; here the exception table is ONE constant-folded map
+    literal probed by ``element_at`` (a single interpreted node with a
+    tight scan loop), and the Porter-fixup guards bind the stem and
+    its tail characters once via the single-element-transform trick
+    instead of re-expanding ``substring(...)`` per guard.
+
+    The DuckDB oracle keeps ``lemma_case_sql`` verbatim (frozen
+    text); tests/test_lemma.py pins this expression to the python
+    twin over the full a-z property alphabet, so the two shapes
+    cannot drift."""
+    exc = ", ".join(
+        f"'{k}', '{v}'" for k, v in sorted(LEMMA_EXCEPTIONS.items())
+    )
+    # stems reaching the fixup are always >= 3 chars (the length
+    # guards on the -ing/-ed arms), so the c1/c2/c3 bindings are total
+    # and lemma_case_sql's explicit length(stem) >= 3 guards are
+    # vacuously true — dropped here, pinned equal by the parity tests.
+    fixup = """transform(array(named_struct(
+            'c1', substring(st, length(st), 1),
+            'c2', substring(st, length(st) - 1, 1),
+            'c3', substring(st, length(st) - 2, 1))), x -> CASE
+        WHEN x.c1 = x.c2
+             AND x.c1 NOT IN ('l', 's', 'z', 'a', 'e', 'i', 'o', 'u')
+            THEN substring(st, 1, length(st) - 1)
+        WHEN (x.c2 = 'a' AND x.c1 = 't') OR (x.c2 = 'b' AND x.c1 = 'l')
+             OR (x.c2 = 'i' AND x.c1 = 'z')
+             OR (x.c2 = 'n' AND x.c1 = 'c')
+             OR x.c1 IN ('v', 'u')
+            THEN st || 'e'
+        WHEN x.c1 NOT IN ('a', 'e', 'i', 'o', 'u', 'w', 'x', 'y')
+             AND x.c2 IN ('a', 'e', 'i', 'o', 'u')
+             AND x.c3 NOT IN ('a', 'e', 'i', 'o', 'u')
+            THEN st || 'e'
+        ELSE st
+    END)[0]"""
+
+    def bound_fixup(k: int) -> str:
+        stem = _drop(var, k)
+        return f"transform(array({stem}), st -> {fixup})[0]"
+
+    return f"""coalesce(element_at(map({exc}), {var}), CASE
+        WHEN {var} LIKE '%ly' THEN {var}
+        WHEN {var} LIKE '%ing' AND length({var}) > 5
+            THEN {bound_fixup(3)}
+        WHEN {var} LIKE '%ed' AND length({var}) > 4
+            THEN {bound_fixup(2)}
+        WHEN {var} LIKE '%ies' AND length({var}) > 4
+            THEN {_drop(var, 3)} || 'y'
+        WHEN {var} LIKE '%sses' THEN {_drop(var, 2)}
+        WHEN {var} LIKE '%xes' OR {var} LIKE '%zes'
+             OR {var} LIKE '%ches' OR {var} LIKE '%shes'
+            THEN {_drop(var, 2)}
+        WHEN {var} LIKE '%ves' AND length({var}) > 4
+            THEN {_drop(var, 3)} || 'f'
+        WHEN {var} LIKE '%ss' OR {var} LIKE '%us' OR {var} LIKE '%is'
+            THEN {var}
+        WHEN {var} LIKE '%s' AND length({var}) > 3
+            THEN {_drop(var, 1)}
+        ELSE {var}
+    END)"""
+
+
 def _sql_str_array(words: list[str]) -> str:
+    """Spark-side string-array literal.  Tokens are alpha-only after
+    the [^a-z]+ split, so stopwords carrying apostrophes (can't,
+    you'd, ...) can never match — they are dropped here, which also
+    sidesteps quote-escaping dialect differences entirely (r6 advice:
+    the old backslash escape broke under escapedStringLiterals)."""
     return "array(" + ", ".join(
-        "'" + w.replace("'", "\\'") + "'" for w in words
+        f"'{w}'" for w in words if w.isalpha()
     ) + ")"
 
 
@@ -264,7 +337,7 @@ def lemma_keywords_topk(
         " ' +'), x -> x != '' and not array_contains({stops}, x))"
     ).format(text=text_col, stops=stops_arr)
     lemmas = (
-        f"filter(transform({toks}, t -> {lemma_case_sql('t')}),"
+        f"filter(transform({toks}, t -> {lemma_spark_sql('t')}),"
         " x -> length(x) > 2)"
     )
     ranked = f"""

@@ -285,21 +285,46 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
             else F.lit(None).cast("string"),
         ).alias("src_content"),
     )
-    # The join's shuffled bytes are tiny relative to its compute: the
-    # per-run cross term evaluates instr(src_text, video_id) over
-    # |cr|×|src| pairs per run, so AQE's byte-based partition
-    # coalescing collapses it onto a couple of cores and serializes
-    # the quadratic work (measured 35 s on 2 tasks vs ~2 s spread).
-    # Pin the join width to the configured shuffle parallelism —
-    # an explicitly numbered repartition is exempt from AQE coalesce —
-    # keeping runs colocated so the equi-join stays shuffle-free.
-    n_parts = int(
-        cr.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    # Candidate generation via an inverted 5-gram index instead of the
+    # per-run cross join (guide §2.3/§3.2): the old equi-join on the
+    # run keys alone evaluated instr(src_text, video_id) over
+    # |cr|×|src| pairs per run — with a fixed run count that term is
+    # quadratic in the capture volume (47× wall-clock for 10× rows at
+    # the r6 driver measurement).  Exact-equivalence argument: if
+    # video_id (length >= 5 by the filter above) is a substring of
+    # src_text, then EVERY 5-gram of video_id — in particular its
+    # lexicographically smallest one — is a 5-gram of src_text, so
+    # joining the creative's min-gram against the source's distinct
+    # 5-grams has no false negatives; the instr() confirm below drops
+    # the false positives.  Cost is linear: ~one gram row per source
+    # character (capture response texts are short), versus the old
+    # |cr|×|src| instr scans per run.
+    cand_cr = cr.withColumn(
+        "_gram",
+        F.expr(
+            "array_min(transform(sequence(1, length(video_id) - 4),"
+            " i -> substring(video_id, i, 5)))"
+        ),
     )
-    hits = (
-        cr.repartition(n_parts, *_RUN_KEYS)
-        .join(src.repartition(n_parts, *_RUN_KEYS), list(_RUN_KEYS))
-        .filter(F.instr(F.col("src_text"), F.col("video_id")) > 0)
+    src_grams = (
+        src.filter(F.length("src_text") >= 5)
+        .select(
+            *_RUN_KEYS,
+            "src_uuid",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    "sequence(1, length(src_text) - 4),"
+                    " i -> substring(src_text, i, 5)))"
+                )
+            ).alias("_gram"),
+        )
+    )
+    cand = cand_cr.join(
+        src_grams, [*_RUN_KEYS, "_gram"]
+    ).select(*_RUN_KEYS, "cr_uuid", "cr_called_at", "video_id", "src_uuid")
+    hits = cand.join(src, [*_RUN_KEYS, "src_uuid"]).filter(
+        F.instr(F.col("src_text"), F.col("video_id")) > 0
     )
     w = Window.partitionBy(*_RUN_KEYS, "cr_uuid")
     hits = hits.withColumn(

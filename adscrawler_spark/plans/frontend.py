@@ -188,6 +188,166 @@ def latest_sdk_scanned_apps(
     )
 
 
+def _pd_sets(rows: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-``key_cols`` group, the sorted distinct set of pub_domain_id
+    values as ONE array column ``_pdset`` (a NULL pub_domain_id is kept
+    as a trailing NULL element so downstream left joins reproduce the
+    no-match null-store row).  The array is the group's exact identity:
+    groups sharing a pd-set share every downstream rollup."""
+    pd_type = rows.schema["pub_domain_id"].dataType
+    return rows.groupBy(*key_cols).agg(
+        F.when(
+            F.max(F.col("pub_domain_id").isNull()),
+            F.concat(
+                F.sort_array(F.collect_set("pub_domain_id")),
+                F.array(F.lit(None).cast(pd_type)),
+            ),
+        )
+        .otherwise(F.sort_array(F.collect_set("pub_domain_id")))
+        .alias("_pdset")
+    )
+
+
+def _adstxt_chain_rollup(
+    domain_entries: DataFrame,
+    app_urls_map: DataFrame,
+    apps: DataFrame,
+    ad_entries: DataFrame,
+    per_publisher: bool,
+) -> DataFrame:
+    """Decomposed exact equivalent of the reference's four-way LEFT
+    join chain + count-DISTINCT rollup:
+
+        chained = de ⟕ aum(pub_domain_id) ⟕ apps(store_app)
+                     ⟕ ae(app_ad_entry_id)
+        chained.groupBy(ad_domain_url, relationship, store
+                        [, publisher_id]).agg(countDistinct ...)
+
+    The naive chain explodes on pub_domain_id (|de| × apps-per-domain
+    rows — quadratic in capture volume for a fixed domain dimension;
+    the r6 driver measured 60-75× wall-clock for 10× rows).  Because
+    every aggregate is a count-DISTINCT, row multiplicity is
+    irrelevant — only the distinct value sets matter — so the chain
+    is decomposed (guide §2.3 "aggregate before you shuffle"):
+
+    * the de⋈ae side reduces to its distinct (pub_domain_id,
+      ad_domain_url, relationship[, publisher_id]) combos — bounded by
+      attribute cardinality, not row count;
+    * the aum⋈apps side reduces to per-domain distinct projections
+      (store), (store, developer), (store, store_app);
+    * each group's identity is its exact pd-set (``_pd_sets``), so
+      groups sharing a set — the common case: publishers list the
+      same ad systems — compute their store/developer/app rollup once
+      and join it back by set equality (arrays are exact join keys;
+      no hash-collision risk).
+
+    All steps are linear in input size.  Memory note: one group's
+    pd-set array scales with the pub-domain dimension (the reference's
+    ~1e5), not with capture rows; millions-of-elements sets with
+    millions of groups would need the array split, which the adstxt
+    shape does not approach."""
+    de = domain_entries.select(
+        "pub_domain_id", "ad_domain_url", "app_ad_entry_id"
+    )
+    d4 = (
+        de.join(ad_entries, "app_ad_entry_id", "left")
+        .select(
+            "pub_domain_id", "ad_domain_url", "relationship",
+            "publisher_id",
+        )
+        .dropDuplicates()
+    )
+    a = app_urls_map.join(apps, "store_app", "left").select(
+        "pub_domain_id", "store", "developer", "store_app"
+    )
+    sets_pub = _pd_sets(
+        d4, ["ad_domain_url", "relationship", "publisher_id"]
+    )
+    sets_e = None
+    usets = sets_pub.select("_pdset")
+    if not per_publisher:
+        # the per-(adu, rel) sets are UNIONS of the per-publisher sets
+        # and must be rolled up too
+        sets_e = _pd_sets(
+            d4.select(
+                "pub_domain_id", "ad_domain_url", "relationship"
+            ).dropDuplicates(),
+            ["ad_domain_url", "relationship"],
+        )
+        usets = usets.unionByName(sets_e.select("_pdset"))
+    usets = usets.dropDuplicates()
+    expanded = usets.select(
+        "_pdset", F.explode("_pdset").alias("pub_domain_id")
+    )
+    set_store_devs = (
+        expanded.join(
+            a.select("pub_domain_id", "store", "developer")
+            .dropDuplicates(),
+            "pub_domain_id", "left",
+        )
+        .select("_pdset", "store", "developer")
+        .dropDuplicates()
+    )
+    set_store_apps = (
+        expanded.join(
+            a.select("pub_domain_id", "store", "store_app")
+            .dropDuplicates(),
+            "pub_domain_id", "left",
+        )
+        .select("_pdset", "store", "store_app")
+        .dropDuplicates()
+    )
+    if per_publisher:
+        dev_rows = sets_pub.join(set_store_devs, "_pdset").select(
+            "ad_domain_url", "relationship", "publisher_id", "store",
+            F.col("developer").alias("_d"),
+            F.lit(None).cast(a.schema["store_app"].dataType).alias("_a"),
+        )
+        app_rows = sets_pub.join(set_store_apps, "_pdset").select(
+            "ad_domain_url", "relationship", "publisher_id", "store",
+            F.lit(None).cast(a.schema["developer"].dataType).alias("_d"),
+            F.col("store_app").alias("_a"),
+        )
+        return dev_rows.unionByName(app_rows).groupBy(
+            "ad_domain_url", "relationship", "store", "publisher_id"
+        ).agg(
+            F.countDistinct("_d").alias("developer_count"),
+            F.countDistinct("_a").alias("app_count"),
+        )
+    set_stores = set_store_devs.select("_pdset", "store").dropDuplicates()
+    pub_t = d4.schema["publisher_id"].dataType
+    dev_t = a.schema["developer"].dataType
+    app_t = a.schema["store_app"].dataType
+    pub_rows = sets_pub.join(set_stores, "_pdset").select(
+        "ad_domain_url", "relationship", "store",
+        F.col("publisher_id").alias("_p"),
+        F.lit(None).cast(dev_t).alias("_d"),
+        F.lit(None).cast(app_t).alias("_a"),
+    )
+    dev_rows = sets_e.join(set_store_devs, "_pdset").select(
+        "ad_domain_url", "relationship", "store",
+        F.lit(None).cast(pub_t).alias("_p"),
+        F.col("developer").alias("_d"),
+        F.lit(None).cast(app_t).alias("_a"),
+    )
+    app_rows = sets_e.join(set_store_apps, "_pdset").select(
+        "ad_domain_url", "relationship", "store",
+        F.lit(None).cast(pub_t).alias("_p"),
+        F.lit(None).cast(dev_t).alias("_d"),
+        F.col("store_app").alias("_a"),
+    )
+    return (
+        pub_rows.unionByName(dev_rows)
+        .unionByName(app_rows)
+        .groupBy("ad_domain_url", "relationship", "store")
+        .agg(
+            F.countDistinct("_p").alias("publisher_id_count"),
+            F.countDistinct("_d").alias("developer_count"),
+            F.countDistinct("_a").alias("app_count"),
+        )
+    )
+
+
 def adstxt_ad_domain_overview(
     domain_entries: DataFrame,
     app_urls_map: DataFrame,
@@ -198,21 +358,17 @@ def adstxt_ad_domain_overview(
     many distinct publisher ids, developers and apps each ad system
     reaches.  Port of frontend.adstxt_ad_domain_overview
     (adstxt_ad_domain_overview__matview.sql:29-42: the four-way LEFT
-    join chain off adstxt_domain_entries with three count-DISTINCTs).
+    join chain off adstxt_domain_entries with three count-DISTINCTs),
+    computed via the decomposed rollup (``_adstxt_chain_rollup``) —
+    same result set, linear instead of quadratic in capture volume.
 
     ``domain_entries``: pub_domain_id, ad_domain_url, app_ad_entry_id;
     ``app_urls_map``: pub_domain_id, store_app; ``apps``: store_app,
     store, developer; ``ad_entries``: app_ad_entry_id, relationship,
     publisher_id."""
-    chained = (
-        domain_entries.join(app_urls_map, "pub_domain_id", "left")
-        .join(apps, "store_app", "left")
-        .join(ad_entries, "app_ad_entry_id", "left")
-    )
-    return chained.groupBy("ad_domain_url", "relationship", "store").agg(
-        F.countDistinct("publisher_id").alias("publisher_id_count"),
-        F.countDistinct("developer").alias("developer_count"),
-        F.countDistinct("store_app").alias("app_count"),
+    return _adstxt_chain_rollup(
+        domain_entries, app_urls_map, apps, ad_entries,
+        per_publisher=False,
     )
 
 
@@ -520,17 +676,13 @@ def adstxt_publishers_overview(
     (adstxt_publishers_overview__matview.sql:29-54: ranked_data CTE
     groups by publisher_id inside the (ad domain, relationship, store)
     scenario, then pubrank <= 50).  ``publisher_id`` ASC is the
-    deterministic tie-break on equal app counts."""
-    chained = (
-        domain_entries.join(app_urls_map, "pub_domain_id", "left")
-        .join(apps, "store_app", "left")
-        .join(ad_entries, "app_ad_entry_id", "left")
-    )
-    grouped = chained.groupBy(
-        "ad_domain_url", "relationship", "store", "publisher_id"
-    ).agg(
-        F.countDistinct("developer").alias("developer_count"),
-        F.countDistinct("store_app").alias("app_count"),
+    deterministic tie-break on equal app counts.  The LEFT-join chain
+    + count-DISTINCT rollup runs through the decomposed
+    ``_adstxt_chain_rollup`` — same result set, linear instead of
+    quadratic in capture volume."""
+    grouped = _adstxt_chain_rollup(
+        domain_entries, app_urls_map, apps, ad_entries,
+        per_publisher=True,
     )
     w = Window.partitionBy("ad_domain_url", "relationship", "store").orderBy(
         F.desc("app_count"), F.asc("publisher_id")
@@ -835,42 +987,36 @@ def adstxt_ad_domain_parent_overview(
     ``company_map``: ad_domain_url → company_id; ``companies``:
     company_id, parent_company_id (nullable), company_domain (the
     company's own domain, the output key)."""
-    combined = _parent_combined(
-        domain_entries, app_urls_map, apps, ad_entries, company_map,
-        companies,
-    )
-    return (
-        combined.groupBy("ad_domain_url", "relationship", "store")
-        .agg(
-            F.countDistinct("publisher_id").alias("publisher_id_count"),
-            F.countDistinct("developer").alias("developer_count"),
-            F.countDistinct("store_app").alias("app_count"),
-        )
+    return _adstxt_chain_rollup(
+        _parent_resolved_entries(domain_entries, company_map, companies),
+        app_urls_map, apps, ad_entries, per_publisher=False,
     )
 
 
-def _parent_combined(
+def _parent_resolved_entries(
     domain_entries: DataFrame,
-    app_urls_map: DataFrame,
-    apps: DataFrame,
-    ad_entries: DataFrame,
     company_map: DataFrame,
     companies: DataFrame,
 ) -> DataFrame:
-    """The shared child/direct parent-resolution union of the two
-    parent-level adstxt rollups, with the parent company's domain as
-    ``ad_domain_url`` (adstxt_ad_domain_parent_overview__matview.sql
-    child_companies / parent_companies_direct CTEs)."""
+    """The child/direct parent-resolution of the two parent-level
+    adstxt rollups applied to the ``domain_entries`` side ALONE, with
+    the parent company's domain as ``ad_domain_url``
+    (adstxt_ad_domain_parent_overview__matview.sql child_companies /
+    parent_companies_direct CTEs).  The company joins, the
+    parent-null branch filters and the has-children semi-join are all
+    functions of ``ad_domain_url`` only, so they commute with the
+    app_urls_map/apps/ad_entries joins — resolving the parent BEFORE
+    the chain keeps the decomposed rollup's linear shape."""
     joined = (
-        domain_entries.join(app_urls_map, "pub_domain_id", "left")
-        .join(apps, "store_app", "left")
-        .join(ad_entries, "app_ad_entry_id", "left")
+        domain_entries.select(
+            "pub_domain_id", "ad_domain_url", "app_ad_entry_id"
+        )
         .join(F.broadcast(company_map), "ad_domain_url", "left")
         .join(F.broadcast(companies), "company_id")
     )
     child = joined.filter(F.col("parent_company_id").isNotNull()).select(
         F.col("parent_company_id").alias("parent_id"),
-        "relationship", "store", "publisher_id", "developer", "store_app",
+        "pub_domain_id", "app_ad_entry_id",
     )
     has_children = (
         companies.filter(F.col("parent_company_id").isNotNull())
@@ -882,8 +1028,7 @@ def _parent_combined(
         .join(F.broadcast(has_children), "company_id", "left_semi")
         .select(
             F.col("company_id").alias("parent_id"),
-            "relationship", "store", "publisher_id", "developer",
-            "store_app",
+            "pub_domain_id", "app_ad_entry_id",
         )
     )
     parent_dom = companies.select(
@@ -893,6 +1038,7 @@ def _parent_combined(
     return (
         child.unionByName(direct)
         .join(F.broadcast(parent_dom), "parent_id", "left")
+        .select("pub_domain_id", "ad_domain_url", "app_ad_entry_id")
     )
 
 
@@ -909,15 +1055,9 @@ def adstxt_publishers_parent_overview(
     publishers ranking over the parent-resolved union
     (adstxt_publishers_parent_overview__matview.sql: the
     adstxt_publishers_overview shape keyed by the parent domain)."""
-    combined = _parent_combined(
-        domain_entries, app_urls_map, apps, ad_entries, company_map,
-        companies,
-    )
-    grouped = combined.groupBy(
-        "ad_domain_url", "relationship", "store", "publisher_id"
-    ).agg(
-        F.countDistinct("developer").alias("developer_count"),
-        F.countDistinct("store_app").alias("app_count"),
+    grouped = _adstxt_chain_rollup(
+        _parent_resolved_entries(domain_entries, company_map, companies),
+        app_urls_map, apps, ad_entries, per_publisher=True,
     )
     w = Window.partitionBy("ad_domain_url", "relationship", "store").orderBy(
         F.desc("app_count"), F.asc("publisher_id")

@@ -72,13 +72,49 @@ def test_sql_case_matches_python_twin_property():
 
     @settings(max_examples=300, deadline=None)
     @given(
-        st.text(alphabet="abcdefghilmnorstuvwxyz", min_size=1,
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
                 max_size=12)
     )
     def check(tok):
         assert con.execute(sql, [tok]).fetchone()[0] == LM.py_lemma(tok)
 
     check()
+
+
+def _parity_words() -> list[str]:
+    """Exception table + suffix-targeted + seeded-random tokens over
+    the FULL a-z alphabet (r6 advice: j/k/p/q were untested, so the
+    doubling/CVC guards never saw 'skipped'/'kicked'/'equipped')."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = set(LM.LEMMA_EXCEPTIONS) | {
+        "skipped", "kicked", "equipped", "jogged", "quizzing",
+        "pumped", "jumped", "parked", "quoted", "joked", "picked",
+    }
+    suffixes = ["", "ing", "ed", "s", "es", "ies", "ves", "sses",
+                "ches", "shes", "xes", "zes", "ly", "ss", "us", "is"]
+    for _ in range(1500):
+        stem = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 9))
+        )
+        words.add(stem + rng.choice(suffixes))
+    return sorted(words)
+
+
+def test_spark_expr_matches_python_twin(spark):
+    """The Spark-side expression (map-literal exceptions + let-bound
+    fixups, ``lemma_spark_sql``) must agree with the python twin —
+    and therefore with the oracle's ``lemma_case_sql`` — everywhere."""
+    words = _parity_words()
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    rows = df.selectExpr(
+        "t", LM.lemma_spark_sql("t") + " AS lem"
+    ).collect()
+    assert len(rows) == len(words)
+    for r in rows:
+        assert r.lem == LM.py_lemma(r.t), r.t
 
 
 def test_doc_pipeline_hand_computed():
