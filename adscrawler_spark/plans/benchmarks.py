@@ -30,6 +30,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin-spread a narrow base scan when its split count is
+    below the core count.  The synthetic tables are single files with
+    one giant row group, which ``maxPartitionBytes`` cannot split —
+    without this, every derived map phase (synth expression towers,
+    text algebra, regex walks) serializes onto one task while 31
+    cores idle (guide §2.5, input skew: "one huge unsplittable file …
+    repartition immediately after the read").  Column pruning pushes
+    through the repartition, so only the referenced columns shuffle.
+    No-op whenever the scan already parallelizes (real deployments
+    with many files / row groups)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + ``_spread`` for map-heavy consumers."""
+    return _spread(_t(spark, sf_dir, name))
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -705,7 +728,7 @@ def unpivot_lineitem_metrics(spark, sf):
     """,
 )
 def json_props_stats(spark, sf):
-    e = _t(spark, sf, "events")
+    e = _ts(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count("*").alias("n")
@@ -888,7 +911,7 @@ _N_BANDS = 8
 def dedup_minhash_lsh(spark, sf):
     """MinHash banding candidates via the shared operator (one-pass
     wide-agg signatures — see operators/dedup.py:minhash_signatures)."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     sh = dedup_ops.word_shingles(d, n=4)
     sigs = dedup_ops.minhash_signatures(sh, bands=_N_BANDS)
     return dedup_ops.minhash_candidates(sigs)
@@ -1075,7 +1098,7 @@ _SIMHASH_VAL = " + ".join(
     """,
 )
 def simhash_doc_hashes(spark, sf):
-    return dedup_ops.simhash16(_t(spark, sf, "documents"))
+    return dedup_ops.simhash16(_ts(spark, sf, "documents"))
 
 
 @query(
@@ -1111,7 +1134,7 @@ def top_terms_per_lang(spark, sf):
     """,
 )
 def tfidf_top_terms(spark, sf):
-    return dedup_ops.tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+    return dedup_ops.tfidf_top_terms(_ts(spark, sf, "documents"), k=5)
 
 
 _IVF_COS_Q = (
@@ -1232,7 +1255,7 @@ def embedding_near_dup_lsh(spark, sf):
     only (operators/dedup.py:embedding_near_dup_lsh).  Bounded by
     bucket occupancy instead of O(n²)."""
     out = dedup_ops.embedding_near_dup_lsh(
-        _t(spark, sf, "embeddings"), threshold=0.35,
+        _ts(spark, sf, "embeddings"), threshold=0.35,
         n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
     )
     return out.select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
@@ -1278,7 +1301,7 @@ def dedup_jaccard_via_minhash(spark, sf):
     Jaccard verify on candidates only (operators/dedup.py:
     jaccard_via_minhash) over the FULL corpus — linear candidate
     generation instead of the quadratic shingle self-join."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     sh = dedup_ops.word_shingles(d, n=4)
     out = dedup_ops.jaccard_via_minhash(sh, threshold=0.35, bands=_N_BANDS)
     return out.select(
@@ -1537,10 +1560,10 @@ def rankings_latest_dedup(spark, sf):
     crawled_date per period — plus best_rank = min(rank) per app over
     the whole period (the intent of their best_rank upsert column) and
     the store-id→name resolution join."""
-    o = _t(spark, sf, "orders").filter(
+    o = _ts(spark, sf, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     all_data = o.join(
         F.broadcast(c), o.o_custkey == c.c_custkey
     ).select(
@@ -1709,7 +1732,7 @@ def tfidf_ngrams(spark, sf):
     caps, global score = sum of tf·ln(N/df) over docs, top terms.  All
     JVM-side: gram explode → two hash aggregations → broadcast df
     join."""
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     toks = "split(lower(text), '\\\\s+')"
 
     def gram(n: int) -> str:
@@ -1818,7 +1841,7 @@ def keyword_crawl_priority(spark, sf):
     then the user-terms-first UNION over the scheduled scored set."""
     from adscrawler_spark.functions.text import keyword_is_valid, normalize_keyword
 
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents")
     toks = d.select(
         "doc_id",
         "source",
@@ -2135,7 +2158,7 @@ def _domhist_input(spark, sf):
     (one row per (domain, app, year, quarter) with tag booleans), plus
     the per-app (store, release_date) dim — the engine-table stand-in
     for the reference's combined-domain-history lake."""
-    li = _t(spark, sf, "lineitem")
+    li = _ts(spark, sf, "lineitem")
     quarterly = li.groupBy(
         (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
         (F.col("l_partkey") % 300).cast("int").alias("store_app"),
@@ -2357,7 +2380,7 @@ _APPS_SQL = """
 def _agml_hist(spark, sf):
     """events → weekly observations with running totals (the Spark twin
     of _AGML_SQL's weekly/hist CTEs)."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     wk = F.date_add(
         F.date_trunc("week", "ts").cast("date"),
         (F.col("event_id") % 26 * 7).cast("int"),
@@ -2839,7 +2862,7 @@ def _adstxt_syn(spark, sf):
     """Shared synthetic adstxt supply-chain inputs (de, aum, appdim,
     ae) for the three adstxt overview entries — keep the key moduli in
     ONE place (pub_domain cardinality 997 sets the join fanout)."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     de = ev.select(
         (F.col("user_id") % 997).cast("int").alias("pub_domain_id"),
         F.concat(F.lit("dom"), (F.col("user_id") % 23).cast("string")).alias(
@@ -2856,7 +2879,7 @@ def _adstxt_syn(spark, sf):
             "publisher_id"
         ),
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     aum = c.select(
         (F.col("c_custkey") % 997).cast("int").alias("pub_domain_id"),
         F.col("c_custkey").alias("store_app"),
@@ -3211,7 +3234,7 @@ def api_call_countries_q(spark, sf):
     URL shortening, double-COALESCE company/parent resolution, distinct
     app counts (api_call_countries__matview.sql:29-59 via
     plans/frontend.py::api_call_countries)."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     calls = ev.select(
         F.col("user_id").alias("store_app"),
         (F.col("event_id") % 50).cast("int").alias("run_id"),
@@ -3304,7 +3327,7 @@ def app_keyword_rank_stats_q(spark, sf):
     rank joined with the latest observed rank
     (app_keyword_rank_stats__matview.sql:29-66 via
     plans/frontend.py::app_keyword_rank_stats)."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     akr = ev.select(
         (F.col("user_id") % 5).cast("int").alias("country"),
         F.col("user_id").alias("store_app"),
@@ -3690,7 +3713,7 @@ def mediation_adapter_app_counts_q(spark, sf):
     via plans/frontend.py::mediation_adapter_app_counts; an adapter
     whose company IS the mediation company (adp i%5=4) exercises the
     self-mediation drop)."""
-    p = _t(spark, sf, "part")
+    p = _ts(spark, sf, "part")
     spark_sess = p.sparkSession
     vs = p.select(
         F.col("p_partkey").alias("string_id"),
@@ -3714,12 +3737,12 @@ def mediation_adapter_app_counts_q(spark, sf):
         .otherwise((F.col("id") + 200).cast("int"))
         .alias("adapter_company_id"),
     )
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     sas = ev.select(
         F.col("user_id").alias("store_app"),
         (F.col("event_id") % 997 + 1).alias("string_id"),
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     appdim = c.select(
         F.col("c_custkey").alias("store_app"),
         F.concat(F.lit("cat"), (F.col("c_custkey") % 7).cast("string")).alias(
@@ -3772,7 +3795,7 @@ def store_apps_in_latest_rankings_q(spark, sf):
     (public store_apps_in_latest_rankings__matview.sql:29-76 via
     plans/frontend.py::store_apps_in_latest_rankings — composed over
     the agml latest-metrics pipeline and the rankings table shape)."""
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     apps = c.select(
         F.col("c_custkey").alias("store_app"),
         (F.col("c_custkey") % 2 + 1).cast("int").alias("store"),
@@ -3823,7 +3846,7 @@ def redirect_chain_hops(spark, sf):
     network_parsers.py:502-560).  The oracle walks the same edges with
     a recursive CTE — two structurally different algorithms must
     agree exactly."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     edges = ev.filter(
         (F.col("event_id") % 7 != 6) & (F.col("event_id") % 11 != 3)
     ).select(
@@ -3925,7 +3948,7 @@ def combined_domain_tags_q(spark, sf):
     relationship — UNION ALL + bool_or per (domain, app)
     (query_report_combined_domains.sql:1-108 via
     plans/frontend.py::latest_ok_version_codes + combined_domain_tags)."""
-    o = _t(spark, sf, "orders")
+    o = _ts(spark, sf, "orders")
     vc = o.select(
         F.col("o_orderkey").alias("vc_id"),
         F.col("o_custkey").alias("store_app"),
@@ -3940,7 +3963,7 @@ def combined_domain_tags_q(spark, sf):
     lvc = fe.latest_ok_version_codes(
         vc, scans, "1996-01-01 00:00:00", "2001-01-01 00:00:00"
     )
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     spark_sess = ev.sparkSession
     app_sdks = ev.select(
         F.col("user_id").alias("store_app"),
@@ -3980,7 +4003,7 @@ def combined_domain_tags_q(spark, sf):
         .select("store_app", "domain_id")
         .distinct()
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     adstxt_branch = c.select(
         F.col("c_custkey").alias("store_app"),
         (F.col("c_custkey") % 31).cast("int").alias("domain_id"),
@@ -4027,7 +4050,7 @@ def trend_companies(spark, sf):
     deliberately unmapped to exercise the inner mapping join).
     trend_parent_companies is this exact shape with the parent-company
     mapping."""
-    li = _t(spark, sf, "lineitem")
+    li = _ts(spark, sf, "lineitem")
     quarterly = li.groupBy(
         (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
         (F.col("l_partkey") % 300).cast("int").alias("store_app"),
@@ -4120,7 +4143,7 @@ def trend_parent_companies(spark, sf):
     with a NULL company_domain).  Via
     plans/domain_history.py::parent_rollup_mapping + map_to_entity +
     trend_domains + attach_company_domain."""
-    li = _t(spark, sf, "lineitem")
+    li = _ts(spark, sf, "lineitem")
     quarterly = li.groupBy(
         (F.col("l_suppkey") % 40).cast("int").alias("domain_id"),
         (F.col("l_partkey") % 300).cast("int").alias("store_app"),
@@ -5222,8 +5245,8 @@ def companies_overview_q(spark, sf):
     (companies_overview__matview.sql via
     plans/frontend.py::companies_overview +
     resolve_country_evidence)."""
-    p = _t(spark, sf, "part")
-    ev = _t(spark, sf, "events")
+    p = _ts(spark, sf, "part")
+    ev = _ts(spark, sf, "events")
     spark_sess = p.sparkSession
 
     def rng(n, cond, *cols):
@@ -5449,7 +5472,7 @@ def companies_creative_rankings_q(spark, sf):
     visual dedup by coalesce(phash, md5), dim flattening
     (companies_creative_rankings__matview.sql:29-95 via
     plans/frontend.py::companies_creative_rankings)."""
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     spark_sess = ev.sparkSession
     creative_records = ev.select(
         F.col("event_id").alias("record_id"),
@@ -5502,7 +5525,7 @@ def companies_creative_rankings_q(spark, sf):
             "domain_name"
         ),
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     apps = c.select(
         F.col("c_custkey").alias("store_app"),
         F.col("c_name").alias("name"),
@@ -5669,7 +5692,7 @@ def ad_payload_known_parts_q(spark, sf):
     real PSL tld extraction."""
     from adscrawler_spark.operators import adpayload as ap
 
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     s = lambda col: col.cast("string")  # noqa: E731
     u = F.col("user_id")
     w = (F.col("event_id") % 12).cast("int")
@@ -6021,7 +6044,7 @@ _CREATIVE_SYNTH_SQL = """
 
 
 def _creative_synth_spark(spark, sf):
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     spark_sess = ev.sparkSession
     recs = ev.select(
         F.col("event_id").alias("record_id"),
@@ -6092,7 +6115,7 @@ def _creative_synth_spark(spark, sf):
             "domain_name"
         ),
     )
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     apps = c.select(
         F.col("c_custkey").alias("store_app"),
         F.col("c_name").alias("name"),
@@ -6504,8 +6527,8 @@ def frontier_secondary_priority_q(spark, sf):
     from adscrawler_spark.plans import scan_frontier as sfr
 
     sapps, agm, _overview = _scanapp_synth_spark(spark, sf)
-    c = _t(spark, sf, "customer")
-    ev = _t(spark, sf, "events")
+    c = _ts(spark, sf, "customer")
+    ev = _ts(spark, sf, "events")
     spark_sess = c.sparkSession
     ranked = c.filter(F.col("c_custkey") % 11 == 0).select(
         F.col("c_custkey").alias("store_app")
@@ -6744,7 +6767,7 @@ def sdk_scan_priority_q(spark, sf):
 
     sapps, agm, overview = _scanapp_synth_spark(spark, sf)
     vcs, s3k, urs = _vc_synth_spark(spark, sf)
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     sscans = ev.filter(F.col("event_id") % 2 == 0).select(
         F.col("event_id").alias("scan_id"),
         (F.col("event_id") - (F.col("event_id") % 10)).cast("long").alias(
@@ -6888,7 +6911,7 @@ def api_scan_priority_q(spark, sf):
 
     sapps, agm, _overview = _scanapp_synth_spark(spark, sf)
     vcs, s3k, urs = _vc_synth_spark(spark, sf)
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     ascans = ev.filter(F.col("event_id") % 31 == 1).select(
         F.col("event_id").alias("run_seq"),
         (F.col("event_id") - (F.col("event_id") % 7)).cast("long").alias(
@@ -6985,7 +7008,7 @@ def creative_scan_priority_q(spark, sf):
     from adscrawler_spark.plans import scan_frontier as sfr
 
     sapps, _agm, _overview = _scanapp_synth_spark(spark, sf)
-    ev = _t(spark, sf, "events")
+    ev = _ts(spark, sf, "events")
     acalls = ev.select(
         F.col("event_id").alias("api_call_id"),
         F.col("user_id").alias("store_app"),
@@ -7342,8 +7365,8 @@ def api_scan_ads_priority_q(spark, sf):
 
     sapps, agm, _o = _scanapp_synth_spark(spark, sf)
     vcs, s3k, _urs = _vc_synth_spark(spark, sf)
-    ev = _t(spark, sf, "events")
-    c = _t(spark, sf, "customer")
+    ev = _ts(spark, sf, "events")
+    c = _ts(spark, sf, "customer")
     ascans = ev.filter(F.col("event_id") % 31 == 1).select(
         F.col("event_id").alias("run_seq"),
         (F.col("event_id") - (F.col("event_id") % 7)).cast("long").alias(
@@ -8171,8 +8194,8 @@ _DL_SYNTH_SQL = """
 
 
 def _dl_synth_spark(spark, sf):
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    c = _ts(spark, sf, "customer")
+    o = _ts(spark, sf, "orders")
     day = lambda base, n: F.expr(  # noqa: E731
         f"timestamp'{base} 00:00:00'"
         f" + make_interval(0, 0, 0, cast({n} as int), 0, 0, 0)"
@@ -8536,7 +8559,7 @@ def _mitm_flows_synth_spark(spark, sf):
     conflicting initial domains (creative dropped), f4 multi-
     advertiser payload.  e%30==0 adds a duplicate creative row
     (dedup), e%7==1 adds connectivity-noise rows (ingest filter)."""
-    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    ev = _ts(spark, sf, "events").select(F.col("event_id").alias("e"))
     spark_sess = ev.sparkSession
     s = lambda c: c.cast("string")  # noqa: E731
     e = F.col("e")
@@ -8944,7 +8967,7 @@ def network_routed_attribution_q(spark, sf):
     each creative's attribution from the scenario parameters."""
     from adscrawler_spark.operators import creatives as cv
 
-    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    ev = _ts(spark, sf, "events").select(F.col("event_id").alias("e"))
     spark_sess = ev.sparkSession
     s = lambda c: c.cast("string")  # noqa: E731
     e = F.col("e")
@@ -9164,7 +9187,7 @@ def protobuf_route_attribution_q(spark, sf):
     restated."""
     from adscrawler_spark.operators import creatives as cv
 
-    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    ev = _ts(spark, sf, "events").select(F.col("event_id").alias("e"))
     spark_sess = ev.sparkSession
     s = lambda c: c.cast("string")  # noqa: E731
     e = F.col("e")
@@ -9284,7 +9307,7 @@ def _smali_inventory_synth(spark, sf):
     dir per event across the smali_classes variants, res/raw noise
     rows for e%5==0, and a short (<=4 chars post-transform) package
     for e%41==0."""
-    ev = _t(spark, sf, "events").select(F.col("event_id").alias("e"))
+    ev = _ts(spark, sf, "events").select(F.col("event_id").alias("e"))
     s = lambda c: c.cast("string")  # noqa: E731
     e = F.col("e")
     app = F.concat(F.lit("app"), s(e % 10))
@@ -9761,8 +9784,8 @@ def keyword_ranks_resolved_q(spark, sf):
     tests/test_raw_ingest.py)."""
     from adscrawler_spark.plans import raw_ingest as RI
 
-    o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
+    o = _ts(spark, sf, "orders")
+    c = _ts(spark, sf, "customer")
     raw = o.filter(F.col("o_orderkey") % 31 != 0).select(
         F.lit(1).cast("int").alias("store"),
         F.concat(F.lit("C"), (F.col("o_custkey") % 5).cast("string"))
@@ -9882,8 +9905,8 @@ def apk_cleanup_deletions_q(spark, sf):
     operators/apk_inventory.py::file_cleanup_classes)."""
     from adscrawler_spark.operators import apk_inventory as AI
 
-    p = _t(spark, sf, "part")
-    o = _t(spark, sf, "orders")
+    p = _ts(spark, sf, "part")
+    o = _ts(spark, sf, "orders")
     sdf = p.select(
         F.concat(F.lit("app"), (F.col("p_partkey") % 80).cast("string"))
         .alias("store_id"),
@@ -10198,7 +10221,7 @@ def phash_majority_vote_q(spark, sf):
     per group, ties round up, all JVM-side."""
     from adscrawler_spark.operators import multimodal as MM
 
-    o = _t(spark, sf, "orders")
+    o = _ts(spark, sf, "orders")
     hashes = o.filter(F.col("o_orderkey") % 6 != 0).select(
         F.concat(F.lit("g"), (F.col("o_custkey") % 40).cast("string"))
         .alias("gid"),
@@ -10409,8 +10432,8 @@ def app_urls_map_resolved_q(spark, sf):
     deterministic md5 surrogates stand in for serial pks)."""
     from adscrawler_spark.plans import live_details as LD
 
-    c = _t(spark, sf, "customer")
-    n = _t(spark, sf, "nation")
+    c = _ts(spark, sf, "customer")
+    n = _ts(spark, sf, "nation")
     apps = c.select(
         F.col("c_custkey").cast("long").alias("store_app"),
         F.concat(
@@ -10951,7 +10974,7 @@ def company_country_evidence_q(spark, sf):
     tests)."""
     from adscrawler_spark.operators import company_logos as CL
 
-    c = _t(spark, sf, "customer")
+    c = _ts(spark, sf, "customer")
     about = c.select(
         F.col("c_custkey").cast("long").alias("company_id"),
         F.when(F.col("c_custkey") % 5 == 0, "US")
@@ -11100,10 +11123,10 @@ _GEO_IP_LOOKUP_ORACLE = (
 def _geo_synth_frames(spark, sf):
     """Shared GeoLite2-shaped synthetic frames (city+coarse blocks,
     ASN blocks, probe ips) — mirrored by _GEO_SYNTH_SQL."""
-    p = _t(spark, sf, "part")
-    n = _t(spark, sf, "nation")
-    s = _t(spark, sf, "supplier")
-    o = _t(spark, sf, "orders")
+    p = _ts(spark, sf, "part")
+    n = _ts(spark, sf, "nation")
+    s = _ts(spark, sf, "supplier")
+    o = _ts(spark, sf, "orders")
     k = F.col("k")
     fine = p.select((F.col("p_partkey") % 600).alias("k")).distinct().select(
         F.concat(
@@ -11501,7 +11524,7 @@ def weekly_delete_chunks_q(spark, sf):
     date_range_delete_plan)."""
     from adscrawler_spark.operators import storage_ops as SO
 
-    o = _t(spark, sf, "orders")
+    o = _ts(spark, sf, "orders")
     ok = F.col("o_orderkey")
     listing = o.select(
         F.concat(
@@ -11907,8 +11930,8 @@ def app_ads_map_cascade_q(spark, sf):
     equivalence are pinned by tests/test_app_ads_cascade.py)."""
     from adscrawler_spark.operators import adstxt as AT
 
-    o = _t(spark, sf, "orders")
-    n = _t(spark, sf, "nation")
+    o = _ts(spark, sf, "orders")
+    n = _ts(spark, sf, "nation")
     ok = F.col("o_orderkey")
     entries = o.select(
         (F.col("o_custkey") % 300).cast("long").alias("pub_domain"),
@@ -12085,7 +12108,7 @@ def ip_geo_snapshots_q(spark, sf):
     from adscrawler_spark.operators import geoip as G
 
     city_blocks, asn_blocks, ips = _geo_synth_frames(spark, sf)
-    n = _t(spark, sf, "nation")
+    n = _ts(spark, sf, "nation")
     flows = ips.select(
         F.concat(
             F.lit("m"),
@@ -12233,7 +12256,7 @@ def inverted_index_postings_q(spark, sf):
     from adscrawler_spark.functions import textsearch as TS
 
     return TS.build_postings(
-        _t(spark, sf, "documents"), "doc_id", "text"
+        _ts(spark, sf, "documents"), "doc_id", "text"
     ).select("lexeme", "doc_id", "nentry", "doc_len")
 
 
@@ -12714,7 +12737,7 @@ def rake_keywords_topk_q(spark, sf):
     from adscrawler_spark.functions import rake as RAKE
 
     return RAKE.rake_topk(
-        _t(spark, sf, "documents"), top_n=5, max_tokens=3
+        _ts(spark, sf, "documents"), top_n=5, max_tokens=3
     )
 
 
@@ -12795,7 +12818,7 @@ def noun_phrase_keywords_topk_q(spark, sf):
     from adscrawler_spark.functions import nounphrase as NP
 
     return NP.noun_phrase_topk(
-        _t(spark, sf, "documents"), top_n=10, max_tokens=3
+        _ts(spark, sf, "documents"), top_n=10, max_tokens=3
     )
 
 
@@ -12848,7 +12871,7 @@ def lemma_keywords_topk_q(spark, sf):
     generated dialect-neutral CASE shared verbatim with this oracle."""
     from adscrawler_spark.functions import lemma as LM
 
-    return LM.lemma_keywords_topk(_t(spark, sf, "documents"), top_n=10)
+    return LM.lemma_keywords_topk(_ts(spark, sf, "documents"), top_n=10)
 
 
 # =====================================================================

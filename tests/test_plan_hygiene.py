@@ -399,15 +399,15 @@ def test_status_views_broadcast_dims(spark):
     assert "CartesianProduct" not in plan2
 
 
-def test_sent_video_containment_join_width_is_pinned(spark):
-    """The find_sent_videos containment join shuffles few bytes but
-    evaluates instr() over the per-run |cr|x|src| cross term — compute,
-    not I/O — so AQE's byte-based coalescing must NOT be allowed to
-    collapse its width (measured: the quadratic work serialized onto 2
-    tasks).  Both join inputs must arrive through explicitly numbered
-    repartitions on the run keys (REPARTITION_BY_NUM is exempt from
-    AQE coalesce), and the pair-forming join itself must stay an
-    equi-join, never a nested loop."""
+def test_sent_video_match_uses_gram_index(spark):
+    """find_sent_videos must generate candidates through the inverted
+    5-gram index (linear: explode of source text grams joined against
+    the creative's min-gram anchor) with the exact instr() confirm —
+    never the old per-run cross term, whose |cr|x|src| instr scans were
+    quadratic once capture volume outgrew the fixed run count.  The
+    pair-forming join must stay an equi-join (hash/sort-merge), never
+    a nested loop, and the plan must contain the gram explode and the
+    instr confirm."""
     from pyspark.sql import functions as F
 
     from adscrawler_spark.operators import creatives as cv
@@ -431,6 +431,7 @@ def test_sent_video_containment_join_width_is_pinned(spark):
         cv.add_file_extension(cv.api_calls_from_flows(flows))
     )
     plan = _plan(cv.find_sent_videos(cv.creative_rows(calls), calls))
-    assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+    assert "explode" in plan.lower(), plan
+    assert "instr" in plan, plan
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan
