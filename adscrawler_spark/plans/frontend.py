@@ -238,8 +238,24 @@ def _adstxt_chain_rollup(
     * each group's identity is its exact pd-set (``_pd_sets``), so
       groups sharing a set — the common case: publishers list the
       same ad systems — compute their store/developer/app rollup once
-      and join it back by set equality (arrays are exact join keys;
-      no hash-collision risk).
+      and join it back (arrays are exact join keys; no hash-collision
+      risk);
+    * the pd-set array itself never rides the heavy fan-out: each
+      distinct set gets an exact compact representative ``_rep`` (the
+      MIN group-key struct over the groups owning the set — 1:1
+      because every group owns exactly one set, so min keys of
+      disjoint group collections cannot collide), and the expanded
+      (set × pub_domain) frame carries only that small struct
+      (carrying the array through the join+dedup was ~75% of the
+      rollup's executor time at the 10× profile — r7 stage capture);
+    * counts fold per SET first (``countDistinct`` per ``(_rep,
+      store)``) and only the folded counts join back to groups —
+      the per-group row expansion never materializes;
+    * the expanded frame is explicitly repartitioned before the
+      fan-out join: its pre-join byte size is tiny, so AQE coalesces
+      it to ~3 partitions and the join's 150× row fan-out would run
+      nearly serial (guide §2.5 — the coalesce decision cannot see
+      the downstream multiplication).
 
     All steps are linear in input size.  Memory note: one group's
     pd-set array scales with the pub-domain dimension (the reference's
@@ -260,91 +276,92 @@ def _adstxt_chain_rollup(
     a = app_urls_map.join(apps, "store_app", "left").select(
         "pub_domain_id", "store", "developer", "store_app"
     )
+    width = de.sparkSession.sparkContext.defaultParallelism
+
+    def family(sets: DataFrame, keys: list[str]):
+        """(group keys + _rep) map and the set-expanded pub-domain
+        frame for one group family."""
+        reps = sets.groupBy("_pdset").agg(
+            F.min(F.struct(*keys)).alias("_rep")
+        )
+        gp = sets.join(reps, "_pdset").drop("_pdset")
+        exp = reps.select(
+            "_rep", F.explode("_pdset").alias("pub_domain_id")
+        ).repartition(width, "pub_domain_id")
+        return gp, exp
+
+    def set_counts(exp: DataFrame, attr: str, out: str) -> DataFrame:
+        """Per-(set, store) distinct count of ``attr`` over the union
+        of the set's pub-domains (left join keeps the no-match null
+        store rows the reference's LEFT chain produces)."""
+        return (
+            exp.join(
+                a.select("pub_domain_id", "store", attr)
+                .dropDuplicates(),
+                "pub_domain_id", "left",
+            )
+            .groupBy("_rep", "store")
+            .agg(F.countDistinct(attr).alias(out))
+        )
+
+    zero = F.lit(0).cast("long")
     sets_pub = _pd_sets(
         d4, ["ad_domain_url", "relationship", "publisher_id"]
     )
-    sets_e = None
-    usets = sets_pub.select("_pdset")
-    if not per_publisher:
-        # the per-(adu, rel) sets are UNIONS of the per-publisher sets
-        # and must be rolled up too
-        sets_e = _pd_sets(
-            d4.select(
-                "pub_domain_id", "ad_domain_url", "relationship"
-            ).dropDuplicates(),
-            ["ad_domain_url", "relationship"],
-        )
-        usets = usets.unionByName(sets_e.select("_pdset"))
-    usets = usets.dropDuplicates()
-    expanded = usets.select(
-        "_pdset", F.explode("_pdset").alias("pub_domain_id")
-    )
-    set_store_devs = (
-        expanded.join(
-            a.select("pub_domain_id", "store", "developer")
-            .dropDuplicates(),
-            "pub_domain_id", "left",
-        )
-        .select("_pdset", "store", "developer")
-        .dropDuplicates()
-    )
-    set_store_apps = (
-        expanded.join(
-            a.select("pub_domain_id", "store", "store_app")
-            .dropDuplicates(),
-            "pub_domain_id", "left",
-        )
-        .select("_pdset", "store", "store_app")
-        .dropDuplicates()
-    )
     if per_publisher:
-        dev_rows = sets_pub.join(set_store_devs, "_pdset").select(
-            "ad_domain_url", "relationship", "publisher_id", "store",
-            F.col("developer").alias("_d"),
-            F.lit(None).cast(a.schema["store_app"].dataType).alias("_a"),
+        gp, exp = family(
+            sets_pub, ["ad_domain_url", "relationship", "publisher_id"]
         )
-        app_rows = sets_pub.join(set_store_apps, "_pdset").select(
-            "ad_domain_url", "relationship", "publisher_id", "store",
-            F.lit(None).cast(a.schema["developer"].dataType).alias("_d"),
-            F.col("store_app").alias("_a"),
+        counts = set_counts(exp, "developer", "developer_count").join(
+            set_counts(exp, "store_app", "app_count"),
+            ["_rep", "store"], "full_outer",
         )
-        return dev_rows.unionByName(app_rows).groupBy(
-            "ad_domain_url", "relationship", "store", "publisher_id"
-        ).agg(
-            F.countDistinct("_d").alias("developer_count"),
-            F.countDistinct("_a").alias("app_count"),
+        return gp.join(counts, "_rep").select(
+            "ad_domain_url", "relationship", "store", "publisher_id",
+            F.coalesce("developer_count", zero).alias("developer_count"),
+            F.coalesce("app_count", zero).alias("app_count"),
         )
-    set_stores = set_store_devs.select("_pdset", "store").dropDuplicates()
-    pub_t = d4.schema["publisher_id"].dataType
-    dev_t = a.schema["developer"].dataType
-    app_t = a.schema["store_app"].dataType
-    pub_rows = sets_pub.join(set_stores, "_pdset").select(
-        "ad_domain_url", "relationship", "store",
-        F.col("publisher_id").alias("_p"),
-        F.lit(None).cast(dev_t).alias("_d"),
-        F.lit(None).cast(app_t).alias("_a"),
+    sets_e = _pd_sets(
+        d4.select(
+            "pub_domain_id", "ad_domain_url", "relationship"
+        ).dropDuplicates(),
+        ["ad_domain_url", "relationship"],
     )
-    dev_rows = sets_e.join(set_store_devs, "_pdset").select(
-        "ad_domain_url", "relationship", "store",
-        F.lit(None).cast(pub_t).alias("_p"),
-        F.col("developer").alias("_d"),
-        F.lit(None).cast(app_t).alias("_a"),
+    gp_p, exp_p = family(
+        sets_pub, ["ad_domain_url", "relationship", "publisher_id"]
     )
-    app_rows = sets_e.join(set_store_apps, "_pdset").select(
-        "ad_domain_url", "relationship", "store",
-        F.lit(None).cast(pub_t).alias("_p"),
-        F.lit(None).cast(dev_t).alias("_d"),
-        F.col("store_app").alias("_a"),
+    gp_e, exp_e = family(sets_e, ["ad_domain_url", "relationship"])
+    # publisher counts span groups (each publisher contributes its OWN
+    # set's stores), so they fold per (adu, rel, store) directly —
+    # the per-group frame is #groups × stores-per-set, tiny
+    set_stores = (
+        exp_p.join(
+            a.select("pub_domain_id", "store").dropDuplicates(),
+            "pub_domain_id", "left",
+        )
+        .select("_rep", "store")
+        .dropDuplicates()
     )
-    return (
-        pub_rows.unionByName(dev_rows)
-        .unionByName(app_rows)
+    pub_counts = (
+        gp_p.join(set_stores, "_rep")
         .groupBy("ad_domain_url", "relationship", "store")
-        .agg(
-            F.countDistinct("_p").alias("publisher_id_count"),
-            F.countDistinct("_d").alias("developer_count"),
-            F.countDistinct("_a").alias("app_count"),
-        )
+        .agg(F.countDistinct("publisher_id").alias("publisher_id_count"))
+    )
+    counts_e = set_counts(exp_e, "developer", "developer_count").join(
+        set_counts(exp_e, "store_app", "app_count"),
+        ["_rep", "store"], "full_outer",
+    )
+    da = gp_e.join(counts_e, "_rep").select(
+        "ad_domain_url", "relationship", "store",
+        "developer_count", "app_count",
+    )
+    return pub_counts.join(
+        da, ["ad_domain_url", "relationship", "store"], "full_outer"
+    ).select(
+        "ad_domain_url", "relationship", "store",
+        F.coalesce("publisher_id_count", zero).alias("publisher_id_count"),
+        F.coalesce("developer_count", zero).alias("developer_count"),
+        F.coalesce("app_count", zero).alias("app_count"),
     )
 
 
