@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from adscrawler_spark.session import local_df
+
 # appbrain.py:12-64 — the probe space is part of the spec
 APPBRAIN_COLLECTIONS = ["hot", "hot-week", "popular", "highest-rated"]
 APPBRAIN_CATEGORIES = [
@@ -47,7 +49,7 @@ def appbrain_probe_urls(spark) -> DataFrame:
         rows.extend(
             (coll, cat, f"/{coll}/{cat}/new") for cat in APPBRAIN_CATEGORIES
         )
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "collection string, category string, url_part string"
     )
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from adscrawler_spark.session import local_df
+
 # dispatcher.py:62-63
 MAX_PENDING_CHUNKS = 1500
 MAX_CHUNK_SIZE = 40
@@ -135,7 +137,7 @@ def dispatch_all_queues(
     if not limit_rows:
         return chunk_assignments(apps, order_col).limit(0)
     spark = apps.sparkSession
-    limit_df = spark.createDataFrame(
+    limit_df = local_df(spark,
         limit_rows, "store int, group int, qlimit int"
     )
     wq = Window.partitionBy("store", "group").orderBy(order_col)

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from adscrawler_spark.functions.urls import canonical_host, url_hash
 from adscrawler_spark.streaming.frontier_gen import HOT_IOS, HOT_PLAY
 
+from adscrawler_spark.session import local_df
+
 LEASE_TTL_SECONDS = 10_800  # dispatcher.py:41
 # Salt-lane count for the two hot store hosts.  This is the fetch
 # concurrency budget PER HOST (the reference's dramatiq worker horde
@@ -225,7 +227,7 @@ def ranked_top_n(df: DataFrame, order: list[F.Column], n: int,
         if acc < n:
             offsets.append((pid, acc))
         acc += c
-    off_df = spark.createDataFrame(offsets, "_tn_pid long, _tn_off long")
+    off_df = local_df(spark, offsets, "_tn_pid long, _tn_off long")
     return (
         ranged.join(F.broadcast(off_df), "_tn_pid")
         .withColumn(
@@ -269,7 +271,7 @@ def global_rank(df: DataFrame, order: list[F.Column],
     for pid, c in counts:
         offsets.append((pid, acc))
         acc += c
-    off_df = spark.createDataFrame(offsets, "_gr_pid long, _gr_off long")
+    off_df = local_df(spark, offsets, "_gr_pid long, _gr_off long")
     # the cached partitions back both the counts pass above and the
     # rank join below; recomputing them would re-draw the mid values,
     # so the handle must stay persisted until the caller materializes

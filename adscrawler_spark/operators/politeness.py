@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from adscrawler_spark.session import local_df
+
 DEFAULT_CRAWL_DELAY = 0.5
 DEFAULT_BUDGET_SECONDS = 3600.0
 
@@ -38,7 +40,7 @@ def default_robots(spark: SparkSession) -> DataFrame:
         ("pub17-dev.com", ["/app-ads.txt"], 1.0),
         ("pub27-dev.com", ["/private", "/app-ads.txt"], 1.0),
     ]
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "host string, disallow array<string>, crawl_delay double"
     )
 

@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from adscrawler_spark.session import local_df as _ldf
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -312,7 +314,7 @@ _PATTERNS = ["al", "an", "bl", "co", "fr", "go", "la", "mi", "pe", "ro"]
 )
 def prefix_match_join(spark, sf):
     t = _t(spark, sf, "part")
-    pat = t.sparkSession.createDataFrame([(p,) for p in _PATTERNS], "pattern string")
+    pat = _ldf(t.sparkSession, [(p,) for p in _PATTERNS], "pattern string")
     return (
         t.join(F.broadcast(pat), F.expr("startswith(p_name, pattern)"))
         .groupBy("pattern")
@@ -334,7 +336,7 @@ _KEYWORDS = ["red", "blue", "green", "metal", "steel"]
 )
 def containment_join_keywords(spark, sf):
     t = _t(spark, sf, "part")
-    kw = t.sparkSession.createDataFrame([(k,) for k in _KEYWORDS], "keyword string")
+    kw = _ldf(t.sparkSession, [(k,) for k in _KEYWORDS], "keyword string")
     return (
         t.join(F.broadcast(kw), F.expr("contains(p_name, keyword)"))
         .groupBy("keyword")
@@ -1659,14 +1661,14 @@ def sdk_pattern_scan(spark, sf):
         F.lower("p_type").alias("path"),
     )
     spark_ = s.sparkSession
-    pkg = spark_.createDataFrame(
+    pkg = _ldf(spark_,
         [("small", 101), ("red", 102), ("blue", 103)],
         "package_pattern string, sdk_id int",
     )
-    pth = spark_.createDataFrame(
+    pth = _ldf(spark_,
         [("ECONOMY", 201), ("SMALL", 202)], "path_pattern string, sdk_id int"
     )
-    med = spark_.createDataFrame(
+    med = _ldf(spark_,
         [("hot", 301), ("small", 302)], "mediation_pattern string, sdk_id int"
     )
     by_pkg = s.join(
@@ -5737,14 +5739,14 @@ def ad_payload_known_parts_q(spark, sf):
         url.alias("url"),
     )
     spark_sess = ev.sparkSession
-    mmps = spark_sess.createDataFrame(
+    mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",), ("singular.net",)],
         ["tld_url"],
     )
     ad_domains = spark_sess.range(0, 15).select(
         F.concat(F.lit("adnet"), F.col("id").cast("string"),
                  F.lit(".com")).alias("domain_name")
-    ).union(spark_sess.createDataFrame([("bidease.com",)], ["domain_name"]))
+    ).union(_ldf(spark_sess, [("bidease.com",)], ["domain_name"]))
     return ap.known_parts(urls, mmps, ad_domains)
 
 
@@ -7891,7 +7893,7 @@ def retention_benchmarks_q(spark, sf):
             F.round(0.05 + (F.col("id") % 6) * 0.01, 4).alias("d30"),
         )
     )
-    rgb_global = spark_sess.createDataFrame(
+    rgb_global = _ldf(spark_sess,
         [(0, "games", 0.28, 0.12, 0.04), (0, "apps", 0.22, 0.09, 0.03)],
         "store int, app_category string, d1 double, d7 double, d30 double",
     )
@@ -8696,7 +8698,7 @@ def _mitm_flows_synth_spark(spark, sf):
     # downstream codegen segment)
     flows = flows.localCheckpoint(eager=False)
 
-    mmps = spark_sess.createDataFrame(
+    mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"]
     )
     ad_domains = spark_sess.range(0, 15).select(
@@ -8719,7 +8721,7 @@ def _mitm_flows_synth_spark(spark, sf):
             F.concat(F.lit("com.req"), s(F.col("id")),
                      F.lit(".go")).alias("store_id")))
     )
-    fixed = spark_sess.createDataFrame(
+    fixed = _ldf(spark_sess,
         [("2mdn.net", 1), ("googlevideo.com", 2),
          ("unity3dusercontent.com", 3), ("adcolony.com", 4),
          ("appsflyer.com", 60), ("adjust.com", 61)],
@@ -9081,7 +9083,7 @@ def network_routed_attribution_q(spark, sf):
     # trees are inlined into every downstream codegen segment (a
     # size-independent driver cost, ~10× the query's execution time)
     flows = cre.unionByName(sent).localCheckpoint(eager=False)
-    mmps = spark_sess.createDataFrame(
+    mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
     addoms = spark_sess.range(0, 15).select(
         F.concat(F.lit("adnet"), s(F.col("id")), F.lit(".com")).alias(
@@ -9271,9 +9273,9 @@ def protobuf_route_attribution_q(spark, sf):
         content,
     ))
     flows = cre.unionByName(sent).localCheckpoint(eager=False)
-    mmps = spark_sess.createDataFrame(
+    mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
-    addoms = spark_sess.createDataFrame(
+    addoms = _ldf(spark_sess,
         [("ads9.com",)], ["domain_name"])
     apps = None
     for base_id, pre in [(1000, "com.bm"), (2000, "com.tx"),
@@ -9805,7 +9807,7 @@ def keyword_ranks_resolved_q(spark, sf):
         .alias("store_id"),
         F.col("c_custkey").cast("long").alias("id"),
     )
-    countries = spark.createDataFrame(
+    countries = _ldf(spark,
         [(f"C{i}", i + 100) for i in range(5)], "alpha2 string, id int"
     )
     return RI.resolve_keyword_ranks(
@@ -10576,7 +10578,7 @@ def app_country_evidence_q(spark, sf):
             F.concat(F.lit("FR addr "), F.col("c_custkey").cast("string")),
         ).alias("developer_legal_address"),
     )
-    countries = spark.createDataFrame(
+    countries = _ldf(spark,
         [("US", 1), ("DE", 2), ("FR", 3)], "alpha2 string, id int"
     )
     return LD.country_evidence_rows(
@@ -10994,7 +10996,7 @@ def company_country_evidence_q(spark, sf):
             ),
         ).alias("locations"),
     )
-    countries = spark.createDataFrame(
+    countries = _ldf(spark,
         [(1, "US"), (2, "DE"), (3, "FR"), (4, "GB")],
         "country_id int, alpha2 string",
     )
@@ -11539,7 +11541,7 @@ def weekly_delete_chunks_q(spark, sf):
             F.lit("/part-"), (ok % 997).cast("string"), F.lit(".parquet"),
         ).alias("s3_key")
     ).distinct()
-    ranges = spark.createDataFrame(
+    ranges = _ldf(spark,
         [("lake/events", "2026-01-01", "2026-03-31")],
         "prefix string, start_date string, end_date string",
     ).select(
@@ -11950,7 +11952,7 @@ def app_ads_map_cascade_q(spark, sf):
         F.concat(F.lit("ad"), F.col("n_nationkey").cast("string"),
                  F.lit(".com")).alias("domain_name"),
     )
-    entrys_dim = spark.createDataFrame(
+    entrys_dim = _ldf(spark,
         [], "id long, ad_domain long, publisher_id string, "
             "relationship string, certification_auth string, notes string",
     )
@@ -12123,7 +12125,7 @@ def ip_geo_snapshots_q(spark, sf):
             .alias("ip_address"),
         )
     )
-    countries = spark.createDataFrame(
+    countries = _ldf(spark,
         [("C0", 11), ("C1", 12), ("C2", 13), ("C3", 14), ("C4", 15)],
         "alpha2 string, country_id int",
     )
@@ -12527,7 +12529,7 @@ def apps_to_update_primary_q(spark, sf):
         F.col("id").cast("int").alias("id"),
         F.concat(F.lit("C"), F.col("id").cast("string")).alias("alpha2"),
     )
-    scen = spark_sess.createDataFrame(
+    scen = _ldf(spark_sess,
         [(1, "app_details"), (2, "other")], "id int, name string"
     )
     acc = ev.select(
@@ -13164,7 +13166,7 @@ def developer_store_apps_dim_q(spark, sf):
         .cast("int")
         .alias("root_domain_id"),
     )
-    tp = spark_s.createDataFrame([(31,), (33,)], "domain_id int")
+    tp = _ldf(spark_s, [(31,), (33,)], "domain_id int")
     devs = spark_s.range(0, 10).select(
         F.col("id").cast("int").alias("id"),
         F.concat(F.lit("dev"), F.col("id").cast("string")).alias("name"),

@@ -54,3 +54,28 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Tiny literal dimension as a JVM ``LocalTableScan`` via the
+    pandas+Arrow path (guide §4: keep Python off the execution path).
+
+    ``spark.createDataFrame(list)`` builds a pickled-RDD-backed frame:
+    every scan of it runs Python-worker tasks (one wave of 32 cold
+    workers measured ~4s at the 10x profile) and the optimizer cannot
+    size it for broadcast planning.  The same rows routed through a
+    pandas frame convert to an Arrow-backed LocalRelation evaluated
+    entirely in the JVM, with a known size.
+
+    ``schema`` is either a DDL string (explicit types, empty ``rows``
+    allowed) or a list of column names (types inferred by Arrow:
+    int→bigint, str→string, float→double — identical to the RDD
+    path's inference for the literal dims used here)."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [f.strip().split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(list(rows), columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema=schema)
+    pdf = pd.DataFrame(list(rows), columns=list(schema))
+    return spark.createDataFrame(pdf)
