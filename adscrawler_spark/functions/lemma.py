@@ -358,9 +358,15 @@ def lemma_keywords_topk(
     # (see rake.py — CollapseProject would inline the alias into every
     # consuming lambda otherwise)
     top = f"transform(array({lemmas}), ws -> {ranked})[0]"
+    # posexplode_OUTER + null filter: a non-outer Generate makes
+    # InferFiltersFromGenerate duplicate the whole tower into a
+    # pushed-down filter that runs serial below the spread
+    # repartition (see rake.py for the measured profile); the outer
+    # form + post-generate ordinal filter is row-identical.
     return (
         docs.select(id_col, F.expr(top).alias("top"))
-        .select(id_col, F.posexplode("top").alias("pos", "s"))
+        .select(id_col, F.posexplode_outer("top").alias("pos", "s"))
+        .filter(F.col("pos").isNotNull())
         .select(
             id_col,
             F.col("s.lemma").alias("lemma"),

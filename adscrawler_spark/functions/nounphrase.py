@@ -152,9 +152,15 @@ def noun_phrase_topk(
             1, {top_n})
     """
     top = f"transform(array({chunks}), ph -> {ranked})[0]"
+    # posexplode_OUTER + null filter: a non-outer Generate makes
+    # InferFiltersFromGenerate duplicate the whole tower into a
+    # pushed-down filter that runs serial below the spread
+    # repartition (see rake.py for the measured profile); the outer
+    # form + post-generate ordinal filter is row-identical.
     return (
         docs.select(id_col, F.expr(top).alias("top"))
-        .select(id_col, F.posexplode("top").alias("pos", "s"))
+        .select(id_col, F.posexplode_outer("top").alias("pos", "s"))
+        .filter(F.col("pos").isNotNull())
         .select(
             id_col,
             F.col("s.phrase").alias("phrase"),

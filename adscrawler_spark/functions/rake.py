@@ -215,12 +215,23 @@ def rake_topk(
         transform(array({phrases}), ph ->
             transform(array({scores}), sc -> {ranked})[0])[0]
     """
+    # posexplode_OUTER + explicit null filter, NOT plain posexplode:
+    # for a non-outer Generate, Catalyst's InferFiltersFromGenerate
+    # synthesizes `size(top) > 0 AND isnotnull(top)` and pushes it
+    # below the upstream repartition by alias substitution — the
+    # ENTIRE tower expression is then re-evaluated inside the filter
+    # on the unspread single-partition scan (a serial 17.8s stage at
+    # the 10x profile, vs the 32-wide ~1s/task projection).  The rule
+    # skips outer generates; the post-generate filter on the output
+    # ordinal drops exactly the rows non-outer posexplode drops
+    # (null/empty arrays) and cannot be pushed below the Generate.
     return (
         docs.select(id_col, F.expr(top).alias("top"))
         .select(
             id_col,
-            F.posexplode("top").alias("pos", "s"),
+            F.posexplode_outer("top").alias("pos", "s"),
         )
+        .filter(F.col("pos").isNotNull())
         .select(
             id_col,
             F.col("s.phrase").alias("phrase"),
