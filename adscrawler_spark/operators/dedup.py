@@ -44,13 +44,17 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 4,
     Compact scans are spread before the ~200× explode
     (``spread_if_narrow``)."""
     df = spread_if_narrow(df, id_col)
-    toks = f"split(lower({text_col}), '\\\\s+')"
-    expr = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    # let-bind the token array (single-element-transform trick, see
+    # rake.py): inlining the split into the slice lambda re-ran the
+    # regex split once per generated shingle instead of once per doc
+    shingles = (
+        f"transform(array(split(lower({text_col}), '\\\\s+')), tk -> "
+        f"transform(sequence(1, greatest(size(tk) - {n - 1}, 1)), "
+        f"i -> array_join(slice(tk, i, {n}), ' ')))[0]"
     )
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.expr(expr))).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(shingles))).alias("shingle"),
     )
 
 

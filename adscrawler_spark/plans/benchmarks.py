@@ -1735,7 +1735,12 @@ def tfidf_ngrams(spark, sf):
     JVM-side: gram explode → two hash aggregations → broadcast df
     join."""
     d = _ts(spark, sf, "documents")
-    toks = "split(lower(text), '\\\\s+')"
+    # let-bind the token array via the single-element-transform trick
+    # (see rake.py): inlining split(lower(text)) into the gram lambdas
+    # re-ran the regex split once PER GENERATED TERM (~450x per doc —
+    # 130s of the stage CPU at the 10x profile); bound as a lambda
+    # variable it evaluates once per document.
+    toks = "tk"
 
     def gram(n: int) -> str:
         return (
@@ -1744,13 +1749,15 @@ def tfidf_ngrams(spark, sf):
             "array())"
         )
 
+    grams_expr = (
+        "transform(array(split(lower(text), '\\\\s+')), tk -> "
+        f"concat({gram(1)}, {gram(2)}, {gram(3)}))[0]"
+    )
     terms = d.repartition(
         d.sparkSession.sparkContext.defaultParallelism, "doc_id"
     ).select(
         "doc_id",
-        F.explode(
-            F.expr(f"concat({gram(1)}, {gram(2)}, {gram(3)})")
-        ).alias("term"),
+        F.explode(F.expr(grams_expr)).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
