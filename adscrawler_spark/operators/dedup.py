@@ -146,6 +146,17 @@ def _capped_bucket_pairs(
             )
             .distinct()
         )
+    # explicit width BEFORE the sizing window: the bucket frame is
+    # tiny in bytes, so AQE coalesces its exchange to ~2 partitions
+    # and the up-to-cap² per-bucket pair fan-out below runs nearly
+    # serial (guide §2.5 — the coalesce cannot see the downstream
+    # multiplication).  Repartitioning here keeps one exchange: the
+    # window and the self-join both reuse the explicit hash
+    # partitioning (repartitioning AFTER the window instead was
+    # measured slower — it broke the window's sort reuse and paid a
+    # second exchange).
+    width = rows.sparkSession.sparkContext.defaultParallelism
+    rows = rows.repartition(width, *bucket_keys)
     w = Window.partitionBy(*bucket_keys)
     sized = rows.withColumn("_bsz", F.count("*").over(w))
     small = sized.filter(F.col("_bsz") <= bucket_cap).drop("_bsz")
@@ -323,7 +334,10 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
         buckets, ["t", "bucket"], "vid", "vec_a", "vec_b", bucket_cap
     )
     # identical normalized-fold formulation to embedding_near_dup_pairs,
-    # so verified sims are bit-equal to the brute-force path.
+    # so verified sims are bit-equal to the brute-force path.  The norm
+    # is let-bound via the single-element-transform trick (rake.py):
+    # inlined in the division lambda it re-ran the whole
+    # sqrt-of-dot-product fold once PER ELEMENT (64x per vector).
     raw = f"transform({vec_col}, x -> cast(x as double))"
     norm = (
         f"sqrt(aggregate(zip_with({raw}, {raw}, (x, y) -> x * y), "
@@ -331,7 +345,10 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
     )
     v = emb.select(
         F.col(id_col).alias("vid"),
-        F.expr(f"transform({raw}, x -> x / {norm})").alias("v"),
+        F.expr(
+            f"transform(array({norm}), nrm -> "
+            f"transform({raw}, x -> x / nrm))[0]"
+        ).alias("v"),
     )
     va = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     vb = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
@@ -339,6 +356,14 @@ def embedding_near_dup_lsh(emb: DataFrame, threshold: float = 0.35,
         "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), "
         "(acc, x) -> acc + x)"
     )
+    # NOTE: the .filter on the aliased sim gets substituted below the
+    # Project, so the dot-product fold runs in both Filter and Project
+    # — but both inside whole-stage codegen.  Two attempted "evaluate
+    # once" rewrites through a Generate barrier both measured SLOWER
+    # at the 10x profile (fold inside the generator: 186 -> 583
+    # executor-s, interpreted; fold in a child Project under an outer
+    # Generate: still ~15% slower end to end), so the codegen'd
+    # double evaluation stays.
     return (
         cand.join(va, "vec_a").join(vb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
