@@ -299,11 +299,24 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
     # the false positives.  Cost is linear: ~one gram row per source
     # character (capture response texts are short), versus the old
     # |cr|×|src| instr scans per run.
+    # the join key is ONE xxhash64 over (run keys, gram), not the
+    # string gram + run-key columns: the gram index shuffles ~one row
+    # per source character, so narrowing each row to (src_uuid, 8-byte
+    # hash) cuts the exchange bytes ~4x (guide §2.3 "narrower types").
+    # Exactness: equal (keys, gram) always hash equal (no false
+    # negatives); a 64-bit collision can only add a candidate that the
+    # (run keys, src_uuid) join + instr() confirm below discards —
+    # src_uuid is globally unique, so a cross-run collision finds no
+    # src row under the creative's run keys, and a same-run false
+    # gram match fails instr().
+    gram_hash = lambda g: F.xxhash64(*_RUN_KEYS, g)  # noqa: E731
     cand_cr = cr.withColumn(
-        "_gram",
-        F.expr(
-            "array_min(transform(sequence(1, length(video_id) - 4),"
-            " i -> substring(video_id, i, 5)))"
+        "_gh",
+        gram_hash(
+            F.expr(
+                "array_min(transform(sequence(1, length(video_id) - 4),"
+                " i -> substring(video_id, i, 5)))"
+            )
         ),
     )
     src_grams = (
@@ -319,10 +332,11 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
                 )
             ).alias("_gram"),
         )
+        .select("src_uuid", gram_hash(F.col("_gram")).alias("_gh"))
     )
-    cand = cand_cr.join(
-        src_grams, [*_RUN_KEYS, "_gram"]
-    ).select(*_RUN_KEYS, "cr_uuid", "cr_called_at", "video_id", "src_uuid")
+    cand = cand_cr.join(src_grams, "_gh").select(
+        *_RUN_KEYS, "cr_uuid", "cr_called_at", "video_id", "src_uuid"
+    )
     hits = cand.join(src, [*_RUN_KEYS, "src_uuid"]).filter(
         F.instr(F.col("src_text"), F.col("video_id")) > 0
     )
@@ -490,6 +504,18 @@ def attribute_creatives(
                 "src_content", "video_id",
             ),
             mmp_tld_set,
+        )
+        # prune to what the three consumers (sources, meta,
+        # direct/empty infos) actually read BEFORE materializing the
+        # checkpoint: the raw text / url / mime / headers /
+        # request-blob payload columns never leave this operator, and
+        # a localCheckpoint stores every column it is handed (guide
+        # §2.3 — project before the exchange; the checkpoint is the
+        # exchange here)
+        nf = nf.select(
+            *_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld",
+            "route", "parse_text", "direct_adv", "direct_mmp",
+            "direct_tlds", "keep_empty", "clicks_enabled",
         )
         if persisted is not None:
             nf = nf.localCheckpoint(eager=False)
