@@ -26,7 +26,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BUCKET_BITS = 16
+# Bucket granularity: bucket = ip >> BUCKET_BITS, i.e. 8 = /24
+# buckets.  The bucket size trades candidate fan-in against block
+# explode fan-out: with /16 buckets every probe ip met every /17-/24
+# block sharing its /16 (~200 candidates per ip at the bench shape —
+# 274M candidate rows through the residual range filter, ~2/3 of the
+# lookup's CPU); /24 buckets bring that to ~1-3 candidates while a
+# GeoLite2-shaped table (mostly /20-/24 blocks, few coarser than /16)
+# explodes to only ~1-2 bucket rows per block.  Blocks coarser than
+# the bucket explode into 2^(bucket_prefix - block_prefix) rows, so
+# anything /9 or coarser would be the thing to watch before shrinking
+# further.
+BUCKET_BITS = 8
 
 _IPV4_PAT = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
 
@@ -63,10 +74,9 @@ def long_to_ip(col: Column) -> Column:
     )
 
 
-def explode_cidr_buckets(blocks: DataFrame) -> DataFrame:
+def parse_cidr(blocks: DataFrame) -> DataFrame:
     """Parse a ``network`` CIDR column into (start_ip, end_ip,
-    prefix_len) and explode each block into the /16 buckets it
-    spans.  All arithmetic is JVM-side; span = 2^(32-prefix) is
+    prefix_len).  All arithmetic is JVM-side; span = 2^(32-prefix) is
     exact in double up to 2^53."""
     parts = F.split(F.col("network"), "/")
     plen = parts[1].cast("int")
@@ -74,21 +84,45 @@ def explode_cidr_buckets(blocks: DataFrame) -> DataFrame:
     span = F.pow(F.lit(2.0), 32 - plen).cast("long")
     start = F.floor(base / span) * span
     end = start + span - 1
-    shift = F.lit(1 << BUCKET_BITS)
     return (
         blocks.withColumn("prefix_len", plen)
         .withColumn("start_ip", start)
         .withColumn("end_ip", end)
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("start_ip") / shift),
-                    F.floor(F.col("end_ip") / shift),
-                )
-            ),
-        )
     )
+
+
+def explode_cidr_buckets(blocks: DataFrame) -> DataFrame:
+    """``parse_cidr`` + explode each block into the buckets it spans."""
+    shift = F.lit(1 << BUCKET_BITS)
+    return parse_cidr(blocks).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_ip") / shift),
+                F.floor(F.col("end_ip") / shift),
+            )
+        ),
+    )
+
+
+def _block_pack() -> Column:
+    """One BIGINT encoding the longest-prefix-wins ordering AND the
+    block's identity: (32-plen) in bits 40-45, start_ip in bits 8-39,
+    plen in bits 0-7 — numeric compare == lexicographic (32-plen,
+    start_ip, plen).  A plain min(long) folds in a HashAggregate;
+    the min_by-over-struct formulation it replaces fell back to
+    SortAggregate (struct aggregation buffers are not hash-mutable)
+    and dominated the lookup's CPU at the 10x profile.  The ordering
+    is EXACTLY the old (32-plen, network) one: candidates all contain
+    the probe ip, so equal-length candidates are the identical block
+    and the tie-break is unreachable."""
+    # the shift operands must already be LONG: shiftleft on an int
+    # column wraps the shift distance mod 32
+    return (
+        F.shiftleft((F.lit(32) - F.col("prefix_len")).cast("long"), 40)
+        + F.shiftleft(F.col("start_ip").cast("long"), 8)
+        + F.col("prefix_len")
+    ).cast("long")
 
 
 CITY_COLS = [
@@ -130,18 +164,14 @@ def _join_block_candidates(
     )
 
 
-def _best_block(tag: str, fields: list[Column]) -> Column:
-    """Longest-prefix-wins candidate pick for one database tag:
-    min_by over (32 − prefix_len, network) — min_by skips NULL
-    orderings, so each tag's aggregate only sees its own rows."""
-    order = F.when(
-        F.col("_tag") == tag,
-        F.struct(
-            (32 - F.col("prefix_len")).alias("o"),
-            F.col("network").alias("n"),
-        ),
-    )
-    return F.min_by(F.struct(*fields), order)
+def _best_block(tag: str) -> Column:
+    """Longest-prefix-wins candidate pick for one database tag: a
+    hash-aggregable min over the packed ordering long (``_block_pack``
+    — the when() is NULL for other tags' rows and min skips NULLs, so
+    each tag's aggregate only sees its own candidates).  The winner's
+    attributes join back afterwards from the un-exploded parsed block
+    dim keyed by the same pack."""
+    return F.min(F.when(F.col("_tag") == tag, _block_pack()))
 
 
 def lookup_ips(
@@ -192,18 +222,27 @@ def lookup_ips(
         base, city_blocks, asn_blocks, broadcast_blocks
     )
     agg = joined.groupBy(F.col("ip")).agg(
-        _best_block(
-            "c",
-            [F.col(c) for c in CITY_COLS] + [F.col("network").alias("cidr")],
-        ).alias("_city"),
-        _best_block("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
+        _best_block("c").alias("_wc"),
+        _best_block("a").alias("_wa"),
     )
-    hit = F.col("_city.cidr").isNotNull() & F.col("_asn.asn").isNotNull()
-    return agg.select(
+    cdim = parse_cidr(city_blocks).select(
+        _block_pack().alias("_wc"),
+        *[F.col(c) for c in CITY_COLS],
+        F.col("network").alias("cidr"),
+    )
+    adim = parse_cidr(asn_blocks).select(
+        _block_pack().alias("_wa"), *[F.col(c) for c in ASN_COLS]
+    )
+    res = (
+        agg.join(F.broadcast(cdim), "_wc", "left")
+        .join(F.broadcast(adim), "_wa", "left")
+    )
+    hit = F.col("cidr").isNotNull() & F.col("asn").isNotNull()
+    return res.select(
         "ip",
-        *[F.when(hit, F.col(f"_city.{c}")).alias(c) for c in CITY_COLS],
-        F.when(hit, F.col("_city.cidr")).alias("cidr"),
-        *[F.when(hit, F.col(f"_asn.{c}")).alias(c) for c in ASN_COLS],
+        *[F.when(hit, F.col(c)).alias(c) for c in CITY_COLS],
+        F.when(hit, F.col("cidr")).alias("cidr"),
+        *[F.when(hit, F.col(c)).alias(c) for c in ASN_COLS],
     )
 
 
@@ -282,25 +321,33 @@ def ip_geo_snapshot_rows(
     probe = dedup.withColumn("ip_int", ip_to_long(F.col("ip_address")))
     joined = _join_block_candidates(probe, city_blocks, asn_blocks)
     agg = joined.groupBy("mitm_uuid", "ip_address").agg(
-        _best_block(
-            "c",
-            [F.col("country_iso"), F.col("state_iso"),
-             F.col("city_name"), F.col("network").alias("cidr")],
-        ).alias("_city"),
-        _best_block("a", [F.col(c) for c in ASN_COLS]).alias("_asn"),
+        _best_block("c").alias("_wc"),
+        _best_block("a").alias("_wa"),
+    )
+    cdim = parse_cidr(city_blocks).select(
+        _block_pack().alias("_wc"),
+        "country_iso", "state_iso", "city_name",
+        F.col("network").alias("cidr"),
+    )
+    adim = parse_cidr(asn_blocks).select(
+        _block_pack().alias("_wa"), *[F.col(c) for c in ASN_COLS]
+    )
+    agg = (
+        agg.join(F.broadcast(cdim), "_wc", "left")
+        .join(F.broadcast(adim), "_wa", "left")
     )
     # get_geo's ladder (tools/geo.py:101-129): unparseable → empty
     # strings; parseable but missed in EITHER database → NULLs
     ok = ip_to_long(F.col("ip_address")).isNotNull()
-    hit = F.col("_city.cidr").isNotNull() & F.col("_asn.asn").isNotNull()
+    hit = F.col("cidr").isNotNull() & F.col("asn").isNotNull()
     pick = lambda c: F.when(~ok, F.lit("")).when(hit, c)  # noqa: E731
     with_geo = agg.select(
         "mitm_uuid",
         "ip_address",
-        pick(F.col("_city.country_iso")).alias("country_iso"),
-        pick(F.col("_city.state_iso")).alias("state_iso"),
-        pick(F.col("_city.city_name")).alias("city_name"),
-        pick(F.col("_asn.org")).alias("org"),
+        pick(F.col("country_iso")).alias("country_iso"),
+        pick(F.col("state_iso")).alias("state_iso"),
+        pick(F.col("city_name")).alias("city_name"),
+        pick(F.col("org")).alias("org"),
     )
     with_country = with_geo.join(
         F.broadcast(countries.select("alpha2", "country_id")),

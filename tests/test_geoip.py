@@ -68,10 +68,16 @@ def test_explode_cidr_bucket_counts(spark):
     out = G.explode_cidr_buckets(blocks)
     counts = {r.network: r.n for r in
               out.groupBy("network").agg(F.count("*").alias("n")).collect()}
-    assert counts["10.0.0.0/8"] == 256      # /8 spans 2^(16-8) buckets
-    assert counts["192.168.0.0/14"] == 4    # /14 spans 4
-    assert counts["10.1.0.0/16"] == 1
-    assert counts["10.1.2.0/24"] == 1
+    # a /p block coarser than the bucket spans 2^(32 - BUCKET_BITS - p)
+    # buckets; finer-or-equal blocks span exactly 1 (parametric so the
+    # test tracks the tuned bucket granularity)
+    def spans(p: int) -> int:
+        return max(1, 1 << max(0, (32 - G.BUCKET_BITS) - p))
+
+    assert counts["10.0.0.0/8"] == spans(8)
+    assert counts["192.168.0.0/14"] == spans(14)
+    assert counts["10.1.0.0/16"] == spans(16)
+    assert counts["10.1.2.0/24"] == spans(24)
     rng = out.filter(F.col("network") == "10.1.2.0/24").collect()[0]
     base = (10 << 24) + (1 << 16) + (2 << 8)
     assert rng.start_ip == base and rng.end_ip == base + 255
@@ -134,10 +140,13 @@ def test_lookup_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # The block dim is broadcast (one copy per executor, the mmdb
-    # analogue) and the longest-prefix resolve is an aggregation,
-    # not a window sort over the joined candidates.
+    # analogue) and the longest-prefix resolve is a HASH-aggregable
+    # min over the packed ordering long (the min_by-over-struct
+    # formulation fell back to SortAggregate), not a window sort
+    # over the joined candidates.
     assert "BroadcastHashJoin" in plan
-    assert "min_by" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
     assert "Window" not in plan
     # Shuffled fallback keeps the bucket equi-join (still no
     # cartesian) when the dim is declared too big to broadcast.
