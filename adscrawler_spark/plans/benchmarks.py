@@ -55,9 +55,42 @@ def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _spread(_t(spark, sf_dir, name))
 
 
+def _drain_residue(spark: SparkSession) -> None:
+    """Release every persistent RDD and cache entry left behind by
+    PREVIOUSLY materialized battery entries (plain persists, cached
+    frames, already-materialized localCheckpoint blocks).
+
+    The battery contract is sequential: one query is built, then
+    materialized, then the next is built — so by the time entry N+1
+    is being BUILT, entry N's blocks are unreachable, yet they still
+    occupy the unified storage region, evicting the live entry's
+    execution memory (guide §5: "cached data competes with execution
+    memory; unpersist when done").  Measured at the 10× profile:
+    in-suite vs solo, tfidf_ngrams 7.3s vs 0.7s and ip_geo_snapshots
+    16.3s vs 10.5s.  This releases memory only — nothing persists
+    ACROSS entries (clearing the cache also removes any accidental
+    CacheManager plan-fragment reuse between entries, making each
+    timing honest), and every entry still computes from the parquet
+    inputs."""
+    try:
+        spark.catalog.clearCache()
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist(False)
+    except Exception:  # pragma: no cover - cleanup is best-effort
+        pass
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _drain_residue(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
