@@ -27,7 +27,13 @@ public morphy design (WordNet's documented "rules of detachment"):
   outnumber comparatives and the reference's tagger protects them.
 
 This is a documented approximation: an out-of-table irregular or a
-verb-tagged -ing nominal diverges from real NLTK output.  Ranking is
+verb-tagged -ing nominal diverges from real NLTK output.  The
+TOKENIZER also diverges: the reference's ``word_tokenize`` keeps
+punctuation-joined tokens whole ("state-of-the-art", "don't") and
+then drops them at the ``isalpha()`` check, while the engine's
+``[^a-z]+`` split emits their alphabetic pieces ("state", "art",
+"don", "t") as candidate tokens — hyphenated compounds therefore
+contribute keywords here that the reference discards.  Ranking is
 deterministic (freq desc, lemma asc) where the reference's
 ``Counter.most_common`` breaks ties by corpus order.
 
