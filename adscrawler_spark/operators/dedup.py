@@ -404,14 +404,17 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    # plain shuffle join on term — NOT a broadcast hint: the distinct-
-    # term table grows with the corpus (billions of terms at web scale,
-    # an executor-OOM if forced to every node).  AQE still converts to
-    # a broadcast join at runtime when the vocabulary is actually small.
+    # df_t via a window over the tf rows, NOT a tf⋈(tf→groupBy) self
+    # join: the two tf subtrees prune to different column sets, so
+    # exchange reuse never fires and the tokenize+tf tower executes
+    # twice (see tfidf_ngrams in plans/benchmarks.py for the profile).
+    # tf rows are unique per (id, term), so count(*) over the term
+    # partition IS countDistinct(id).  The term shuffle this needs is
+    # the same one the old join paid; corpus-scale vocabularies stay
+    # partitioned, never broadcast.
     scored = (
-        tf.join(dft, "term")
+        tf.withColumn("df_t", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

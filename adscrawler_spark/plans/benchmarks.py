@@ -1793,10 +1793,18 @@ def tfidf_ngrams(spark, sf):
         F.explode(F.expr(grams_expr)).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    # df_t via a window over the tf rows, NOT a tf⋈(tf→groupBy) self
+    # join: the two tf subtrees prune to different column sets, so
+    # exchange reuse never fired and the gram tower executed twice
+    # (two ~60-120 executor-s stages at the 10x profile).  tf rows are
+    # unique per (doc_id, term) by construction, so count(*) over the
+    # term partition IS countDistinct(doc_id), and the final
+    # groupBy(term) reuses the window's term partitioning — one tower
+    # pass and one less exchange.
+    dft_w = F.count("*").over(Window.partitionBy("term"))
     nd = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dft, "term")
+        tf.withColumn("df_t", dft_w)
         .crossJoin(F.broadcast(nd))
         .filter(
             (F.col("df_t") >= _TFIDF_MIN_DF)
