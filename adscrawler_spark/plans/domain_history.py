@@ -88,7 +88,12 @@ def enrich_windowed(active: DataFrame, apps: DataFrame) -> DataFrame:
 
 def domain_app_changes(enriched: DataFrame) -> DataFrame:
     """added / added_initial / removed rows
-    (domain_app_changes.sql:40-78)."""
+    (domain_app_changes.sql:40-78).
+
+    Same materialize-once rationale as :func:`trend_domains`: the
+    added and removed branches each re-derive the windowed tower
+    otherwise."""
+    enriched = enriched.localCheckpoint(eager=False)
     added = enriched.filter(
         F.col("prev_yq").isNull()
         | (F.col("prev_yq") != F.col("yq") - F.col("prev_delta"))
@@ -135,7 +140,16 @@ def domain_app_changes(enriched: DataFrame) -> DataFrame:
 
 def trend_domains(enriched: DataFrame) -> DataFrame:
     """Per-(domain, quarter, store, tag) market share and churn rates
-    (trend_domains.sql)."""
+    (trend_domains.sql).
+
+    ``enriched`` is consumed FOUR times (pre_agg / current / churned /
+    added); its subtrees prune to different column sets, so exchange
+    reuse does not fire and the whole derive+window tower executed
+    once per consumer (duplicate 139MB map stages at the 10× profile).
+    One localCheckpoint materializes it exactly once — mirroring the
+    reference, whose trend matviews read the STORED
+    combined-domain-history table rather than recomputing it per CTE."""
+    enriched = enriched.localCheckpoint(eager=False)
     keys = ["year", "quarter", "store", "tag_source"]
     pre_agg = enriched.groupBy(*keys).agg(
         F.countDistinct("store_app").alias("total_apps_in_quarter")
