@@ -471,8 +471,11 @@ def attribute_creatives(
     # fallback: creatives with no sent match (or short ids, which
     # never joined) parse their own request blob
     # (mitm_scrape_ads.py:161-175 via parse_creative_request).
+    # shuffle_hash: the build side scales with the creative count —
+    # a broadcast would collect + hash it single-threaded on the
+    # driver (guide §3.1: broadcast only what stays bounded).
     fb = creatives.join(
-        sent.select("cr_uuid").distinct(),
+        sent.select("cr_uuid").distinct().hint("shuffle_hash"),
         creatives["mitm_uuid"] == F.col("cr_uuid"), "left_anti",
     )
     fb_sources = fb.select(
@@ -538,7 +541,11 @@ def attribute_creatives(
         # stops every downstream transformation from re-analyzing the
         # whole flows→calls→creatives→sent tower (driver-side
         # analysis grows quadratically with tower depth otherwise —
-        # it dominated the assembly's wall clock at bench scale)
+        # it dominated the assembly's wall clock at bench scale).
+        # (r7: converting this cut and nf/infos to plain persists was
+        # measured 1.5-2x SLOWER at the 10x profile — the separate
+        # serial checkpoint jobs are cheaper than the double-compute
+        # races and re-analysis the persists reintroduce; reverted.)
         sources = sources.localCheckpoint(eager=False)
     urls = ap.payload_urls(
         sources, text_col="text", out_col="url"
@@ -728,10 +735,15 @@ def attribute_creatives(
     ).drop("adv_multi", "_multi_resolved")
 
     # --- creative-level fold (mitm_scrape_ads.py:187-332) -------------
+    # shuffle_hash: one build row per creative — data-scaled, never a
+    # broadcast (the size estimator undercounts the two narrow string
+    # columns and would hand the driver a single-threaded collect +
+    # HashedRelation build; measured 5.1s collect + 4.3s build + 1.7s
+    # broadcast at the 10x profile, serial while 32 cores idle).
     host = creatives.select(
         F.col("mitm_uuid").alias("cr_uuid"),
         F.col("tld_url").alias("host_ad_network_tld"),
-    )
+    ).hint("shuffle_hash")
     kept = infos.join(host, "cr_uuid").filter(
         F.col("adv_store_id").isNotNull()
         | F.col("advertiser_store_app_ids").isNotNull()
@@ -910,10 +922,14 @@ def make_creative_records(
         # future feature placeholder (:593)
         .withColumn("advertiser_domain_id",
                     F.lit(None).cast("long"))
+        # shuffle_hash, not broadcast: one asset row per distinct
+        # creative — the build side scales with the corpus, and a
+        # forced broadcast collects + hashes it single-threaded on
+        # the driver (guide §3.1: broadcast only bounded dims; the
+        # domain dim below stays broadcast for exactly that reason)
         .join(
-            F.broadcast(
-                assets.select("md5_hash", "creative_asset_id")
-            ),
+            assets.select("md5_hash", "creative_asset_id")
+            .hint("shuffle_hash"),
             "md5_hash", "left",
         )
         .join(
