@@ -32,27 +32,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin-spread a narrow base scan when its split count is
-    below the core count.  The synthetic tables are single files with
-    one giant row group, which ``maxPartitionBytes`` cannot split —
-    without this, every derived map phase (synth expression towers,
-    text algebra, regex walks) serializes onto one task while 31
-    cores idle (guide §2.5, input skew: "one huge unsplittable file …
+# primary key per synth base table — _spread hash-partitions on it
+# instead of round-robin: repartition(n) without keys local-sorts every
+# input partition first (spark.sql.execution.sortBeforeRepartition,
+# needed for deterministic retries) — a single-task full sort on these
+# one-row-group scans — while a hash exchange on the unique key needs
+# no sort, spreads just as evenly, and leaves a partitioning downstream
+# aggregations can sometimes reuse (measured 0.7 -> 0.45s per spread on
+# the 10x orders scan, sort stage gone).
+_TABLE_KEY = {
+    "customer": "c_custkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+    "part": "p_partkey", "supplier": "s_suppkey",
+    "nation": "n_nationkey", "region": "r_regionkey",
+}
+
+
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread a narrow base scan when its split count is below the
+    core count.  The synthetic tables are single files with one giant
+    row group, which ``maxPartitionBytes`` cannot split — without
+    this, every derived map phase (synth expression towers, text
+    algebra, regex walks) serializes onto one task while 31 cores
+    idle (guide §2.5, input skew: "one huge unsplittable file …
     repartition immediately after the read").  Column pruning pushes
     through the repartition, so only the referenced columns shuffle.
     No-op whenever the scan already parallelizes (real deployments
-    with many files / row groups)."""
+    with many files / row groups).  With ``key`` (a unique column)
+    the exchange is a sort-free hash repartition; without, the
+    deterministic round-robin."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
 
 def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``_t`` + ``_spread`` for map-heavy consumers."""
-    return _spread(_t(spark, sf_dir, name))
+    return _spread(_t(spark, sf_dir, name), _TABLE_KEY.get(name))
 
 
 def _drain_residue(spark: SparkSession) -> None:

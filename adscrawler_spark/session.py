@@ -34,6 +34,16 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    # Export the package root to the worker python BEFORE the JVM
+    # launches, so the preloading daemon module (pydaemon.py) resolves
+    # in forked workers.  No-op when already importable (pip install /
+    # spark-submit --py-files).
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -44,6 +54,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
+        # Workers fork from a daemon that has pandas/pyarrow already
+        # imported (adscrawler_spark/pydaemon.py) — the first Arrow
+        # stage of a session otherwise pays a wave of per-worker
+        # imports, re-paid whenever concurrent stages outrun the
+        # idle-worker pool (guide §4: heavyweight init once).
+        .config("spark.python.daemon.module", "adscrawler_spark.pydaemon")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Big scans: keep input splits bounded so 100TB would still give
