@@ -276,7 +276,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
 
 def jaccard_via_minhash(shingles: DataFrame, threshold: float, bands: int = 8,
                         id_col: str = "doc_id",
-                        bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
+                        bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                        one_shot: bool = False) -> DataFrame:
     """The wired scale path for n-gram Jaccard dedup: MinHash banding
     generates candidate pairs (linear in docs×bands), then the exact
     Jaccard is computed ONLY on candidates — never the quadratic
@@ -286,7 +287,19 @@ def jaccard_via_minhash(shingles: DataFrame, threshold: float, bands: int = 8,
     with 8 bands); ``jaccard_pairs`` stays available as the exact
     small-n verifier.  Mirrors the reference's weekly-dedup intent
     (/root/reference/adscrawler/process/app_metrics_history.py:1152-1156)
-    scaled to document corpora."""
+    scaled to document corpora.
+
+    ``one_shot``: opt-in single-composition optimization (the
+    attribute_creatives ``persisted`` pattern): the shingle frame is
+    consumed FOUR times (signatures, per-doc sizes, both sides of the
+    common-shingle join) and each consumer prunes differently, so
+    exchange reuse never fires and the tokenize/slice tower re-runs
+    per consumer (r7: ~75 executor-CPU-s of repeat tower work at the
+    10x profile).  A lazy localCheckpoint materializes it once.
+    Leave False for a production DAG that persists shingles to a
+    durable table between steps."""
+    if one_shot:
+        shingles = shingles.localCheckpoint(eager=False)
     sigs = minhash_signatures(shingles, bands, id_col)
     cand = minhash_candidates(sigs, id_col, bucket_cap)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))

@@ -1359,7 +1359,9 @@ def dedup_jaccard_via_minhash(spark, sf):
     generation instead of the quadratic shingle self-join."""
     d = _ts(spark, sf, "documents")
     sh = dedup_ops.word_shingles(d, n=4)
-    out = dedup_ops.jaccard_via_minhash(sh, threshold=0.35, bands=_N_BANDS)
+    out = dedup_ops.jaccard_via_minhash(
+        sh, threshold=0.35, bands=_N_BANDS, one_shot=True
+    )
     return out.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )

@@ -49,11 +49,33 @@ def scale_table(src: str, out: str, name: str, mult: int) -> None:
             shifted = pc.add(t[col], pa.scalar(i * unit, t.schema.field(col).type))
             t = t.set_column(t.schema.get_field_index(col), col, shifted)
         if name == "documents" and i > 0:
-            # per-copy token prefix so exact/near-dup operators see new docs
-            text = pc.binary_join_element_wise(
-                pa.scalar(f"copyv{i}x"), t["text"], " "
+            # Interleave a per-copy salt token every 3 words: a prefix
+            # alone leaves every interior shingle identical across
+            # copies, so the copies' near-dup clusters MERGE into 10x
+            # LSH buckets (measured: bucket sum-of-squares grew 96x
+            # for 10x rows — a stacking artifact a native generation
+            # does not have; cluster count scales, cluster size does
+            # not).  Salting every n-gram window keeps each copy's
+            # dup structure internal, like independently generated
+            # docs.
+            salt = f"copyv{i}x"
+            texts = t["text"].to_pylist()
+            out_texts = []
+            for s in texts:
+                if s is None:
+                    out_texts.append(None)
+                    continue
+                w = s.split(" ")
+                chunks = []
+                for j in range(0, len(w), 3):
+                    chunks.append(" ".join(w[j:j + 3]))
+                out_texts.append(
+                    (salt + " ") + f" {salt} ".join(chunks)
+                )
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pa.array(out_texts, type=pa.string()),
             )
-            t = t.set_column(t.schema.get_field_index("text"), "text", text)
         if name == "embeddings" and i > 0:
             emb = t["embedding"].combine_chunks()
             vals = emb.values.to_numpy(zero_copy_only=False)
