@@ -1569,12 +1569,22 @@ def companies_creative_rankings(
     creative_asset_id, md5_hash, phash, file_extension; ``api_calls``:
     api_call_id, store_app, run_at; ``company_map``: domain_id,
     company_id; ``apps``: store_app, name, store, store_id, installs,
-    rating_count."""
+    rating_count.
+
+    Join-strategy note (guide §3.1, applies to every creative matview
+    port here): creative_assets / api_calls / scan_runs scale with
+    the capture volume, so their joins carry NO forced broadcast —
+    the planner auto-broadcasts them while their stats fit the
+    threshold (the bench shape is unchanged) and falls back to a
+    shuffle join at production scale, where a forced broadcast would
+    collect an unbounded table to the driver.  The curated dims
+    (domains, companies, company_map, category maps) stay explicit
+    broadcasts."""
     cr = (
         creative_records.join(
-            F.broadcast(creative_assets), "creative_asset_id", "left"
+            creative_assets, "creative_asset_id", "left"
         )
-        .join(F.broadcast(api_calls), "api_call_id", "left")
+        .join(api_calls, "api_call_id", "left")
         .withColumn("vhash", F.coalesce(F.col("phash"), F.col("md5_hash")))
     )
     proj = [
@@ -1837,9 +1847,9 @@ def advertiser_creatives(
     )
     out = (
         creative_records
-        .join(F.broadcast(creative_assets), "creative_asset_id", "left")
-        .join(F.broadcast(api_calls), "api_call_id", "left")
-        .join(F.broadcast(scan_runs), "run_id", "left")
+        .join(creative_assets, "creative_asset_id", "left")
+        .join(api_calls, "api_call_id", "left")
+        .join(scan_runs, "run_id", "left")
         .join(dom("creative_host_domain_id", "host_domain"),
               "creative_host_domain_id", "left")
         .join(dom("creative_initial_domain_id", "ad_domain"),
@@ -1947,10 +1957,10 @@ def advertiser_creative_rankings_recent_month(
     category, installs, rating, rating_count, installs_sum_1w,
     installs_sum_4w."""
     cutoff = F.to_timestamp(F.lit(as_of)) - F.expr("INTERVAL 1 MONTH")
-    runs = F.broadcast(scan_runs)
+    runs = scan_runs
     cr = (
         creative_records
-        .join(F.broadcast(api_calls), "api_call_id", "left")
+        .join(api_calls, "api_call_id", "left")
         .join(runs, "run_id", "left")
     )
     # `recent` feeds four independent plan branches (both ad-network
@@ -2029,7 +2039,7 @@ def advertiser_creative_rankings_recent_month(
         F.col("run_at").desc(), F.col("md5_hash")
     )
     top5 = (
-        recent.join(F.broadcast(creative_assets), "creative_asset_id", "left")
+        recent.join(creative_assets, "creative_asset_id", "left")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .groupBy("advertiser_store_app_id")
@@ -2064,7 +2074,7 @@ def advertiser_creative_rankings_recent_month(
     # uniform across a merged group — are exact.
     base = (
         recent.filter(F.col("advertiser_store_app_id").isNotNull())
-        .join(F.broadcast(creative_assets), "creative_asset_id", "left")
+        .join(creative_assets, "creative_asset_id", "left")
         .join(
             F.broadcast(apps.select(
                 F.col("store_app"),
