@@ -3930,7 +3930,14 @@ def redirect_chain_hops(spark, sf):
     )
     from adscrawler_spark.operators.chains import chain_hops
 
-    return chain_hops(edges)
+    # max_hops=8: each halving of the bound removes one doubling
+    # round (2 shuffles + an eager checkpoint job).  The reference
+    # stops following redirects after 5 hops
+    # (network_parsers.py:502-560), so 8 keeps a margin over the
+    # domain bound; the synth's own longest chain is 6 hops (the
+    # %7/%11 break pattern's longest kept run), so every chain still
+    # converges and the result is bit-identical.
+    return chain_hops(edges, max_hops=8)
 
 
 @query(
