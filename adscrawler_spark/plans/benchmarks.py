@@ -8275,7 +8275,13 @@ _DL_SYNTH_SQL = """
 
 def _dl_synth_spark(spark, sf):
     c = _ts(spark, sf, "customer")
-    o = _ts(spark, sf, "orders")
+    # spread orders by o_custkey, not the table default o_orderkey:
+    # every consumer below (the lvc/lsvc windows, the ald/fdm/fdq
+    # aggregations, the sched/ureq join trees) keys on
+    # store_app = o_custkey, so one hash exchange up front is reused
+    # by the whole fan-out instead of re-shuffling per branch
+    # (guide §2.2 — partition once for the access pattern).
+    o = _spread(_t(spark, sf, "orders"), "o_custkey")
     day = lambda base, n: F.expr(  # noqa: E731
         f"timestamp'{base} 00:00:00'"
         f" + make_interval(0, 0, 0, cast({n} as int), 0, 0, 0)"
