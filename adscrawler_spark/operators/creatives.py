@@ -256,11 +256,23 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
     One containment join keyed on the run — the quadratic term is
     bounded per capture run (single device session), and runs spread
     across the cluster."""
+    # carry the creative's host tld with the match (functionally
+    # dependent on cr_uuid): downstream attribution needs it for the
+    # initial-vs-host comparison, and riding it here removes the
+    # whole infos⋈creatives host join — one data-scaled shuffle join
+    # per assembly (guide §2.1: don't re-join for a column you
+    # already had).  Conditional: unit fixtures call this without a
+    # tld_url column.
+    _tld_carry = (
+        [F.col("tld_url").alias("cr_host_tld")]
+        if "tld_url" in creatives.columns else []
+    )
     cr = creatives.filter(F.length("video_id") >= 5).select(
         *_RUN_KEYS,
         F.col("mitm_uuid").alias("cr_uuid"),
         F.col("called_at").alias("cr_called_at"),
         "video_id",
+        *_tld_carry,
     )
     src = calls.select(
         *_RUN_KEYS,
@@ -335,7 +347,8 @@ def find_sent_videos(creatives: DataFrame, calls: DataFrame) -> DataFrame:
         .select("src_uuid", gram_hash(F.col("_gram")).alias("_gh"))
     )
     cand = cand_cr.join(src_grams, "_gh").select(
-        *_RUN_KEYS, "cr_uuid", "cr_called_at", "video_id", "src_uuid"
+        *_RUN_KEYS, "cr_uuid", "cr_called_at", "video_id", "src_uuid",
+        *(["cr_host_tld"] if _tld_carry else []),
     )
     hits = cand.join(src, [*_RUN_KEYS, "src_uuid"]).filter(
         F.instr(F.col("src_text"), F.col("video_id")) > 0
@@ -482,6 +495,7 @@ def attribute_creatives(
         *_RUN_KEYS,
         F.col("mitm_uuid").alias("cr_uuid"),
         F.col("mitm_uuid").alias("src_uuid"),
+        F.col("tld_url").alias("cr_host_tld"),
         F.lit(None).cast("string").alias("init_tld"),
         request_text_blob(fb).alias("text"),
         F.lit(True).alias("clicks_enabled"),
@@ -499,7 +513,7 @@ def attribute_creatives(
             )
         nf = an.with_network_fields(
             sent.select(
-                *_RUN_KEYS, "cr_uuid", "src_uuid",
+                *_RUN_KEYS, "cr_uuid", "src_uuid", "cr_host_tld",
                 F.col("src_tld").alias("init_tld"),
                 F.col("src_text").alias("text"),
                 "src_url", "src_mime", "src_headers",
@@ -516,19 +530,21 @@ def attribute_creatives(
         # §2.3 — project before the exchange; the checkpoint is the
         # exchange here)
         nf = nf.select(
-            *_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld",
+            *_RUN_KEYS, "cr_uuid", "src_uuid", "cr_host_tld",
+            "init_tld",
             "route", "parse_text", "direct_adv", "direct_mmp",
             "direct_tlds", "keep_empty", "clicks_enabled",
         )
         if persisted is not None:
             nf = nf.localCheckpoint(eager=False)
         sources = nf.filter(F.col("parse_text").isNotNull()).select(
-            *_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld",
+            *_RUN_KEYS, "cr_uuid", "src_uuid", "cr_host_tld",
+            "init_tld",
             F.col("parse_text").alias("text"), "clicks_enabled",
         ).unionByName(fb_sources)
     else:
         sources = sent.select(
-            *_RUN_KEYS, "cr_uuid", "src_uuid",
+            *_RUN_KEYS, "cr_uuid", "src_uuid", "cr_host_tld",
             F.col("src_tld").alias("init_tld"),
             F.col("src_text").alias("text"),
             F.lit(True).alias("clicks_enabled"),
@@ -555,7 +571,13 @@ def attribute_creatives(
         # uncached, each consumer re-runs the extraction tiers
         urls = urls.persist()
         persisted.append(urls)
-    key = [*_RUN_KEYS, "cr_uuid", "src_uuid", "init_tld"]
+    # cr_host_tld rides in the key set: functionally dependent on
+    # cr_uuid (one host tld per creative), so every grouping below is
+    # cardinality-identical — and carrying it removes the
+    # infos⋈creatives host join entirely (one data-scaled shuffle
+    # join per assembly, measured 5-11s of driver-serial broadcast
+    # build at the 10x profile before the r7 shuffle_hash interim fix)
+    key = [*_RUN_KEYS, "cr_uuid", "src_uuid", "cr_host_tld", "init_tld"]
     if click_redirects is not None:
         clicks = (
             # fyber's clickless direct harvest never expands clicks
@@ -735,16 +757,16 @@ def attribute_creatives(
     ).drop("adv_multi", "_multi_resolved")
 
     # --- creative-level fold (mitm_scrape_ads.py:187-332) -------------
-    # shuffle_hash: one build row per creative — data-scaled, never a
-    # broadcast (the size estimator undercounts the two narrow string
-    # columns and would hand the driver a single-threaded collect +
-    # HashedRelation build; measured 5.1s collect + 4.3s build + 1.7s
-    # broadcast at the 10x profile, serial while 32 cores idle).
-    host = creatives.select(
-        F.col("mitm_uuid").alias("cr_uuid"),
-        F.col("tld_url").alias("host_ad_network_tld"),
-    ).hint("shuffle_hash")
-    kept = infos.join(host, "cr_uuid").filter(
+    # no host join: the creative's host tld rode the pipeline as
+    # cr_host_tld (see the key comment above), so the
+    # initial-vs-host drop rule is a plain filter.  The old
+    # infos⋈creatives join here was data-scaled on both sides and
+    # its build cost 5.1s collect + 4.3s single-threaded
+    # HashedRelation build at the 10x profile when the size
+    # estimator picked a broadcast.
+    kept = infos.withColumn(
+        "host_ad_network_tld", F.col("cr_host_tld")
+    ).filter(
         F.col("adv_store_id").isNotNull()
         | F.col("advertiser_store_app_ids").isNotNull()
         | (
