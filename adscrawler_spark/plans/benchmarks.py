@@ -8634,7 +8634,7 @@ def apps_to_process_keywords_q(spark, sf):
 # MITM creative assembly (mitm_logs.py + mitm_scrape_ads.py)
 # =====================================================================
 
-def _mitm_flows_synth_spark(spark, sf):
+def _mitm_flows_synth_spark(spark, sf, cut: bool = True):
     """Synthetic capture-run flow rows exercising every assembly path:
     one creative per event_id%3==0 across the five video-id host
     families (k=e%5), with per-creative scenario f=(e//3)%5 —
@@ -8779,8 +8779,14 @@ def _mitm_flows_synth_spark(spark, sf):
     # plan-cut the synthetic fixture (same reasoning as the routed-
     # attribution fixture: production feeds a table scan; the cut
     # keeps the literal-building expression trees out of every
-    # downstream codegen segment)
-    flows = flows.localCheckpoint(eager=False)
+    # downstream codegen segment).  Callers that feed
+    # attribute_creatives pass cut=False: the attribution pipeline
+    # checkpoints the calls frame (flows + three cheap derived
+    # columns) at its own root, so cutting here too materialized the
+    # ~full payload twice back to back (r7 continuation: two ~350MB
+    # stores at the 10x profile where one suffices).
+    if cut:
+        flows = flows.localCheckpoint(eager=False)
 
     mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"]
@@ -8968,7 +8974,7 @@ def creative_records_assembly_q(spark, sf):
     from adscrawler_spark.operators import creatives as cv
 
     flows, mmps, addoms, apps, doms, clicks = _mitm_flows_synth_spark(
-        spark, sf
+        spark, sf, cut=False
     )
     # cache handles stay live until the driver materializes the
     # result; the frames are bounded by the creative count and the
@@ -9166,7 +9172,10 @@ def network_routed_attribution_q(spark, sf):
     # here; without the cut the fixture's literal-building expression
     # trees are inlined into every downstream codegen segment (a
     # size-independent driver cost, ~10× the query's execution time)
-    flows = cre.unionByName(sent).localCheckpoint(eager=False)
+    # no fixture cut here: attribute_creatives checkpoints the calls
+    # frame (this union + three cheap columns) at its root — one
+    # materialization instead of two (r7 continuation)
+    flows = cre.unionByName(sent)
     mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
     addoms = spark_sess.range(0, 15).select(
@@ -9356,7 +9365,10 @@ def protobuf_route_attribution_q(spark, sf):
                  F.lit(" market://details?id=com.decoy.x")),
         content,
     ))
-    flows = cre.unionByName(sent).localCheckpoint(eager=False)
+    # no fixture cut here: attribute_creatives checkpoints the calls
+    # frame (this union + three cheap columns) at its root — one
+    # materialization instead of two (r7 continuation)
+    flows = cre.unionByName(sent)
     mmps = _ldf(spark_sess,
         [("appsflyer.com",), ("adjust.com",)], ["tld_url"])
     addoms = _ldf(spark_sess,
